@@ -1,0 +1,44 @@
+"""Engine configuration.
+
+Replaces the reference's module-global ``option`` dict and per-call knob soup
+(ccl_marker_stack.py:58-63, 852-879) with one explicit dataclass passed to
+pipeline builders.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EngineConfig:
+    # Number of hash partitions used for joins / CSR shards. At cluster scale
+    # this should be ~2-4x total cores; single-node tests use small values.
+    num_partitions: int = 8
+
+    # Connected components / label propagation.
+    cc_max_iters: int = 64
+    # pointer-jump (path compression) rounds per propagate round; 1-2 gives
+    # O(log n) total rounds even on long chains (reference worst case:
+    # a component spanning every slice of the stack).
+    cc_jump_rounds: int = 2
+
+    # PageRank.
+    pr_damping: float = 0.85
+    pr_tol: float = 1e-6
+    pr_max_iters: int = 100
+
+    # Checkpointing (None disables).
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 1
+
+    # Skew control: shared-key (tool / event_type) co-occurrence groups are
+    # star-expanded (group -> hub edges, O(k) not O(k^2)); groups larger than
+    # this are additionally chained through per-chunk sub-hubs so no single
+    # hub vertex exceeds ~star_chunk neighbors in one group.
+    star_chunk: int = 65536
+
+    # map_batches batch size for vectorized stages (None = Ray default).
+    batch_size: int | None = None
+
+    extra: dict = field(default_factory=dict)

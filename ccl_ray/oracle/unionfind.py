@@ -1,0 +1,92 @@
+"""Serial union-find oracle (clean-room; ground truth for all CC tests).
+
+The reference cannot run as shipped (ccl2d.py:174-175 IndentationError), so
+exact-agreement checks are against this oracle plus the golden label arrays
+embedded in the reference's unit tests (SURVEY.md §5), compared as
+*partitions* with canonical min-vid labels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class UnionFind:
+    def __init__(self):
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent.setdefault(x, x)
+        if p != x:
+            root = self.find(p)
+            self.parent[x] = root
+            return root
+        return x
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # canonical: smaller id becomes the root (min-vid labels)
+            if ra < rb:
+                self.parent[rb] = ra
+            else:
+                self.parent[ra] = rb
+
+
+def cc_oracle(src: np.ndarray, dst: np.ndarray, vids: np.ndarray | None = None) -> dict[int, int]:
+    """vid -> min-vid-of-component for all edge endpoints (∪ explicit vids)."""
+    uf = UnionFind()
+    for a, b in zip(src.tolist(), dst.tolist()):
+        uf.union(int(a), int(b))
+    if vids is not None:
+        for v in vids.tolist():
+            uf.find(int(v))
+    # path-compress everything; min-vid canonicalization needs a second pass
+    roots: dict[int, int] = {}
+    for v in list(uf.parent):
+        r = uf.find(v)
+        m = roots.get(r)
+        if m is None or v < m:
+            roots[r] = v
+    return {v: roots[uf.find(v)] for v in uf.parent}
+
+
+def pagerank_oracle(
+    src: np.ndarray,
+    dst: np.ndarray,
+    vids: np.ndarray,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iters: int = 200,
+) -> dict[int, float]:
+    """Dense numpy power iteration (directed edges src->dst, dangling-aware)."""
+    vids = np.asarray(sorted(set(vids.tolist())), dtype=np.int64)
+    idx = {int(v): i for i, v in enumerate(vids)}
+    n = len(vids)
+    s = np.fromiter((idx[int(x)] for x in src), dtype=np.int64, count=len(src))
+    d = np.fromiter((idx[int(x)] for x in dst), dtype=np.int64, count=len(dst))
+    outdeg = np.bincount(s, minlength=n).astype(np.float64)
+    score = np.full(n, 1.0 / n)
+    for _ in range(max_iters):
+        contrib = np.where(outdeg > 0, score / np.maximum(outdeg, 1), 0.0)
+        agg = np.bincount(d, weights=contrib[s], minlength=n)
+        dangling = score[outdeg == 0].sum()
+        new = (1.0 - damping) / n + damping * (agg + dangling / n)
+        l1 = np.abs(new - score).sum()
+        score = new
+        if l1 < tol:
+            break
+    return {int(v): float(score[i]) for i, v in enumerate(vids)}
+
+
+def triangle_oracle(src: np.ndarray, dst: np.ndarray) -> int:
+    """Brute-force triangle count on canonical undirected edges."""
+    edges = {(min(int(a), int(b)), max(int(a), int(b))) for a, b in zip(src, dst) if a != b}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    count = 0
+    for a, b in edges:
+        count += len(adj[a] & adj[b])
+    return count // 3

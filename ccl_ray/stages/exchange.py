@@ -1,0 +1,105 @@
+"""Partitioned hash join built from Ray Data primitives (union + groupby).
+
+Ray 2.49's ``Dataset.join`` is experimental: its aggregator actors crash on
+empty partitions (pyarrow FieldRef error) and chained joins in one plan can
+stall the streaming executor. This module implements the portable pattern
+instead: add a stable ``part = hash(key) % P`` column to both sides, tag the
+side, union, ``groupby(part)`` (task-based sort shuffle — no actor pools to
+starve), and run a vectorized in-memory ``pyarrow.Table.join`` per partition.
+P (``num_partitions``) bounds per-partition memory at scale; hot keys can be
+salted by the caller before joining.
+
+Join keys must be non-null; column names of the two sides must be disjoint
+(rename before calling). Payload columns may be any Arrow type (kept in
+Arrow end-to-end — no pandas dtype mangling of nullable ints).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ccl_ray.functions.hashing import stable_hash64_np
+
+_PART = "__part"
+_SIDE = "__side"
+
+
+def _partition_ids(key_arr: pa.ChunkedArray | pa.Array, P: int) -> pa.Array:
+    np_keys = key_arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    part = (stable_hash64_np(np_keys.view(np.uint64)) % np.uint64(P)).astype(np.int32)
+    return pa.array(part)
+
+
+def _tagged(ds: "rd.Dataset", on: str, P: int, side: int, schema: pa.Schema) -> "rd.Dataset":
+    names = [f.name for f in schema]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        cols[_PART] = _partition_ids(batch.column(on), P)
+        cols[_SIDE] = pa.array(np.full(n, side, dtype=np.int8))
+        for f in schema:
+            if f.name in batch.column_names:
+                cols[f.name] = batch.column(f.name).cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(n, f.type)
+        return pa.table({k: cols[k] for k in [_PART, _SIDE] + names})
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def hash_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    *,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+    num_partitions: int = 8,
+) -> "rd.Dataset":
+    """Hash-partitioned equi-join; ``how`` in {"inner", "left outer"}.
+
+    Output columns: all left columns then all right columns except the right
+    key (like pyarrow's join). Left/right column names must be disjoint.
+    """
+    assert how in ("inner", "left outer")
+    ls = pa.schema([pa.field(n, t) for n, t in zip(left.schema().names, left.schema().types)])
+    rs = pa.schema([pa.field(n, t) for n, t in zip(right.schema().names, right.schema().types)])
+    overlap = set(ls.names) & set(rs.names)
+    if overlap:
+        raise ValueError(f"join sides share column names {overlap}; rename first")
+    combined = pa.schema(list(ls) + list(rs))
+    P = num_partitions
+
+    tagged = _tagged(left, left_on, P, 0, combined).union(_tagged(right, right_on, P, 1, combined))
+
+    l_names = list(ls.names)
+    r_names = list(rs.names)
+    out_names = l_names + [n for n in r_names if n != right_on]
+
+    def join_part(group: pa.Table) -> pa.Table:
+        side = group.column(_SIDE).to_numpy(zero_copy_only=False)
+        lt = group.filter(pa.array(side == 0)).select(l_names)
+        rt = group.filter(pa.array(side == 1)).select(r_names)
+        if lt.num_rows == 0:
+            return pa.table({n: pa.nulls(0, combined.field(n).type) for n in out_names})
+        if rt.num_rows == 0:
+            if how == "inner":
+                return pa.table({n: pa.nulls(0, combined.field(n).type) for n in out_names})
+            out = {n: lt.column(n) for n in l_names}
+            for n in r_names:
+                if n != right_on:
+                    out[n] = pa.nulls(lt.num_rows, combined.field(n).type)
+            return pa.table({n: out[n] for n in out_names})
+        joined = lt.join(
+            rt,
+            keys=[left_on],
+            right_keys=[right_on],
+            join_type="inner" if how == "inner" else "left outer",
+        )
+        return joined.select(out_names)
+
+    return tagged.groupby(_PART).map_groups(join_part, batch_format="pyarrow")

@@ -1,0 +1,122 @@
+"""Hash-partitioned shard state for iterative graph algorithms.
+
+Why raw Ray tasks here and Ray Data everywhere else: a Dataset pipeline pays
+a fixed driver-side planning/execution cost per materialization. A BSP
+fixpoint (CC / PageRank) runs tens of rounds over *static* edge shards and a
+small mutable state table — exactly the "shared index + iteration" case the
+Dataset API cannot express without re-planning every round (SURVEY.md §7
+"Iteration under a lazy engine"). So: Ray Data builds the edge table, this
+module exchanges it ONCE into P hash-partitioned CSR shards pinned in the
+object store (zero-copy Arrow/numpy), and the per-round gather/scatter and
+label exchanges are plain Ray tasks over those shard refs — O(P) small tasks
+per round, no driver bottleneck, linear in edges. This replaces the
+reference's Dask-futures orchestration that shipped whole pickled stacks
+between workers (ccl_marker_stack.py:1119-1238).
+
+Partition function: part(v) = splitmix64(v) % P — stable across processes,
+resumes and cluster sizes (needed for checkpoint/resume and shard reuse).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ccl_ray.functions.hashing import stable_hash64_np
+
+
+def part_of(vids: np.ndarray, P: int) -> np.ndarray:
+    return (stable_hash64_np(vids.astype(np.int64).view(np.uint64)) % np.uint64(P)).astype(
+        np.int64
+    )
+
+
+@ray.remote
+def _split_pairs(block: pa.Table, src_col: str, dst_col: str, P: int, symmetrize: bool):
+    """Split one edge block into P (src,dst) pair tables routed by hash(src)."""
+    if block.num_rows == 0 or src_col not in block.column_names:
+        # empty blocks from repartition have an empty schema
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        return empty if P == 1 else tuple(empty for _ in range(P))
+    s = block.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    d = block.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    if symmetrize:
+        s, d = np.concatenate([s, d]), np.concatenate([d, s])
+    parts = part_of(s, P)
+    order = np.argsort(parts, kind="stable")
+    s, d, parts = s[order], d[order], parts[order]
+    bounds = np.searchsorted(parts, np.arange(P + 1))
+    out = tuple((s[bounds[p] : bounds[p + 1]], d[bounds[p] : bounds[p + 1]]) for p in range(P))
+    return out[0] if P == 1 else out
+
+
+@ray.remote
+def _split_vids(block: pa.Table, cols: list, P: int):
+    """Split vertex-id columns of one block into P arrays routed by hash(v)."""
+    if block.num_rows == 0 or any(c not in block.column_names for c in cols):
+        empty = np.empty(0, np.int64)
+        return empty if P == 1 else tuple(empty for _ in range(P))
+    arrs = [block.column(c).to_numpy(zero_copy_only=False).astype(np.int64) for c in cols]
+    v = np.concatenate(arrs) if len(arrs) > 1 else arrs[0]
+    parts = part_of(v, P)
+    order = np.argsort(parts, kind="stable")
+    v, parts = v[order], parts[order]
+    bounds = np.searchsorted(parts, np.arange(P + 1))
+    out = tuple(v[bounds[p] : bounds[p + 1]] for p in range(P))
+    return out[0] if P == 1 else out
+
+
+@ray.remote
+def _build_csr(*pieces):
+    """Concat (src,dst) pieces for one partition into a CSR shard.
+
+    Returns dict: srcs (sorted unique), indptr, dst (edge targets grouped by
+    src), outdeg. Stored once in plasma; every round reads it zero-copy.
+    """
+    s = np.concatenate([p[0] for p in pieces]) if pieces else np.empty(0, np.int64)
+    d = np.concatenate([p[1] for p in pieces]) if pieces else np.empty(0, np.int64)
+    order = np.argsort(s, kind="stable")
+    s, d = s[order], d[order]
+    srcs, start = np.unique(s, return_index=True)
+    indptr = np.concatenate([start, [len(s)]]).astype(np.int64)
+    outdeg = np.diff(indptr)
+    return {"srcs": srcs, "indptr": indptr, "dst": d, "outdeg": outdeg}
+
+
+@ray.remote
+def _build_vids(*pieces):
+    v = np.concatenate(list(pieces)) if pieces else np.empty(0, np.int64)
+    return np.unique(v)
+
+
+def shard_edges_csr(edges_ds, P: int, *, symmetrize: bool = False,
+                    src_col: str = "src", dst_col: str = "dst"):
+    """Exchange a Ray Data edge table into P CSR shard refs (hash(src) -> p)."""
+    block_refs = edges_ds.to_arrow_refs()
+    split = _split_pairs.options(num_returns=P)
+    matrix = [split.remote(b, src_col, dst_col, P, symmetrize) for b in block_refs]
+    if P == 1:
+        matrix = [[m] for m in matrix]
+    return [_build_csr.remote(*[row[p] for row in matrix]) for p in range(P)]
+
+
+def shard_vertices(edges_ds, P: int, *, vertices_ds=None,
+                   src_col: str = "src", dst_col: str = "dst"):
+    """P refs of sorted unique vid arrays (edge endpoints ∪ explicit vertices)."""
+    block_refs = edges_ds.to_arrow_refs()
+    split = _split_vids.options(num_returns=P)
+    matrix = [split.remote(b, [src_col, dst_col], P) for b in block_refs]
+    if vertices_ds is not None:
+        matrix += [split.remote(b, ["vid"], P) for b in vertices_ds.to_arrow_refs()]
+    if P == 1:
+        matrix = [[m] for m in matrix]
+    return [_build_vids.remote(*[row[p] for row in matrix]) for p in range(P)]
+
+
+def shards_to_dataset(shard_tables: list) -> "ray.data.Dataset":
+    """Wrap per-shard pyarrow tables (refs) as a Dataset without driver copy."""
+    import ray.data as rd
+
+    return rd.from_arrow_refs(shard_tables)
