@@ -1,0 +1,227 @@
+"""Min-label propagation (seeded) — the generalized form of hash-to-min.
+
+Connected components IS min-label propagation with seed = vid (reference
+§2.3 C3/C6: the equivalence-closure loop and backward translation sweep are
+both fixpoints of "take the min label over the neighborhood"). This module
+exposes the seeded variants the engine needs beyond plain CC:
+
+- ``min_label_propagation(..., rounds=k)``: exactly k synchronous rounds of
+  neighborhood-min exchange (bounded-hop semantics — e.g. "min seed within
+  k hops"). No pointer jumping, because arbitrary seed values are not vertex
+  ids and cannot be dereferenced.
+- ``min_label_propagation(..., rounds=None)``: run to convergence. Computed
+  as CC (fast O(log n) path) followed by a per-component min-seed exchange,
+  which is equivalent at the fixpoint: the converged value at v is the min
+  seed anywhere in v's component.
+
+Seeds: Dataset (vid:int64, seed:int64). Vertices without a seed row behave
+as +inf (INT64_MAX sentinel); components with no seed converge to the
+sentinel and are reported as null seed_label.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import ray
+
+from ccl_ray.config import EngineConfig
+from ccl_ray.stages.cc_bsp import (
+    _as_list,
+    _combine,
+    _scatter,
+    connected_components_bsp,
+)
+from ccl_ray.state.shards import part_of, shard_edges_csr, shard_vertices
+
+_I64MAX = np.int64(np.iinfo(np.int64).max)
+
+
+@ray.remote
+def _split_seed_pairs(block, P):
+    import numpy as np
+
+    if block.num_rows == 0 or "vid" not in block.column_names:
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        return empty if P == 1 else tuple(empty for _ in range(P))
+    v = block.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+    s = block.column("seed").to_numpy(zero_copy_only=False).astype(np.int64)
+    parts = part_of(v, P)
+    order = np.argsort(parts, kind="stable")
+    v, s, parts = v[order], s[order], parts[order]
+    bounds = np.searchsorted(parts, np.arange(P + 1))
+    out = tuple((v[bounds[p] : bounds[p + 1]], s[bounds[p] : bounds[p + 1]]) for p in range(P))
+    return out[0] if P == 1 else out
+
+
+@ray.remote
+def _init_seed_labels(vids, *seed_pieces):
+    lab = np.full(len(vids), _I64MAX, dtype=np.int64)
+    for v, s in seed_pieces:
+        if v.size:
+            idx = np.searchsorted(vids, v)
+            np.minimum.at(lab, idx, s)
+    return lab
+
+
+@ray.remote
+def _seed_table(vids, labels):
+    import pyarrow as pa
+
+    mask = labels == _I64MAX
+    out = labels.astype(object)
+    return pa.table(
+        {
+            "vid": pa.array(vids),
+            "seed_label": pa.array(
+                np.where(mask, None, out), type=pa.int64(), from_pandas=True
+            ),
+        }
+    )
+
+
+def _route_seeds(seeds, P):
+    split = _split_seed_pairs.options(num_returns=P)
+    matrix = [split.remote(b, P) for b in seeds.to_arrow_refs()]
+    if P == 1:
+        matrix = [[m] for m in matrix]
+    return matrix
+
+
+def min_label_propagation(
+    edges,
+    seeds,
+    *,
+    vertices=None,
+    rounds: int | None = None,
+    cfg: EngineConfig | None = None,
+):
+    """Returns Dataset (vid, seed_label) — min seed within `rounds` hops, or
+    min seed in the component when rounds is None (converged)."""
+    cfg = cfg or EngineConfig()
+    P = cfg.num_partitions
+
+    if rounds is None:
+        # converge: CC, then min-seed per component via two exchanges
+        cc = connected_components_bsp(edges, vertices=vertices, cfg=cfg)
+        return _component_min_seed(cc.labels, seeds, cfg)
+
+    csr = shard_edges_csr(edges, P, symmetrize=True)
+    vid_refs = shard_vertices(edges, P, vertices_ds=vertices)
+    matrix = _route_seeds(seeds, P)
+    label_refs = [
+        _init_seed_labels.remote(vid_refs[p], *[row[p] for row in matrix]) for p in range(P)
+    ]
+    for _ in range(rounds):
+        outs = [
+            _as_list(_scatter.options(num_returns=P).remote(csr[p], vid_refs[p], label_refs[p], P), P)
+            for p in range(P)
+        ]
+        comb = [
+            _combine.remote(vid_refs[q], label_refs[q], *[outs[p][q] for p in range(P)])
+            for q in range(P)
+        ]
+        label_refs = [c[0] for c in comb]
+
+    import ray.data as rd
+
+    return rd.from_arrow_refs([_seed_table.remote(vid_refs[p], label_refs[p]) for p in range(P)])
+
+
+@ray.remote
+def _label_seed_pairs(block, P):
+    """Route (label, seed_at_vid) rows of a labels⋈seeds shard by hash(label)."""
+    import numpy as np
+
+    lab = block.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    sd = block.column("seed_min").to_numpy(zero_copy_only=False).astype(np.int64)
+    parts = part_of(lab, P)
+    order = np.argsort(parts, kind="stable")
+    lab, sd, parts = lab[order], sd[order], parts[order]
+    bounds = np.searchsorted(parts, np.arange(P + 1))
+    out = tuple((lab[bounds[p] : bounds[p + 1]], sd[bounds[p] : bounds[p + 1]]) for p in range(P))
+    return out[0] if P == 1 else out
+
+
+def _component_min_seed(labels_ds, seeds, cfg: EngineConfig):
+    """labels (vid,label) + seeds (vid,seed) → (vid, seed_label=min seed in component).
+
+    Three vectorized exchanges: align seeds to label shards by hash(vid),
+    min-reduce (label→min seed) by hash(label), then resolve each vertex's
+    label through that map — same machinery as the CC pointer-jump waves.
+    """
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    P = cfg.num_partitions
+
+    # stage 1: per label-shard, attach seed (sentinel if absent) to each vid
+    lab_blocks = labels_ds.to_arrow_refs()
+    seed_matrix = _route_seeds(seeds, P)
+
+    @ray.remote
+    def align(block, *seed_pieces):
+        v = block.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+        l = block.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, l = v[order], l[order]
+        sd = np.full(len(v), _I64MAX, dtype=np.int64)
+        for sv, ss in seed_pieces:
+            if sv.size:
+                # seeds routed by hash(vid); only those present in this block apply
+                pos = np.searchsorted(v, sv)
+                ok = (pos < len(v)) & (v[np.minimum(pos, len(v) - 1)] == sv)
+                np.minimum.at(sd, pos[ok], ss[ok])
+        return pa.table({"label": pa.array(l), "seed_min": pa.array(sd)})
+
+    # labels_ds shards were built per part p (hash(vid)=p) by cc_bsp, so the
+    # p-th seed column routes to the p-th label shard.
+    aligned = [
+        align.remote(lab_blocks[p], *[row[p] for row in seed_matrix])
+        for p in range(len(lab_blocks))
+    ]
+
+    # stage 2: min seed per label, routed by hash(label)
+    routed = [_as_list(_label_seed_pairs.options(num_returns=P).remote(a, P), P) for a in aligned]
+
+    @ray.remote
+    def reduce_min(*pieces):
+        labs = np.concatenate([p[0] for p in pieces])
+        sds = np.concatenate([p[1] for p in pieces])
+        if labs.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        order = np.argsort(labs, kind="stable")
+        labs, sds = labs[order], sds[order]
+        uniq, start = np.unique(labs, return_index=True)
+        return uniq, np.minimum.reduceat(sds, start)
+
+    comp_min = [reduce_min.remote(*[routed[b][q] for b in range(len(routed))]) for q in range(P)]
+
+    # stage 3: resolve each vertex's label through the component-min map
+    @ray.remote
+    def resolve(block, *maps):
+        v = block.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+        l = block.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        all_lab = np.concatenate([m[0] for m in maps])
+        all_sd = np.concatenate([m[1] for m in maps])
+        order = np.argsort(all_lab, kind="stable")
+        all_lab, all_sd = all_lab[order], all_sd[order]
+        sd = all_sd[np.searchsorted(all_lab, l)]
+        mask = sd == _I64MAX
+        return pa.table(
+            {
+                "vid": pa.array(v),
+                "seed_label": pa.array(
+                    np.where(mask, None, sd.astype(object)), type=pa.int64(), from_pandas=True
+                ),
+            }
+        )
+
+    # each block needs only the map pieces for labels it references; at this
+    # state size (labels per component, not per edge) shipping the P map
+    # pieces to each of P resolvers is O(P * n_components) — acceptable; a
+    # stricter two-phase request/resolve (as in cc_bsp jump waves) applies
+    # when component counts are huge.
+    out = [resolve.remote(b, *comp_min) for b in lab_blocks]
+    return rd.from_arrow_refs(out)

@@ -1,0 +1,180 @@
+"""Wedge-based triangle counting with degree orientation (north-star op).
+
+No reference precedent (the reference computes only components/lifetimes);
+this is the standard distributed algorithm: orient every undirected edge
+from its lower-(degree, vid) endpoint to the higher one — bounding oriented
+out-degree by O(sqrt(m)), the skew defense for hub vertices — generate
+wedges (b, c) from each vertex's oriented neighbor list, and count wedges
+whose closing edge exists.
+
+Execution: the same shard machinery as cc_bsp. Waves:
+  1. symmetric deduped CSR shards (hash(src)) → per-vertex degree
+  2. degree request/resolve exchange (each shard learns deg(dst) for its
+     edge targets, routed by hash(dst))
+  3. per-shard orientation filter + vectorized wedge generation (one
+     triu_indices gather per distinct-degree class — no per-pair loops)
+  4. wedge → owner-of-lo exchange; per-shard pandas merge against the
+     oriented edge set; sum of matches = triangle count
+
+Wedges are never globally materialized — each wave streams shard-to-shard
+through the object store.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import ray
+
+from ccl_ray.config import EngineConfig
+from ccl_ray.state.shards import part_of, shard_edges_csr, shard_vertices
+
+
+def _as_list(out, P):
+    return [out] if P == 1 else list(out)
+
+
+@ray.remote
+def _degrees(csr, vids):
+    """Degree per vid of this shard (CSR is symmetric+deduped → outdeg=degree)."""
+    deg = np.zeros(len(vids), dtype=np.int64)
+    if csr["srcs"].size:
+        deg[np.searchsorted(vids, csr["srcs"])] = csr["outdeg"]
+    return deg
+
+
+@ray.remote
+def _deg_request(csr, P):
+    """Unique dst vids this shard needs degrees for, routed by hash(dst)."""
+    uniq = np.unique(csr["dst"])
+    parts = part_of(uniq, P)
+    order = np.argsort(parts, kind="stable")
+    uniq, parts = uniq[order], parts[order]
+    bounds = np.searchsorted(parts, np.arange(P + 1))
+    out = tuple(uniq[bounds[p] : bounds[p + 1]] for p in range(P))
+    return out[0] if P == 1 else out
+
+
+@ray.remote
+def _deg_resolve(vids, deg, P, *requests):
+    out = []
+    for q in requests:
+        out.append((q, deg[np.searchsorted(vids, q)]))
+    return out[0] if P == 1 else tuple(out)
+
+
+@ray.remote
+def _orient_and_wedges(csr, vids, deg, P, *resp_pieces):
+    """Orient edges + generate wedges.
+
+    Called with num_returns=P+1: P wedge pieces routed by hash(lo) — each
+    downstream matcher fetches only its own piece — plus this shard's
+    oriented edge set as the final return.
+    """
+    empty_pair = (
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+    )
+    if csr["srcs"].size == 0:
+        return (*[empty_pair] * P, empty_pair)
+
+    # degree lookup for dst endpoints (from the resolve wave)
+    q = np.concatenate([r[0] for r in resp_pieces])
+    qd = np.concatenate([r[1] for r in resp_pieces])
+    order = np.argsort(q, kind="stable")
+    q, qd = q[order], qd[order]
+
+    src = np.repeat(csr["srcs"], csr["outdeg"])
+    dst = csr["dst"]
+    deg_s = np.repeat(deg[np.searchsorted(vids, csr["srcs"])], csr["outdeg"])
+    deg_d = qd[np.searchsorted(q, dst)]
+
+    # orient lower (deg, vid) -> higher; each undirected edge appears twice in
+    # the symmetric CSR, so exactly one direction survives
+    keep = (deg_s < deg_d) | ((deg_s == deg_d) & (src < dst))
+    lo, hi = src[keep], dst[keep]
+    lo_deg, hi_deg = deg_s[keep], deg_d[keep]
+
+    # group by lo (already sorted by src within CSR, keep preserves order)
+    srcs_u, start = np.unique(lo, return_index=True)
+    counts = np.diff(np.concatenate([start, [len(lo)]]))
+
+    # vectorized wedge generation: one gather per distinct out-degree class
+    wb_parts, wc_parts = [], []
+    for k in np.unique(counts):
+        if k < 2:
+            continue
+        sel = counts == k
+        starts_k = start[sel]
+        gather = starts_k[:, None] + np.arange(k)[None, :]
+        nb = hi[gather]          # (g, k) neighbor vids
+        nbd = hi_deg[gather]     # neighbor degrees
+        ii, jj = np.triu_indices(k, 1)
+        b, c = nb[:, ii].ravel(), nb[:, jj].ravel()
+        bd, cd = nbd[:, ii].ravel(), nbd[:, jj].ravel()
+        swap = (cd < bd) | ((cd == bd) & (c < b))
+        wb_parts.append(np.where(swap, c, b))
+        wc_parts.append(np.where(swap, b, c))
+    if wb_parts:
+        wlo = np.concatenate(wb_parts)
+        whi = np.concatenate(wc_parts)
+    else:
+        wlo, whi = empty_pair
+
+    parts = part_of(wlo, P)
+    o = np.argsort(parts, kind="stable")
+    wlo, whi, parts = wlo[o], whi[o], parts[o]
+    bounds = np.searchsorted(parts, np.arange(P + 1))
+    wedge_out = tuple(
+        (wlo[bounds[p] : bounds[p + 1]], whi[bounds[p] : bounds[p + 1]]) for p in range(P)
+    )
+    return (*wedge_out, (lo, hi))
+
+
+@ray.remote
+def _count_matches(oriented, *wedge_pieces):
+    """Triangles closed in this shard: wedges whose (lo,hi) is an oriented edge."""
+    import pandas as pd
+
+    lo, hi = oriented
+    if lo.size == 0:
+        return 0
+    wl = np.concatenate([w[0] for w in wedge_pieces])
+    wh = np.concatenate([w[1] for w in wedge_pieces])
+    if wl.size == 0:
+        return 0
+    edges = pd.DataFrame({"lo": lo, "hi": hi})
+    wedges = pd.DataFrame({"lo": wl, "hi": wh})
+    return int(len(wedges.merge(edges, on=["lo", "hi"], how="inner")))
+
+
+def triangle_count(edges, *, cfg: EngineConfig | None = None) -> int:
+    """Exact triangle count of the undirected simple graph underlying ``edges``."""
+    cfg = cfg or EngineConfig()
+    P = cfg.num_partitions
+    csr = shard_edges_csr(edges, P, symmetrize=True, dedupe=True, drop_self=True)
+    vid_refs = shard_vertices(edges, P)
+    deg = [_degrees.remote(csr[p], vid_refs[p]) for p in range(P)]
+
+    reqs = [_as_list(_deg_request.options(num_returns=P).remote(csr[p], P), P) for p in range(P)]
+    resolved = [
+        _as_list(
+            _deg_resolve.options(num_returns=P).remote(
+                vid_refs[p], deg[p], P, *[reqs[q][p] for q in range(P)]
+            ),
+            P,
+        )
+        for p in range(P)
+    ]
+    ow = [
+        list(
+            _orient_and_wedges.options(num_returns=P + 1).remote(
+                csr[p], vid_refs[p], deg[p], P, *[resolved[q][p] for q in range(P)]
+            )
+        )
+        for p in range(P)
+    ]
+    counts = [
+        _count_matches.remote(ow[q][P], *[ow[p][q] for p in range(P)]) for q in range(P)
+    ]
+    return int(sum(ray.get(counts)))

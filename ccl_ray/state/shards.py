@@ -69,14 +69,26 @@ def _split_vids(block: pa.Table, cols: list, P: int):
 
 
 @ray.remote
-def _build_csr(*pieces):
+def _build_csr(dedupe, drop_self, *pieces):
     """Concat (src,dst) pieces for one partition into a CSR shard.
 
     Returns dict: srcs (sorted unique), indptr, dst (edge targets grouped by
     src), outdeg. Stored once in plasma; every round reads it zero-copy.
+    ``dedupe`` removes duplicate (src,dst) pairs; ``drop_self`` removes
+    self-loops (both required by e.g. triangle counting).
     """
     s = np.concatenate([p[0] for p in pieces]) if pieces else np.empty(0, np.int64)
     d = np.concatenate([p[1] for p in pieces]) if pieces else np.empty(0, np.int64)
+    if drop_self and s.size:
+        keep = s != d
+        s, d = s[keep], d[keep]
+    if dedupe and s.size:
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        keep = np.empty(len(s), dtype=bool)
+        keep[0] = True
+        keep[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+        s, d = s[keep], d[keep]
     order = np.argsort(s, kind="stable")
     s, d = s[order], d[order]
     srcs, start = np.unique(s, return_index=True)
@@ -92,6 +104,7 @@ def _build_vids(*pieces):
 
 
 def shard_edges_csr(edges_ds, P: int, *, symmetrize: bool = False,
+                    dedupe: bool = False, drop_self: bool = False,
                     src_col: str = "src", dst_col: str = "dst"):
     """Exchange a Ray Data edge table into P CSR shard refs (hash(src) -> p)."""
     block_refs = edges_ds.to_arrow_refs()
@@ -99,7 +112,7 @@ def shard_edges_csr(edges_ds, P: int, *, symmetrize: bool = False,
     matrix = [split.remote(b, src_col, dst_col, P, symmetrize) for b in block_refs]
     if P == 1:
         matrix = [[m] for m in matrix]
-    return [_build_csr.remote(*[row[p] for row in matrix]) for p in range(P)]
+    return [_build_csr.remote(dedupe, drop_self, *[row[p] for row in matrix]) for p in range(P)]
 
 
 def shard_vertices(edges_ds, P: int, *, vertices_ds=None,

@@ -1,0 +1,49 @@
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ccl_ray.config import EngineConfig
+from ccl_ray.stages.labelprop import min_label_propagation
+
+
+def _ds(src, dst, blocks=2):
+    return rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    ).repartition(blocks)
+
+
+def _seeds(pairs):
+    v, s = zip(*pairs) if pairs else ([], [])
+    return rd.from_arrow(
+        pa.table({"vid": pa.array(list(v), pa.int64()), "seed": pa.array(list(s), pa.int64())})
+    )
+
+
+def _result(ds):
+    df = ds.to_pandas()
+    return {
+        int(r.vid): (None if r.seed_label is None or np.isnan(r.seed_label) else int(r.seed_label))
+        for r in df.itertuples()
+    }
+
+
+def test_bounded_rounds_khop_min():
+    # path 0-1-2-3-4-5, seed 100 at vertex 0 only
+    src = [0, 1, 2, 3, 4]
+    dst = [1, 2, 3, 4, 5]
+    seeds = _seeds([(0, 100)])
+    got = _result(min_label_propagation(_ds(src, dst), seeds, rounds=2, cfg=EngineConfig(num_partitions=2)))
+    # after 2 rounds the seed reaches distance <= 2
+    assert got[0] == 100 and got[1] == 100 and got[2] == 100
+    assert got[3] is None and got[4] is None and got[5] is None
+
+
+def test_converged_component_min_seed():
+    # two components; seeds only in one, two seeds -> min wins
+    src = [0, 1, 10, 11]
+    dst = [1, 2, 11, 12]
+    seeds = _seeds([(2, 55), (0, 77)])
+    got = _result(min_label_propagation(_ds(src, dst), seeds, rounds=None, cfg=EngineConfig(num_partitions=4)))
+    assert got[0] == got[1] == got[2] == 55
+    assert got[10] is None and got[11] is None and got[12] is None
