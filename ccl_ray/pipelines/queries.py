@@ -1,0 +1,403 @@
+"""Driver-contract query surface: one entry per operator (SURVEY.md §2),
+each with a DuckDB oracle in ORACLE_SQL where ANSI-SQL can express it.
+
+Every Ray pipeline here and its SQL twin produce identical column NAMES and
+values (the driver hash-compares after sorting columns by name). Floating
+sums are rounded to 2 decimals on both sides — inputs are 2-decimal
+fixed-point, so the true sums are exactly representable and rounding kills
+summation-order noise. Cosine similarities are rounded to 6 (float64 both
+sides; differences are ~1e-15).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ccl_ray.config import EngineConfig
+from ccl_ray.sources.events_graph import build_event_edges, event_vertices
+from ccl_ray.stages.aggregates import (
+    component_ages,
+    component_sizes,
+    degrees,
+    id_stats,
+    partial_sum_agg,
+    top_k_components,
+)
+from ccl_ray.stages.cc_bsp import connected_components_bsp
+from ccl_ray.stages.dedup import exact_dedup, minhash_dedup_pairs, simhash_signatures
+from ccl_ray.stages.exchange import hash_join
+from ccl_ray.stages.labelprop import min_label_propagation
+from ccl_ray.stages.multimodal import docs_to_media, media_meta
+from ccl_ray.stages.pagerank_bsp import pagerank_bsp
+from ccl_ray.stages.relabel import apply_translation, compose_translations, eol_labels
+from ccl_ray.stages.similarity import cosine_pairs, cosine_topk
+from ccl_ray.stages.text import STOPWORDS, fingerprint, lang_id, quality_score, token_count
+from ccl_ray.stages.triangles import triangle_count
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _cfg() -> EngineConfig:
+    return EngineConfig(num_partitions=8)
+
+
+def _docs(sf_dir: str) -> "rd.Dataset":
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(sf_dir: str) -> "rd.Dataset":
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def _labels(sf_dir: str):
+    edges = build_event_edges(sf_dir)
+    return connected_components_bsp(edges, vertices=event_vertices(sf_dir), cfg=_cfg()).labels
+
+
+def _labeled_days(sf_dir: str) -> "rd.Dataset":
+    """(label, t) distinct where t = day ordinal of the event's ts."""
+    labels = _labels(sf_dir).rename_columns({"vid": "evid"})
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def day(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"event_id": batch.column("event_id"), "t": pa.array(us // _US_PER_DAY)}
+        )
+
+    ev_days = ev.map_batches(day, batch_format="pyarrow")
+    joined = hash_join(labels, ev_days, left_on="evid", right_on="event_id", num_partitions=8)
+    return partial_sum_agg(joined, ["label", "t"], {}, count_as="_n").select_columns(["label", "t"])
+
+
+# ---------------------------------------------------------------- queries
+
+def q_edges_build(sf_dir: str):
+    return build_event_edges(sf_dir)
+
+
+def q_degree(sf_dir: str):
+    edges = build_event_edges(sf_dir)
+    return degrees(edges, vertices=event_vertices(sf_dir))
+
+
+def q_cc_labels(sf_dir: str):
+    return _labels(sf_dir).rename_columns({"vid": "event_id"})
+
+
+def q_labelprop_seeded(sf_dir: str):
+    edges = build_event_edges(sf_dir)
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
+
+    def seed(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("event_type"), "signup")
+        sub = batch.filter(m)
+        return pa.table({"vid": sub.column("event_id"), "seed": sub.column("event_id")})
+
+    seeds = ev.map_batches(seed, batch_format="pyarrow")
+    out = min_label_propagation(edges, seeds, vertices=event_vertices(sf_dir), rounds=None, cfg=_cfg())
+    return out.rename_columns({"vid": "event_id"})
+
+
+def q_component_sizes(sf_dir: str):
+    return component_sizes(_labels(sf_dir), min_size=5)
+
+
+def q_ages(sf_dir: str):
+    return component_ages(_labeled_days(sf_dir))
+
+
+def q_eol(sf_dir: str):
+    out = eol_labels(_labeled_days(sf_dir))
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        us = pc.multiply(batch.column("t"), _US_PER_DAY)
+        return pa.table(
+            {"label": batch.column("label"), "day": us.cast(pa.timestamp("us"))}
+        )
+
+    return out.map_batches(to_day, batch_format="pyarrow")
+
+
+def q_topk_components(sf_dir: str):
+    return top_k_components(_labels(sf_dir), k=10)
+
+
+def q_id_stats(sf_dir: str):
+    return id_stats(_labels(sf_dir))
+
+
+def q_triangle_count(sf_dir: str):
+    n = triangle_count(build_event_edges(sf_dir), cfg=_cfg())
+    return pa.table({"n_triangles": pa.array([n], pa.int64())})
+
+
+def q_pagerank(sf_dir: str):
+    edges = build_event_edges(sf_dir)
+    res = pagerank_bsp(edges, vertices=event_vertices(sf_dir), cfg=_cfg(), symmetrize=True)
+    return res.scores.rename_columns({"vid": "event_id"})
+
+
+def q_relabel_compose(sf_dir: str):
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    region = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    x0 = pd.DataFrame({"old": nation["n_nationkey"], "new": nation["n_regionkey"]})
+    x1 = pd.DataFrame({"old": region["r_regionkey"], "new": region["r_name"]})
+    x01 = compose_translations(x0, x1)
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    out = apply_translation(cust, x01, col="c_nationkey", out_col="r_name")
+    return out.select_columns(["c_custkey", "r_name"])
+
+
+def q_q1_agg(sf_dir: str):
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    agg = partial_sum_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {"l_quantity": "sum_qty", "l_extendedprice": "sum_price"},
+        count_as="n",
+    )
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_qty"] = df["sum_qty"].round(2)
+        df["sum_price"] = df["sum_price"].round(2)
+        return df
+
+    return agg.map_batches(rnd, batch_format="pandas")
+
+
+def q_events_hourly(sf_dir: str):
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hr": pc.floor_temporal(batch.column("ts"), unit="hour"),
+                "value": batch.column("value"),
+            }
+        )
+
+    agg = partial_sum_agg(
+        ev.map_batches(key, batch_format="pyarrow"),
+        ["event_type", "hr"],
+        {"value": "sum_value"},
+        count_as="n_events",
+    )
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(2)
+        return df
+
+    return agg.map_batches(rnd, batch_format="pandas")
+
+
+def q_dedup_exact(sf_dir: str):
+    return exact_dedup(_docs(sf_dir))
+
+
+def q_token_count(sf_dir: str):
+    return token_count(_docs(sf_dir))
+
+
+def q_quality_score(sf_dir: str):
+    return quality_score(_docs(sf_dir))
+
+
+def q_fingerprint(sf_dir: str):
+    return fingerprint(_docs(sf_dir))
+
+
+def q_cosine_pairs(sf_dir: str):
+    # 0.35: this synthetic embedding space tops out near cosine 0.5, so 0.35
+    # selects a real (non-empty) near-neighbor set to verify against SQL
+    return cosine_pairs(_emb(sf_dir), query_ids=range(100), threshold=0.35)
+
+
+def q_ann_topk(sf_dir: str):
+    return cosine_topk(_emb(sf_dir), query_ids=range(10), k=5)
+
+
+def q_lang_id(sf_dir: str):
+    return lang_id(_docs(sf_dir))
+
+
+def q_minhash_pairs(sf_dir: str):
+    return minhash_dedup_pairs(_docs(sf_dir), threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    return simhash_signatures(_docs(sf_dir))
+
+
+def q_media_meta(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"])
+    return media_meta(docs_to_media(docs), fake=True)
+
+
+QUERIES = {
+    "edges_build": q_edges_build,
+    "degree": q_degree,
+    "cc_labels": q_cc_labels,
+    "labelprop_seeded": q_labelprop_seeded,
+    "component_sizes": q_component_sizes,
+    "ages": q_ages,
+    "eol": q_eol,
+    "topk_components": q_topk_components,
+    "id_stats": q_id_stats,
+    "triangle_count": q_triangle_count,
+    "pagerank": q_pagerank,
+    "relabel_compose": q_relabel_compose,
+    "q1_agg": q_q1_agg,
+    "events_hourly": q_events_hourly,
+    "dedup_exact": q_dedup_exact,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "fingerprint": q_fingerprint,
+    "cosine_pairs": q_cosine_pairs,
+    "ann_topk": q_ann_topk,
+    "lang_id": q_lang_id,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "media_meta": q_media_meta,
+}
+
+
+# ---------------------------------------------------------------- oracles
+
+_EDGES_CTE = """
+adjx AS (
+  SELECT least(prev, event_id) AS src, greatest(prev, event_id) AS dst,
+         0 AS etype, 1.0::DOUBLE AS w
+  FROM (SELECT event_id,
+               lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events)
+  WHERE prev IS NOT NULL),
+starx AS (
+  SELECT mn AS src, event_id AS dst, 1 AS etype, 1.0::DOUBLE AS w
+  FROM (SELECT event_id,
+               min(event_id) OVER (PARTITION BY event_type, date_trunc('hour', ts)) AS mn
+        FROM events)
+  WHERE event_id <> mn),
+edg AS (SELECT * FROM adjx UNION ALL SELECT * FROM starx),
+edgu AS (SELECT DISTINCT src, dst FROM edg)
+"""
+
+_CC_CTE = """
+grp AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events),
+upair AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+          FROM grp a JOIN grp b ON a.event_type = b.event_type AND a.hr = b.hr),
+reach(u, l) AS (
+  SELECT DISTINCT user_id, user_id FROM events
+  UNION
+  SELECT p.v, r.l FROM reach r JOIN upair p ON p.u = r.u),
+ulab AS (SELECT u, min(l) AS comp FROM reach GROUP BY u),
+umin AS (SELECT user_id, min(event_id) AS me FROM events GROUP BY user_id),
+clab AS (SELECT ul.comp, min(um.me) AS label
+         FROM ulab ul JOIN umin um ON um.user_id = ul.u GROUP BY ul.comp),
+labeled AS (SELECT e.event_id, e.user_id, e.event_type, e.ts, cl.label
+            FROM events e JOIN ulab ul ON ul.u = e.user_id
+            JOIN clab cl ON cl.comp = ul.comp)
+"""
+
+ORACLE_SQL = {
+    "edges_build": f"WITH {_EDGES_CTE} SELECT src, dst, etype, w FROM edg",
+    "degree": f"""
+        WITH {_EDGES_CTE}
+        SELECT e.event_id AS vid, coalesce(d.degree, 0) AS degree
+        FROM events e LEFT JOIN (
+          SELECT v AS vid, count(*) AS degree
+          FROM (SELECT src AS v FROM edgu UNION ALL SELECT dst FROM edgu)
+          GROUP BY v) d ON d.vid = e.event_id""",
+    "cc_labels": f"WITH RECURSIVE {_CC_CTE} SELECT event_id, label FROM labeled",
+    "labelprop_seeded": f"""
+        WITH RECURSIVE {_CC_CTE},
+        slab AS (SELECT label, min(event_id) AS seed_label
+                 FROM labeled WHERE event_type = 'signup' GROUP BY label)
+        SELECT l.event_id, s.seed_label
+        FROM labeled l LEFT JOIN slab s ON s.label = l.label""",
+    "component_sizes": f"""
+        WITH RECURSIVE {_CC_CTE}
+        SELECT label, count(*) AS n_vertices FROM labeled
+        GROUP BY label HAVING count(*) >= 5""",
+    "ages": f"""
+        WITH RECURSIVE {_CC_CTE}
+        SELECT label, count(DISTINCT date_trunc('day', ts)) AS age
+        FROM labeled GROUP BY label""",
+    "eol": f"""
+        WITH RECURSIVE {_CC_CTE},
+        lab_days AS (SELECT DISTINCT label, date_trunc('day', ts) AS day FROM labeled)
+        SELECT a.label, a.day FROM lab_days a
+        LEFT JOIN lab_days b ON b.label = a.label AND b.day = a.day + INTERVAL 1 DAY
+        WHERE b.label IS NULL""",
+    "topk_components": f"""
+        WITH RECURSIVE {_CC_CTE}
+        SELECT label, count(*) AS n_vertices FROM labeled
+        GROUP BY label ORDER BY n_vertices DESC, label LIMIT 10""",
+    "id_stats": f"""
+        WITH RECURSIVE {_CC_CTE}
+        SELECT count(DISTINCT label) AS n_components,
+               min(label) AS min_label, max(label) AS max_label FROM labeled""",
+    "triangle_count": f"""
+        WITH {_EDGES_CTE}
+        SELECT count(*) AS n_triangles
+        FROM edgu e1 JOIN edgu e2 ON e2.src = e1.dst
+        JOIN edgu e3 ON e3.src = e1.src AND e3.dst = e2.dst""",
+    "relabel_compose": """
+        SELECT c_custkey, r_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey""",
+    "q1_agg": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "events_hourly": """
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               round(sum(value), 2) AS sum_value, count(*) AS n_events
+        FROM events GROUP BY 1, 2""",
+    "dedup_exact": """
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY text""",
+    "token_count": """
+        SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
+        FROM documents""",
+    "quality_score": f"""
+        SELECT doc_id,
+               length(text) AS n_chars_txt,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+               length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+               len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                   x -> x IN {STOPWORDS!r})) AS n_stop
+        FROM documents""",
+    "fingerprint": "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+    "cosine_pairs": """
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 100
+          AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35""",
+    "ann_topk": """
+        SELECT a, b, round(sim, 6) AS sim, rank FROM (
+          SELECT a.vec_id AS a, b.vec_id AS b,
+                 list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim,
+                 row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                            b.vec_id) AS rank
+          FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id < 10)
+        WHERE rank <= 5""",
+    # pagerank / lang_id / minhash_pairs / simhash / media_meta: iterative or
+    # model-style ops — no SQL oracle; the driver records rows-only checks and
+    # pytest carries the strict checks (numpy power-iteration allclose, etc.).
+}

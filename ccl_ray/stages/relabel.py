@@ -1,0 +1,105 @@
+"""Translation-table label algebra as table operations.
+
+The reference's translation tables are lists of [set(old_labels), new_label]
+applied by per-label masked scatter loops (ccl_backsub, ccl_marker_stack.py
+:65-86 — its own flagged hot spot) and composed pairwise
+(ccl_compose_translations, ccl_marker_stack.py:88-122). Here a translation
+is just a (old, new) Arrow table:
+
+- apply  = broadcast-dict map inside map_batches (translation tables are
+  orders of magnitude smaller than the labeled data — the broadcast-small-
+  side join of SURVEY.md §2.5 J1); unmatched labels pass through.
+- compose = one pandas merge on the small tables themselves
+  (x0.new == x1.old), with unmatched entries of both passed through —
+  exactly the reference's pass-through semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def compose_translations(x0: pd.DataFrame, x1: pd.DataFrame) -> pd.DataFrame:
+    """x01 = x1 ∘ x0 on columns (old, new); pass-through for unmatched.
+
+    Matches reference semantics (ccl_marker_stack.py:88-122): entries of x0
+    whose new has a continuation in x1 are rewritten; x0 entries without a
+    continuation and x1 entries not consumed by x0 are kept as-is.
+    """
+    m = x0.merge(x1, left_on="new", right_on="old", how="left", suffixes=("", "_1"))
+    composed = pd.DataFrame(
+        {"old": m["old"], "new": m["new_1"].where(m["new_1"].notna(), m["new"])}
+    )
+    consumed = set(x0["new"]) & set(x1["old"])
+    leftover = x1[~x1["old"].isin(consumed)]
+    out = pd.concat([composed, leftover[["old", "new"]]], ignore_index=True)
+    return out.drop_duplicates(subset=["old"], keep="first").reset_index(drop=True)
+
+
+def apply_translation(
+    ds: "rd.Dataset", translation: pd.DataFrame, col: str, out_col: str | None = None
+) -> "rd.Dataset":
+    """Rewrite ``col`` through the (old, new) table; unmatched pass through.
+
+    The translation is ray.put ONCE and read per actor/worker — never
+    re-shipped per batch.
+    """
+    out_col = out_col or col
+    ref = ray.put(dict(zip(translation["old"].tolist(), translation["new"].tolist())))
+
+    class Apply:
+        def __init__(self):
+            self.mapping = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vals = batch[col]
+            mapped = vals.map(self.mapping)
+            batch[out_col] = mapped.where(mapped.notna(), vals)
+            return batch
+
+    return ds.map_batches(Apply, batch_format="pandas", concurrency=(1, 4))
+
+
+def eol_labels(present: "rd.Dataset") -> "rd.Dataset":
+    """Anti-join EOL detection (reference C7, ccl_marker_stack.py:664-667).
+
+    ``present``: (label:int64, t:int64) distinct observations. Returns the
+    (label, t) pairs with no (label, t+1) — 'component died after t'.
+    Implemented as union-tag + groupby-aggregate: no join needed.
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label")
+        t = batch.column("t").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "label": pa.chunked_array([lab, lab]).combine_chunks(),
+                "t": pa.array(np.concatenate([t, t - 1])),
+                "cur": pa.array(np.concatenate([np.ones(n, np.int64), np.zeros(n, np.int64)])),
+                "nxt": pa.array(np.concatenate([np.zeros(n, np.int64), np.ones(n, np.int64)])),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        present.map_batches(tag, batch_format="pyarrow")
+        .groupby(["label", "t"])
+        .aggregate(Sum("cur", alias_name="n_cur"), Sum("nxt", alias_name="n_nxt"))
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.and_(
+            pc.greater(batch.column("n_cur"), 0), pc.equal(batch.column("n_nxt"), 0)
+        )
+        return batch.filter(mask).select(["label", "t"])
+
+    return agg.map_batches(pick, batch_format="pyarrow")

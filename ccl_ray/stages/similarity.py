@@ -1,0 +1,234 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute-force cosine top-k: the query matrix is ray.put ONCE and read in
+  each actor's __init__ (never re-shipped per batch); each batch does one
+  numpy matmul; per-batch top-k candidates are combined by a tiny final
+  groupby — the full similarity matrix never materializes.
+- IVF variant: coarse k-means centroids (sampled, driver-side, seeded) →
+  per-batch cluster assignment → probe only the nprobe nearest clusters.
+  Same result contract, sub-linear scan at scale.
+- cosine near-dup pairs for dedup (threshold instead of top-k).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+
+def _to_matrix(series) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-30)
+
+
+_PAIR_SCHEMA = None  # set lazily to avoid importing pa at module import cost
+
+
+def _pair_table(a, b, s) -> "object":
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            "sim": pa.array(s, pa.float64()),
+        }
+    )
+
+
+class _CosineScan:
+    """Arrow in / Arrow out so empty blocks keep their schema."""
+
+    def __init__(self, queries_ref, k, threshold, exclude_self):
+        q = ray.get(queries_ref)
+        self.qids = q["ids"]
+        self.qm = _normalize(q["mat"])
+        self.k = k
+        self.threshold = threshold
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch) -> "object":
+        emb = batch.column("embedding").to_pylist()
+        if not emb:
+            return _pair_table([], [], [])
+        cm = _normalize(np.asarray(emb, dtype=np.float64))
+        cids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = self.qm @ cm.T  # (Q, B)
+        out_a, out_b, out_s = [], [], []
+        for qi, qid in enumerate(self.qids):
+            row = sims[qi]
+            mask = np.ones(len(cids), dtype=bool)
+            if self.exclude_self:
+                mask &= cids != qid
+            if self.threshold is not None:
+                mask &= row >= self.threshold
+            idx = np.nonzero(mask)[0]
+            if self.k is not None and len(idx) > self.k:
+                top = np.argpartition(-row[idx], self.k)[: self.k]
+                idx = idx[top]
+            out_a.append(np.full(len(idx), qid, dtype=np.int64))
+            out_b.append(cids[idx])
+            out_s.append(row[idx])
+        return _pair_table(
+            np.concatenate(out_a) if out_a else [],
+            np.concatenate(out_b) if out_b else [],
+            np.concatenate(out_s) if out_s else [],
+        )
+
+
+def _load_queries(embeddings: "rd.Dataset", query_ids) -> "ray.ObjectRef":
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    qset = pa.array(sorted(int(x) for x in query_ids), pa.int64())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("vec_id"), value_set=qset))
+
+    q = (
+        embeddings.map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    return ray.put({"ids": q["vec_id"].values.astype(np.int64), "mat": _to_matrix(q["embedding"])})
+
+
+def cosine_topk(
+    embeddings: "rd.Dataset", query_ids, k: int = 5, *, round_to: int | None = 6
+) -> "rd.Dataset":
+    """(a, b, sim, rank): exact top-k neighbors per query by cosine.
+
+    Deterministic order: sim desc, then b asc (ties broken by id).
+    """
+    ref = _load_queries(embeddings, query_ids)
+    cands = embeddings.map_batches(
+        _CosineScan,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_args=(ref, k, None, True),
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "b"], ascending=[False, True]).head(k).copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        if round_to is not None:
+            df["sim"] = df["sim"].round(round_to)
+        return df
+
+    return cands.groupby("a").map_groups(topk, batch_format="pandas")
+
+
+def cosine_pairs(
+    embeddings: "rd.Dataset", query_ids, threshold: float = 0.8, *, round_to: int | None = 6
+) -> "rd.Dataset":
+    """(a, b, sim): all pairs with cosine >= threshold for the given queries."""
+    ref = _load_queries(embeddings, query_ids)
+    out = embeddings.map_batches(
+        _CosineScan,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_args=(ref, None, threshold, True),
+    )
+    if round_to is not None:
+        out = out.map_batches(
+            lambda df: df.assign(sim=df["sim"].round(round_to)), batch_format="pandas"
+        )
+    return out
+
+
+def embedding_dedup_pairs(embeddings: "rd.Dataset", threshold: float = 0.95) -> "rd.Dataset":
+    """Near-duplicate vectors: all (a<b) pairs with cosine >= threshold.
+
+    Brute-force all-vs-all via the broadcast scan (quadratic — the baseline
+    path); use ivf_topk for the sub-linear scale path.
+    """
+    ids = embeddings.select_columns(["vec_id"]).to_pandas()["vec_id"].tolist()
+    pairs = cosine_pairs(embeddings, ids, threshold=threshold)
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["a"] < df["b"]]
+        return df
+
+    return pairs.map_batches(canon, batch_format="pandas")
+
+
+def kmeans_centroids(
+    embeddings: "rd.Dataset", n_clusters: int = 16, iters: int = 10, seed: int = 0, sample: int = 4096
+) -> np.ndarray:
+    """Seeded coarse k-means on a driver-side sample (IVF coarse quantizer)."""
+    df = embeddings.limit(sample).to_pandas()
+    x = _normalize(_to_matrix(df["embedding"]))
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            m = x[assign == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_topk(
+    embeddings: "rd.Dataset",
+    query_ids,
+    k: int = 5,
+    *,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    seed: int = 0,
+) -> "rd.Dataset":
+    """Approximate top-k: scan only vectors in the nprobe clusters nearest
+    each query (IVF). Returns same schema as cosine_topk."""
+    cents = kmeans_centroids(embeddings, n_clusters=n_clusters, seed=seed)
+    ref_q = _load_queries(embeddings, query_ids)
+    q = ray.get(ref_q)
+    qm = _normalize(q["mat"])
+    probe = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    ref = ray.put({"cents": cents, "probe": probe, "qids": q["ids"], "qm": qm})
+
+    class Scan:
+        def __init__(self):
+            st = ray.get(ref)
+            self.cents, self.probe, self.qids, self.qm = (
+                st["cents"], st["probe"], st["qids"], st["qm"],
+            )
+            self.k = k
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            cm = _normalize(_to_matrix(df["embedding"]))
+            cids = df["vec_id"].values.astype(np.int64)
+            assign = np.argmax(cm @ self.cents.T, axis=1)
+            sims = self.qm @ cm.T
+            out = []
+            for qi, qid in enumerate(self.qids):
+                mask = np.isin(assign, self.probe[qi]) & (cids != qid)
+                idx = np.nonzero(mask)[0]
+                row = sims[qi][idx]
+                if len(idx) > self.k:
+                    top = np.argpartition(-row, self.k)[: self.k]
+                    idx, row = idx[top], row[top]
+                out.append(pd.DataFrame({"a": qid, "b": cids[idx], "sim": row}))
+            return (
+                pd.concat(out, ignore_index=True)
+                if out
+                else pd.DataFrame({"a": [], "b": [], "sim": []})
+            )
+
+    cands = embeddings.map_batches(Scan, batch_format="pandas", concurrency=(1, 8))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "b"], ascending=[False, True]).head(k).copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        df["sim"] = df["sim"].round(6)
+        return df
+
+    return cands.groupby("a").map_groups(topk, batch_format="pandas")

@@ -1,0 +1,86 @@
+"""Mini-driver: every queries() entry vs its oracle_sql() twin (sf0.001).
+
+Replicates the external correctness gate: row count, column names, and
+order-insensitive value equality (sorted by all columns). Catching a
+mismatch here is much cheaper than at the driver's sf0.01 run.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+ORACLES = entrymod.oracle_sql()
+ALL_QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, con):
+    got = _canon(_to_pandas(ALL_QUERIES[name](SF_DIR)))
+    want = _canon(con.execute(ORACLES[name]).df())
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), f"rows: ray={len(got)} sql={len(want)}"
+    for c in got.columns:
+        g, w = got[c].values, want[c].values
+        if g.dtype.kind == "f" or w.dtype.kind == "f":
+            both_nan = pd.isna(g) & pd.isna(w)
+            ok = both_nan | np.isclose(
+                g.astype(np.float64), w.astype(np.float64), rtol=0, atol=1e-9, equal_nan=True
+            )
+            assert ok.all(), f"{name}.{c}: {np.argwhere(~ok)[:5]}"
+        else:
+            assert (g == w).all() or (pd.isna(g) == pd.isna(w)).all() and (
+                g[~pd.isna(g)] == w[~pd.isna(w)]
+            ).all(), f"{name}.{c}"
+
+
+@pytest.mark.parametrize("name", sorted(set(ALL_QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(name):
+    got = _to_pandas(ALL_QUERIES[name](SF_DIR))
+    assert len(got) >= 0 and len(got.columns) > 0
+
+
+def test_entry_smoke():
+    df = _to_pandas(entrymod.entry())
+    assert len(df) > 0
+    assert set(df.columns) == {"event_id", "label", "score"}
