@@ -1,0 +1,136 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ccl_ray.stages.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    simhash_signatures,
+)
+from ccl_ray.stages.multimodal import DecodeImage, docs_to_media, media_meta
+from ccl_ray.stages.similarity import cosine_topk, embedding_dedup_pairs, ivf_topk
+from ccl_ray.stages.text import lang_id, quality_score
+
+
+def _docs_with_dups():
+    rng = np.random.RandomState(0)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    texts = [" ".join(rng.choice(words, 30)) for _ in range(40)]
+    texts += [texts[0], texts[5], texts[5]]  # planted exact dups
+    # planted near-dup: one word changed
+    near = texts[7].split()
+    near[3] = "OMEGA"
+    texts.append(" ".join(near))
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    )
+
+
+def test_exact_dedup_planted():
+    out = exact_dedup(_docs_with_dups()).to_pandas()
+    by_id = dict(zip(out["doc_id"].astype(int), out["n_copies"].astype(int)))
+    assert by_id[0] == 2     # doc 40 is a copy of doc 0
+    assert by_id[5] == 3     # docs 41, 42 copy doc 5
+    assert 40 not in by_id and 41 not in by_id
+    assert sum(by_id.values()) == 44
+
+
+def test_minhash_finds_planted_near_dup():
+    pairs = minhash_dedup_pairs(_docs_with_dups(), threshold=0.4).to_pandas()
+    got = set(zip(pairs["a"].astype(int), pairs["b"].astype(int)))
+    assert (0, 40) in got           # exact dup (jaccard 1.0)
+    assert (5, 41) in got or (5, 42) in got
+    assert (7, 43) in got           # near dup
+    assert (pairs["jaccard"] >= 0.4).all()
+
+
+def test_simhash_exact_dups_equal_near_dups_close():
+    sigs = simhash_signatures(_docs_with_dups()).to_pandas()
+    s = dict(zip(sigs["doc_id"].astype(int), sigs["simhash"].astype(np.uint64)))
+    assert s[0] == s[40]
+    assert s[5] == s[41] == s[42]
+    ham = bin(int(s[7]) ^ int(s[43])).count("1")
+    assert ham <= 12  # near dup is close in hamming space
+
+
+def _embeddings(n=300, d=16, seed=5):
+    rng = np.random.RandomState(seed)
+    m = rng.randn(n, d)
+    m[10] = m[3] + rng.randn(d) * 0.01  # planted near-identical pair
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array([list(map(float, r)) for r in m]),
+            }
+        )
+    ), m
+
+
+def test_cosine_topk_matches_numpy():
+    ds, m = _embeddings()
+    out = cosine_topk(ds, query_ids=[0, 1, 2], k=3).to_pandas()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    for q in (0, 1, 2):
+        row = sims[q].copy()
+        row[q] = -np.inf
+        want = np.argsort(-row, kind="stable")[:3]
+        got = out[out["a"] == q].sort_values("rank")["b"].values
+        assert set(got) == set(want)
+
+
+def test_embedding_dedup_finds_planted():
+    ds, _ = _embeddings()
+    pairs = embedding_dedup_pairs(ds, threshold=0.99).to_pandas()
+    assert (3, 10) in set(zip(pairs["a"].astype(int), pairs["b"].astype(int)))
+
+
+def test_ivf_topk_recovers_exact_for_planted_pair():
+    ds, _ = _embeddings()
+    out = ivf_topk(ds, query_ids=[3], k=3, n_clusters=8, nprobe=4).to_pandas()
+    assert 10 in set(out[out["a"] == 3]["b"].astype(int))
+
+
+def test_lang_id_and_quality_smoke():
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["the cat and the dog, of course!", "el que la de y"]),
+            }
+        )
+    )
+    li = lang_id(docs).to_pandas().set_index("doc_id")["pred_lang"]
+    assert li[1] == "en" and li[2] == "es"
+    qs = quality_score(docs).to_pandas().set_index("doc_id")
+    assert qs.loc[1, "n_punct"] == 2
+    assert qs.loc[1, "n_stop"] == 4  # the, and, the, of
+    assert qs.loc[1, "n_tokens"] == 7
+
+
+def test_multimodal_plumbing_and_stub():
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "source": pa.array(["s1", "s2"]),
+                "n_chars": pa.array([100, 200], pa.int64()),
+            }
+        )
+    )
+    media = docs_to_media(docs)
+    meta = media_meta(media, fake=True).to_pandas()
+    assert set(meta.columns) == {"media_id", "width", "height", "mean_pixel", "checksum"}
+    assert (meta["width"] > 0).all() and (meta["height"] > 0).all()
+    # deterministic fake decode
+    meta2 = media_meta(docs_to_media(docs), fake=True).to_pandas()
+    assert meta.sort_values("media_id").equals(meta2.sort_values("media_id"))
+    # real codec path is a clearly-marked stub
+    dec = DecodeImage(fake=False)
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        dec._decode_impl(b"\x00" * 32)
