@@ -1,0 +1,235 @@
+#!/usr/bin/env python
+"""Headline benchmark: transcript-graph CC + PageRank (the BASELINE metric:
+edges/sec per iteration + iterations-to-convergence) plus the events-graph
+and training-data pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "wall_sec_total", "value": N, "unit": "sec",
+   "queries": {...per-pipeline seconds...}, "sf": ..., "num_cpus": N,
+   "cc": {...}, "pagerank": {...}}
+
+--scaling: runs this script in two fresh processes (RAY_GRAFT_CPUS=8 and 32)
+on the SAME inputs and reports throughput at both plus scaling efficiency
+(eff = (T_8/T_32)/4; 1.0 = linear), appending the result to BENCH/BASELINE.md.
+The partition count is FIXED across both levels so the comparison is purely
+CPU scaling of identical work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# fixed across scaling levels; sized for 32-cpu waves
+NUM_PARTITIONS = int(os.environ.get("GRAFT_PARTITIONS", "32"))
+BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "4000000"))
+CACHE = os.environ.get("GRAFT_BENCH_CACHE", "/tmp/ccl_ray_bench")
+
+
+def _transcripts_path() -> str:
+    from ccl_ray.sources.transcripts import generate_transcripts
+
+    path = os.path.join(CACHE, f"transcripts_{BENCH_CONVS}_s42")
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        generate_transcripts(path, n_convs=BENCH_CONVS, mean_turns=12, seed=42)
+        open(marker, "w").write("ok")
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from ccl_ray.config import EngineConfig
+    from ccl_ray.sources.events_graph import build_event_edges, event_vertices
+    from ccl_ray.sources.transcripts import build_transcript_edges, read_transcripts, transcript_vertices
+    from ccl_ray.stages.cc_bsp import connected_components_bsp
+    from ccl_ray.stages.dedup import minhash_dedup_pairs
+    from ccl_ray.stages.pagerank_bsp import pagerank_bsp
+    from ccl_ray.stages.similarity import cosine_topk
+    from ccl_ray.stages.triangles import triangle_count
+    import ray.data as rd
+
+    cfg = EngineConfig(num_partitions=NUM_PARTITIONS, extra={"tool_salts": int(os.environ.get("GRAFT_TOOL_SALTS", "64"))})
+    queries: dict[str, float] = {}
+    extra: dict = {}
+    t_total = time.perf_counter()
+
+    # --- headline: transcript graph (big synthetic, cached across runs).
+    # The built edge table is itself cached as parquet so the 8- and 32-cpu
+    # scaling runs iterate over byte-identical input.
+    tr_path = _transcripts_path()
+    salts = int(os.environ.get("GRAFT_TOOL_SALTS", "64"))
+    edge_cache = os.path.join(CACHE, f"edges_{BENCH_CONVS}_s42_salt{salts}")
+    t0 = time.perf_counter()
+    ds = read_transcripts(tr_path)
+    verts = transcript_vertices(ds).select_columns(["vid"])
+    if not os.path.exists(os.path.join(edge_cache, "_DONE")):
+        build_transcript_edges(ds, cfg).write_parquet(edge_cache)
+        open(os.path.join(edge_cache, "_DONE"), "w").write("ok")
+    queries["transcript_edge_build"] = time.perf_counter() - t0
+    edges = rd.read_parquet(edge_cache, columns=["src", "dst"])
+
+    t0 = time.perf_counter()
+    cc = connected_components_bsp(edges, vertices=verts, cfg=cfg)
+    cc_n = cc.labels.count()
+    queries["transcript_cc"] = time.perf_counter() - t0
+    cc_edges = cc.metrics[-1]["edges"] if cc.metrics else 0
+    extra["cc"] = {
+        "iterations": cc.iterations,
+        "directed_edges": cc_edges,
+        "vertices": int(cc_n),
+        "edges_per_sec_per_iter": (
+            cc_edges * cc.iterations / queries["transcript_cc"] if queries["transcript_cc"] else 0
+        ),
+        "wall_s": queries["transcript_cc"],
+    }
+
+    t0 = time.perf_counter()
+    pr = pagerank_bsp(edges, vertices=verts, cfg=cfg, symmetrize=True)
+    pr.scores.count()
+    queries["transcript_pagerank"] = time.perf_counter() - t0
+    pr_edges = pr.metrics[-1]["edges"] if pr.metrics else 0
+    extra["pagerank"] = {
+        "iterations": pr.iterations,
+        "directed_edges": pr_edges,
+        "l1_final": pr.metrics[-1]["l1"] if pr.metrics else None,
+        "edges_per_sec_per_iter": (
+            pr_edges * pr.iterations / queries["transcript_pagerank"]
+            if queries["transcript_pagerank"]
+            else 0
+        ),
+        "wall_s": queries["transcript_pagerank"],
+    }
+
+    if os.environ.get("GRAFT_HEADLINE_ONLY"):
+        total = time.perf_counter() - t_total
+        ray.shutdown()
+        return {
+            "metric": "wall_sec_total",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in queries.items()},
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "num_partitions": NUM_PARTITIONS,
+            **extra,
+        }
+
+    # --- events graph at $GRAFT_SF_DIR (correctness-scale pipelines)
+    t0 = time.perf_counter()
+    eedges = build_event_edges(SF_DIR).materialize()
+    queries["events_edge_build"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ecc = connected_components_bsp(eedges, vertices=event_vertices(SF_DIR), cfg=cfg)
+    ecc.labels.count()
+    queries["events_cc"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    queries_triangles = triangle_count(eedges, cfg=cfg)
+    queries["events_triangles"] = time.perf_counter() - t0
+    extra["events_triangle_count"] = queries_triangles
+
+    # --- training-data ops
+    t0 = time.perf_counter()
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet")
+    minhash_dedup_pairs(docs, threshold=0.5).count()
+    queries["minhash_dedup"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cosine_topk(emb, query_ids=range(32), k=10).count()
+    queries["ann_topk"] = time.perf_counter() - t0
+
+    total = time.perf_counter() - t_total
+    ray.shutdown()
+    return {
+        "metric": "wall_sec_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "num_partitions": NUM_PARTITIONS,
+        **extra,
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_PARTITIONS=str(NUM_PARTITIONS),
+            GRAFT_HEADLINE_ONLY="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    _transcripts_path()  # warm cache + page cache before timing
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+
+    def headline(r):
+        return r["queries"]["transcript_cc"] + r["queries"]["transcript_pagerank"]
+
+    t_lo, t_hi = headline(r_lo), headline(r_hi)
+    eff = (t_lo / t_hi) / (hi / lo)
+    result = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": round(t_lo, 3),
+        "sec_32": round(t_hi, 3),
+        "cc_eps_8": round(r_lo["cc"]["edges_per_sec_per_iter"]),
+        "cc_eps_32": round(r_hi["cc"]["edges_per_sec_per_iter"]),
+        "pr_eps_8": round(r_lo["pagerank"]["edges_per_sec_per_iter"]),
+        "pr_eps_32": round(r_hi["pagerank"]["edges_per_sec_per_iter"]),
+        "num_partitions": NUM_PARTITIONS,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(
+            f"\n| scaling {lo}->{hi} cpus | eff={result['value']} "
+            f"(T{lo}={result['sec_8']}s, T{hi}={result['sec_32']}s) | "
+            f"CC eps {result['cc_eps_8']}->{result['cc_eps_32']}, "
+            f"PR eps {result['pr_eps_8']}->{result['pr_eps_32']} | "
+            f"P={NUM_PARTITIONS}, convs={BENCH_CONVS} |\n"
+        )
+    return result
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -17,20 +17,22 @@ _MULT = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
 
 def _mod_p61(x: np.ndarray) -> np.ndarray:
     # fast partial reduction mod 2^61-1 for uint64 inputs
-    x = (x & _P61) + (x >> np.uint64(61))
-    return np.where(x >= _P61, x - _P61, x)
+    with np.errstate(over="ignore"):  # the unselected where-branch may wrap
+        x = (x & _P61) + (x >> np.uint64(61))
+        return np.where(x >= _P61, x - _P61, x)
 
 
 def stable_hash64_np(arr: np.ndarray, seed: int = 0) -> np.ndarray:
     """Vectorized 64-bit mix hash of an integer array (splitmix64 finalizer)."""
-    x = arr.astype(np.uint64, copy=True)
-    x += np.uint64(seed) * _MULT + _MULT
-    x ^= x >> np.uint64(30)
-    x *= np.uint64(0xBF58476D1CE4E5B9)
-    x ^= x >> np.uint64(27)
-    x *= np.uint64(0x94D049BB133111EB)
-    x ^= x >> np.uint64(31)
-    return x
+    with np.errstate(over="ignore"):  # uint64 wraparound is the point
+        x = arr.astype(np.uint64, copy=True)
+        x += np.uint64(seed) * _MULT + _MULT
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return x
 
 
 def hash_strings_np(strs, seed: int = 0) -> np.ndarray:

@@ -67,9 +67,14 @@ def generate_transcripts(
     has_tool = (roles == "assistant") & (rng.random(n) < 0.45)
     tool = np.where(has_tool, np.array(TOOLS, dtype=object)[np.minimum(tool_rank, len(TOOLS) - 1)], None)
 
-    conv_ids = np.array([f"c{i:06d}" for i in range(n_convs)], dtype=object)[conv_num]
+    conv_id_vocab = np.char.add("c", np.char.zfill(np.arange(n_convs).astype("U10"), 6))
+    conv_ids = conv_id_vocab[conv_num]
     h = stable_hash64_np(conv_num * np.int64(1 << _TURN_BITS) + turn_idx)
-    text = np.array([f"t-{c}-{t}-{x % 99991}" for c, t, x in zip(conv_ids, turn_idx, h)], dtype=object)
+    # fully vectorized deterministic text: "t-<conv>-<turn>-<hash mod>"
+    text = np.char.add(
+        np.char.add(np.char.add("t-", conv_ids.astype("U10")), np.char.add("-", turn_idx.astype("U10"))),
+        np.char.add("-", (h % np.uint64(99991)).astype("U10")),
+    )
 
     epoch = np.datetime64("2024-01-01T00:00:00", "us")
     ts = epoch + (conv_num * 3_600_000_000 + turn_idx.astype(np.int64) * 30_000_000).astype(

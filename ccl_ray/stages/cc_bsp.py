@@ -2,139 +2,127 @@
 
 Semantics identical to ccl_ray.stages.cc (hash-to-min + pointer jumping,
 canonical min-vid labels; see that module's docstring for the mapping onto
-the reference's label algebra). Execution differs: edge CSR shards are built
-ONCE from the Ray Data edge table and pinned in the object store; each round
-is a wave of O(P) Ray tasks — scatter (per-shard vectorized message
-generation with per-destination min pre-combining: the combiner that
-replaces the reference's O(labels×pixels) scan loops, ccl_marker_stack.py
-:74-81), an all-to-all message exchange routed by hash(dst), a combine wave,
-and "hop-doubling" pointer-jump exchanges (request/resolve/apply waves keyed
-by hash(label)). All per-task math is numpy segment reductions — no Python
-row loops anywhere.
+the reference's label algebra). Execution: edge shards + a per-shard
+SCATTER PLAN (gather index, dst sort permutation, reduceat segments,
+partition routing — all precomputed ONCE) are pinned in the object store;
+each round is a wave of O(P) Ray tasks doing pure gather + reduceat +
+slice — no sorting, hashing, or Python row loops in the loop.
 
-Convergence = zero label changes across propagate + jump waves (a handful of
-scalars to the driver per round — never a full materialization).
+Exchange modes (EngineConfig.exchange):
+- "grouped" (default, single-node): each scatter task returns ONE object
+  holding its P routed pieces; consumers read their piece zero-copy from
+  the shared plasma store. O(P) objects per wave.
+- "fanout" (multi-node): num_returns=P — each destination fetches only its
+  own piece over the network. O(P^2) objects per wave; the right tradeoff
+  when shards live on different machines and per-shard compute is large.
+The routing split is identical in both; the mode only changes how pieces
+are returned.
+
+Convergence = zero label changes across propagate + jump waves (a handful
+of scalars to the driver per round — never a full materialization).
 """
 
 from __future__ import annotations
 
 import time
+from dataclasses import dataclass, field
 
 import numpy as np
 
 import ray
 
 from ccl_ray.config import EngineConfig
-from ccl_ray.stages.cc import CCResult
-from ccl_ray.state.shards import part_of, shard_edges_csr, shard_vertices
+from ccl_ray.state.shards import (
+    apply_combine_plan,
+    combine_plans,
+    part_of,
+    reduce_routed,
+    scatter_plans,
+    shard_edges_csr,
+    shard_vertices,
+)
 
-_I64MAX = np.int64(np.iinfo(np.int64).max)
+
+@dataclass
+class CCResult:
+    labels: "object"              # ray.data.Dataset (vid:int64, label:int64)
+    iterations: int
+    metrics: list = field(default_factory=list)
 
 
 def _as_list(out, P):
     return [out] if P == 1 else list(out)
 
 
-def _min_by_key(keys: np.ndarray, vals: np.ndarray):
-    """Vectorized (sort + reduceat) min of vals grouped by keys."""
-    if keys.size == 0:
-        return keys, vals
-    order = np.argsort(keys, kind="stable")
-    k, v = keys[order], vals[order]
-    uniq, start = np.unique(k, return_index=True)
-    return uniq, np.minimum.reduceat(v, start)
+# ----------------------------------------------------------------- tasks
+
+@ray.remote
+def _scatter_grouped(plan, labels, P):
+    return reduce_routed(plan, labels[plan["edge_src_idx"]], np.minimum)
 
 
 @ray.remote
-def _scatter(csr, vids, labels, P):
-    """Emit min-label messages along edges, pre-combined by dst, routed by hash(dst)."""
-    if csr["srcs"].size == 0:
-        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
-        return empty if P == 1 else tuple(empty for _ in range(P))
-    src_lab = labels[np.searchsorted(vids, csr["srcs"])]
-    lab_per_edge = np.repeat(src_lab, csr["outdeg"])
-    dsts, cands = _min_by_key(csr["dst"], lab_per_edge)
-    parts = part_of(dsts, P)
-    order = np.argsort(parts, kind="stable")
-    dsts, cands, parts = dsts[order], cands[order], parts[order]
-    bounds = np.searchsorted(parts, np.arange(P + 1))
-    out = tuple(
-        (dsts[bounds[p] : bounds[p + 1]], cands[bounds[p] : bounds[p + 1]]) for p in range(P)
-    )
-    return out[0] if P == 1 else out
-
-
-@ray.remote(num_returns=2)
-def _combine(vids, labels, *msg_pieces):
-    """new_label[v] = min(old, incoming candidates); returns (labels, n_changed)."""
-    if vids.size == 0:
-        return labels, 0
-    dsts = np.concatenate([m[0] for m in msg_pieces])
-    cands = np.concatenate([m[1] for m in msg_pieces])
-    new = labels.copy()
-    if dsts.size:
-        ud, uc = _min_by_key(dsts, cands)
-        idx = np.searchsorted(vids, ud)
-        np.minimum.at(new, idx, uc)
-    return new, int((new != labels).sum())
-
-
-@ray.remote
-def _jump_request(labels, P):
-    """Unique label values this shard needs resolved, routed by hash(label)."""
-    uniq = np.unique(labels)
-    parts = part_of(uniq, P)
-    order = np.argsort(parts, kind="stable")
-    uniq, parts = uniq[order], parts[order]
-    bounds = np.searchsorted(parts, np.arange(P + 1))
-    out = tuple(uniq[bounds[p] : bounds[p + 1]] for p in range(P))
-    return out[0] if P == 1 else out
-
-
-@ray.remote
-def _jump_resolve(vids, labels, P, *request_pieces):
-    """For each requester: resolve label[x] for its queried vids x."""
-    out = []
-    for q in request_pieces:
-        idx = np.searchsorted(vids, q)
-        # every queried label is a real vid of this shard by construction
-        out.append((q, labels[idx]))
+def _scatter_fanout(plan, labels, P):
+    out = reduce_routed(plan, labels[plan["edge_src_idx"]], np.minimum)
     return out[0] if P == 1 else tuple(out)
 
 
 @ray.remote(num_returns=2)
-def _jump_apply(labels, *resp_pieces):
-    """labels <- resolved(labels): one pointer-doubling step; returns (labels, changed)."""
-    queries = np.concatenate([r[0] for r in resp_pieces])
-    resolved = np.concatenate([r[1] for r in resp_pieces])
+def _combine(q, grouped, cplan, labels, *msg_objs):
+    """new_label[v] = min(old, candidates); returns (labels, n_changed).
+
+    Message pieces carry VALUES ONLY in the static routed layout; the
+    combine plan holds the precomputed sort/segments/output positions."""
+    if labels.size == 0:
+        return labels, 0
+    pieces = [m[q] for m in msg_objs] if grouped else list(msg_objs)
+    new = labels.copy()
+    pos, red = apply_combine_plan(cplan, pieces, np.minimum)
+    if pos.size:
+        new[pos] = np.minimum(new[pos], red)
+    return new, int((new != labels).sum())
+
+
+def _route_unique(vals: np.ndarray, P: int) -> list:
+    uniq = np.unique(vals)
+    parts = part_of(uniq, P)
+    order = np.argsort(parts, kind="stable")
+    uniq = uniq[order]
+    bounds = np.searchsorted(parts[order], np.arange(P + 1))
+    return [uniq[bounds[p] : bounds[p + 1]] for p in range(P)]
+
+
+@ray.remote
+def _jump_request_g(labels, P):
+    return _route_unique(labels, P)
+
+
+@ray.remote
+def _jump_request_f(labels, P):
+    out = _route_unique(labels, P)
+    return out[0] if P == 1 else tuple(out)
+
+
+@ray.remote
+def _jump_resolve_g(p, vids, labels, *req_objs):
+    return [(q_arr, labels[np.searchsorted(vids, q_arr)]) for q_arr in (r[p] for r in req_objs)]
+
+
+@ray.remote
+def _jump_resolve_f(P, vids, labels, *req_pieces):
+    out = [(q, labels[np.searchsorted(vids, q)]) for q in req_pieces]
+    return out[0] if P == 1 else tuple(out)
+
+
+@ray.remote(num_returns=2)
+def _jump_apply(q, grouped, labels, *resp_objs):
+    pieces = [r[q] for r in resp_objs] if grouped else list(resp_objs)
+    queries = np.concatenate([p[0] for p in pieces])
+    resolved = np.concatenate([p[1] for p in pieces])
     order = np.argsort(queries, kind="stable")
     queries, resolved = queries[order], resolved[order]
     new = resolved[np.searchsorted(queries, labels)]
     return new, int((new != labels).sum())
-
-
-def _jump_wave(label_refs, vid_refs, P):
-    reqs = [_as_list(_jump_request.options(num_returns=P).remote(label_refs[p], P), P) for p in range(P)]
-    resolved = [
-        _as_list(
-            _jump_resolve.options(num_returns=P).remote(
-                vid_refs[p], label_refs[p], P, *[reqs[q][p] for q in range(P)]
-            ),
-            P,
-        )
-        for p in range(P)
-    ]
-    out = [
-        _jump_apply.remote(label_refs[q], *[resolved[p][q] for p in range(P)]) for q in range(P)
-    ]
-    labels = [o[0] for o in out]
-    changed = sum(ray.get([o[1] for o in out]))
-    return labels, changed
-
-
-@ray.remote
-def _count_edges(csr):
-    return len(csr["dst"])
 
 
 @ray.remote
@@ -148,6 +136,54 @@ def _shard_table(vids, labels):
 
     return pa.table({"vid": pa.array(vids), "label": pa.array(labels)})
 
+
+@ray.remote
+def _plan_edges(plan):
+    return plan["n_edges"]
+
+
+# ----------------------------------------------------------------- waves
+
+def propagate_wave(plans, cplans, label_refs, P, grouped):
+    if grouped:
+        outs = [_scatter_grouped.remote(plans[p], label_refs[p], P) for p in range(P)]
+        comb = [_combine.remote(q, True, cplans[q], label_refs[q], *outs) for q in range(P)]
+    else:
+        outs = [
+            _as_list(_scatter_fanout.options(num_returns=P).remote(plans[p], label_refs[p], P), P)
+            for p in range(P)
+        ]
+        comb = [
+            _combine.remote(q, False, cplans[q], label_refs[q], *[outs[p][q] for p in range(P)])
+            for q in range(P)
+        ]
+    return [c[0] for c in comb], [c[1] for c in comb]
+
+
+def jump_wave(vid_refs, label_refs, P, grouped):
+    if grouped:
+        reqs = [_jump_request_g.remote(label_refs[p], P) for p in range(P)]
+        resolved = [_jump_resolve_g.remote(p, vid_refs[p], label_refs[p], *reqs) for p in range(P)]
+        out = [_jump_apply.remote(q, True, label_refs[q], *resolved) for q in range(P)]
+    else:
+        reqs = [_as_list(_jump_request_f.options(num_returns=P).remote(label_refs[p], P), P) for p in range(P)]
+        resolved = [
+            _as_list(
+                _jump_resolve_f.options(num_returns=P).remote(
+                    P, vid_refs[p], label_refs[p], *[reqs[q][p] for q in range(P)]
+                ),
+                P,
+            )
+            for p in range(P)
+        ]
+        out = [
+            _jump_apply.remote(q, False, label_refs[q], *[resolved[p][q] for p in range(P)])
+            for q in range(P)
+        ]
+    return [o[0] for o in out], [o[1] for o in out]
+
+
+# ----------------------------------------------------------------- driver
 
 def connected_components_bsp(
     edges,
@@ -163,10 +199,14 @@ def connected_components_bsp(
     """
     cfg = cfg or EngineConfig()
     P = cfg.num_partitions
+    grouped = cfg.exchange == "grouped"
     csr = shard_edges_csr(edges, P, symmetrize=True)
     vid_refs = shard_vertices(edges, P, vertices_ds=vertices)
+    plans = scatter_plans(csr, vid_refs, P)
+    cplans = combine_plans(vid_refs, plans, P)
+    n_edges = int(sum(ray.get([_plan_edges.remote(p) for p in plans])))
+    del csr  # plans carry everything the loop needs; let CSR blocks free
 
-    n_edges = int(sum(ray.get([_count_edges.remote(r) for r in csr])))
     start_iter = 0
     label_refs = None
     if checkpoint is not None:
@@ -178,35 +218,42 @@ def connected_components_bsp(
 
     metrics: list[dict] = []
     it = start_iter
+    # checkpointing wants per-iteration state; otherwise batch K iterations
+    # per driver sync so the block pipelines as one task DAG
+    K = 1 if checkpoint is not None else max(cfg.check_every, 1)
     while it < cfg.cc_max_iters:
         t0 = time.perf_counter()
-        outs = [
-            _as_list(_scatter.options(num_returns=P).remote(csr[p], vid_refs[p], label_refs[p], P), P)
-            for p in range(P)
-        ]
-        comb = [
-            _combine.remote(vid_refs[q], label_refs[q], *[outs[p][q] for p in range(P)])
-            for q in range(P)
-        ]
-        label_refs = [c[0] for c in comb]
-        changed = sum(ray.get([c[1] for c in comb]))
-        for _ in range(cfg.cc_jump_rounds):
-            label_refs, jc = _jump_wave(label_refs, vid_refs, P)
-            changed += jc
-        it += 1
+        block: list = []  # (changed_refs, label_refs) per iteration
+        block_iters = min(K, cfg.cc_max_iters - it)
+        for j in range(block_iters):
+            label_refs, changed_refs = propagate_wave(plans, cplans, label_refs, P, grouped)
+            all_changed = list(changed_refs)
+            if (it + j + 1) % max(cfg.cc_jump_every, 1) == 0:
+                for _ in range(cfg.cc_jump_rounds):
+                    label_refs, jc = jump_wave(vid_refs, label_refs, P, grouped)
+                    all_changed.extend(jc)
+            block.append((all_changed, label_refs))
+        changed_per_iter = [int(sum(ray.get(c))) for c, _ in block]
         wall = time.perf_counter() - t0
-        metrics.append(
-            {
-                "iter": it,
-                "changed": int(changed),
-                "edges": n_edges,
-                "wall_s": wall,
-                "edges_per_sec": n_edges / wall if wall > 0 else 0.0,
-            }
-        )
-        if checkpoint is not None and (it % cfg.checkpoint_every == 0 or changed == 0):
+        converged = False
+        for j, changed in enumerate(changed_per_iter):
+            it += 1
+            metrics.append(
+                {
+                    "iter": it,
+                    "changed": changed,
+                    "edges": n_edges,
+                    "wall_s": wall / block_iters,
+                    "edges_per_sec": n_edges * block_iters / wall if wall > 0 else 0.0,
+                }
+            )
+            if changed == 0:
+                label_refs = block[j][1]  # deterministic stop point
+                converged = True
+                break
+        if checkpoint is not None and (it % cfg.checkpoint_every == 0 or converged):
             checkpoint.save_shards(it, vid_refs, label_refs, extra=metrics[-1])
-        if changed == 0:
+        if converged:
             break
 
     import ray.data as rd

@@ -28,11 +28,16 @@ import ray
 from ccl_ray.config import EngineConfig
 from ccl_ray.stages.cc_bsp import (
     _as_list,
-    _combine,
-    _scatter,
     connected_components_bsp,
+    propagate_wave,
 )
-from ccl_ray.state.shards import part_of, shard_edges_csr, shard_vertices
+from ccl_ray.state.shards import (
+    combine_plans,
+    part_of,
+    scatter_plans,
+    shard_edges_csr,
+    shard_vertices,
+)
 
 _I64MAX = np.int64(np.iinfo(np.int64).max)
 
@@ -108,20 +113,15 @@ def min_label_propagation(
 
     csr = shard_edges_csr(edges, P, symmetrize=True)
     vid_refs = shard_vertices(edges, P, vertices_ds=vertices)
+    plans = scatter_plans(csr, vid_refs, P)
+    cplans = combine_plans(vid_refs, plans, P)
     matrix = _route_seeds(seeds, P)
     label_refs = [
         _init_seed_labels.remote(vid_refs[p], *[row[p] for row in matrix]) for p in range(P)
     ]
+    grouped = cfg.exchange == "grouped"
     for _ in range(rounds):
-        outs = [
-            _as_list(_scatter.options(num_returns=P).remote(csr[p], vid_refs[p], label_refs[p], P), P)
-            for p in range(P)
-        ]
-        comb = [
-            _combine.remote(vid_refs[q], label_refs[q], *[outs[p][q] for p in range(P)])
-            for q in range(P)
-        ]
-        label_refs = [c[0] for c in comb]
+        label_refs, _changed = propagate_wave(plans, cplans, label_refs, P, grouped)
 
     import ray.data as rd
 

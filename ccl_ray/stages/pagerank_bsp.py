@@ -2,21 +2,23 @@
 
 The north-star operator with no reference precedent (the reference computes
 only component labels + lifetimes): power iteration where each round is a
-wave of P scatter tasks (per-shard SpMV: score/outdeg fan-out along CSR,
-partial-summed by destination inside the task — the combiner that keeps the
-all-to-all exchange at O(distinct dst) instead of O(edges)), an exchange
-routed by hash(dst), and P combine tasks applying damping + dangling-mass
-redistribution. Convergence = global L1 delta < tol (P scalars to the
-driver per round).
+wave of P scatter tasks (per-shard SpMV: score/outdeg fan-out along the
+precomputed scatter plan, partial-summed by destination inside the task —
+the combiner that keeps the exchange at O(distinct dst) instead of
+O(edges)), an exchange routed by hash(dst) (grouped or fanout — see
+cc_bsp docstring), and P combine tasks applying damping + dangling-mass
+redistribution. Convergence = global L1 delta < tol (P scalars per round).
+
+Per-iteration work is pure gather + reduceat + slice: the sort permutation,
+segment starts and routing layout are precomputed once in the scatter plan.
 
 Dangling vertices (no out-edges — e.g. isolated turns) keep their mass in
-the system: their score is pooled each round and redistributed uniformly,
-so total mass stays 1 and scores match the dense numpy oracle to 1e-6
-(BASELINE.md target).
+the system: pooled each round, redistributed uniformly; scores match the
+dense numpy oracle to 1e-6 (BASELINE.md target).
 
-Determinism: message pieces are concatenated in fixed partition order and
-reduced with sort+np.add.reduceat, so summation order — and therefore the
-float result — is identical across runs at the same P.
+Determinism: message pieces are combined in fixed partition order with
+sort+reduceat, so summation order — and the float result — is identical
+across runs at the same P.
 """
 
 from __future__ import annotations
@@ -29,7 +31,14 @@ import numpy as np
 import ray
 
 from ccl_ray.config import EngineConfig
-from ccl_ray.state.shards import part_of, shard_edges_csr, shard_vertices
+from ccl_ray.state.shards import (
+    apply_combine_plan,
+    combine_plans,
+    reduce_routed,
+    scatter_plans,
+    shard_edges_csr,
+    shard_vertices,
+)
 
 
 @dataclass
@@ -37,6 +46,10 @@ class PRResult:
     scores: "object"  # ray.data.Dataset (vid:int64, score:float64)
     iterations: int
     metrics: list = field(default_factory=list)
+
+
+def _as_list(out, P):
+    return [out] if P == 1 else list(out)
 
 
 @ray.remote
@@ -53,41 +66,48 @@ def _init_scores(vids, n):
 
 
 @ray.remote
-def _pr_scatter(csr, vids, scores, outdeg, P):
-    """P routed (dst, partial-sum) pieces + this shard's dangling mass.
+def _pr_scatter_g(plan, scores, outdeg, P):
+    """One grouped object: (list of P value pieces, this shard's dangling).
 
-    Called with num_returns=P+1 so each destination partition fetches ONLY
-    its own piece (true all-to-all exchange, O(E/P^2) per piece), and the
-    driver fetches only the scalar.
-    """
+    Dangling mass rides the exchange instead of a driver round-trip: every
+    combine task sees all scatter outputs in grouped mode, so the global
+    dangling sum is computed task-side — the iteration has NO driver sync."""
     dangling = float(scores[outdeg == 0.0].sum())
-    if csr["srcs"].size == 0:
-        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
-        return (*[empty] * P, dangling)
-    idx = np.searchsorted(vids, csr["srcs"])
-    per_src = scores[idx] / csr["outdeg"].astype(np.float64)
-    contrib = np.repeat(per_src, csr["outdeg"])
-    dst = csr["dst"]
-    order = np.argsort(dst, kind="stable")
-    dst_s, contrib_s = dst[order], contrib[order]
-    uniq, start = np.unique(dst_s, return_index=True)
-    sums = np.add.reduceat(contrib_s, start)
-    parts = part_of(uniq, P)
-    o2 = np.argsort(parts, kind="stable")
-    uniq, sums, parts = uniq[o2], sums[o2], parts[o2]
-    bounds = np.searchsorted(parts, np.arange(P + 1))
-    pieces = tuple(
-        (uniq[bounds[p] : bounds[p + 1]], sums[bounds[p] : bounds[p + 1]]) for p in range(P)
-    )
+    inv = np.zeros_like(outdeg)
+    nz = outdeg > 0.0
+    inv[nz] = 1.0 / outdeg[nz]
+    per_edge = (scores * inv)[plan["edge_src_idx"]]
+    return reduce_routed(plan, per_edge, np.add), dangling
+
+
+@ray.remote
+def _pr_scatter_f(plan, scores, outdeg, P):
+    """Fanout: num_returns=P+1 — P pieces + dangling scalar."""
+    dangling = float(scores[outdeg == 0.0].sum())
+    inv = np.zeros_like(outdeg)
+    nz = outdeg > 0.0
+    inv[nz] = 1.0 / outdeg[nz]
+    per_edge = (scores * inv)[plan["edge_src_idx"]]
+    pieces = reduce_routed(plan, per_edge, np.add)
     return (*pieces, dangling)
 
 
 @ray.remote(num_returns=2)
-def _pr_combine(vids, scores, n, damping, dangling_total, *msg_pieces):
-    agg = np.zeros(len(vids), dtype=np.float64)
-    for dsts, partial in msg_pieces:  # fixed partition order → deterministic sums
-        if dsts.size:
-            agg[np.searchsorted(vids, dsts)] += partial
+def _pr_combine(q, grouped, cplan, scores, n, damping, *msg_objs):
+    if grouped:
+        pieces = [m[0][q] for m in msg_objs]
+        dangling_total = float(sum(m[1] for m in msg_objs))
+    else:
+        # fanout: first P args are this part's pieces, last P are the
+        # per-shard dangling scalars
+        P = len(msg_objs) // 2
+        pieces = list(msg_objs[:P])
+        dangling_total = float(sum(msg_objs[P:]))
+    agg = np.zeros(len(scores), dtype=np.float64)
+    # static layout + fixed piece order → deterministic summation
+    pos, red = apply_combine_plan(cplan, pieces, np.add)
+    if pos.size:
+        agg[pos] = red
     new = (1.0 - damping) / n + damping * (agg + dangling_total / n)
     l1 = float(np.abs(new - scores).sum())
     return new, l1
@@ -98,6 +118,11 @@ def _shard_table(vids, scores):
     import pyarrow as pa
 
     return pa.table({"vid": pa.array(vids), "score": pa.array(scores)})
+
+
+@ray.remote
+def _plan_edges(plan):
+    return plan["n_edges"]
 
 
 def pagerank_bsp(
@@ -112,12 +137,16 @@ def pagerank_bsp(
     edge table as undirected (each edge contributes both directions)."""
     cfg = cfg or EngineConfig()
     P = cfg.num_partitions
+    grouped = cfg.exchange == "grouped"
     csr = shard_edges_csr(edges, P, symmetrize=symmetrize)
     vid_refs = shard_vertices(edges, P, vertices_ds=vertices)
+    plans = scatter_plans(csr, vid_refs, P)
+    cplans = combine_plans(vid_refs, plans, P)
     outdeg = [_outdeg_aligned.remote(csr[p], vid_refs[p]) for p in range(P)]
     counts = ray.get([ray.remote(lambda v: len(v)).remote(v) for v in vid_refs])
     n = int(sum(counts))
-    n_edges = int(sum(ray.get([ray.remote(lambda c: len(c["dst"])).remote(r) for r in csr])))
+    n_edges = int(sum(ray.get([_plan_edges.remote(p) for p in plans])))
+    del csr
 
     start_iter = 0
     score_refs = None
@@ -130,44 +159,71 @@ def pagerank_bsp(
 
     metrics: list[dict] = []
     it = start_iter
+    # checkpointing wants per-iteration state on disk; otherwise batch K
+    # iterations per driver sync so the whole block pipelines as one DAG
+    K = 1 if checkpoint is not None else max(cfg.check_every, 1)
     while it < cfg.pr_max_iters:
         t0 = time.perf_counter()
-        outs = [
-            list(
-                _pr_scatter.options(num_returns=P + 1).remote(
-                    csr[p], vid_refs[p], score_refs[p], outdeg[p], P
-                )
-            )
-            for p in range(P)
-        ]
-        dangling_total = float(sum(ray.get([o[P] for o in outs])))
-        comb = [
-            _pr_combine.remote(
-                vid_refs[q],
-                score_refs[q],
-                n,
-                cfg.pr_damping,
-                dangling_total,
-                *[outs[p][q] for p in range(P)],
-            )
-            for q in range(P)
-        ]
-        score_refs = [c[0] for c in comb]
-        l1 = float(sum(ray.get([c[1] for c in comb])))
-        it += 1
+        block_l1: list = []
+        block_scores: list = []
+        block_iters = min(K, cfg.pr_max_iters - it)
+        for _ in range(block_iters):
+            if grouped:
+                outs = [
+                    _pr_scatter_g.remote(plans[p], score_refs[p], outdeg[p], P) for p in range(P)
+                ]
+                comb = [
+                    _pr_combine.remote(q, True, cplans[q], score_refs[q], n, cfg.pr_damping, *outs)
+                    for q in range(P)
+                ]
+            else:
+                outs = [
+                    list(
+                        _pr_scatter_f.options(num_returns=P + 1).remote(
+                            plans[p], score_refs[p], outdeg[p], P
+                        )
+                    )
+                    for p in range(P)
+                ]
+                comb = [
+                    _pr_combine.remote(
+                        q,
+                        False,
+                        cplans[q],
+                        score_refs[q],
+                        n,
+                        cfg.pr_damping,
+                        *[outs[p][q] for p in range(P)],
+                        *[outs[p][P] for p in range(P)],
+                    )
+                    for q in range(P)
+                ]
+            score_refs = [c[0] for c in comb]
+            block_l1.append([c[1] for c in comb])
+            block_scores.append(score_refs)
+        l1s = [float(sum(ray.get(refs))) for refs in block_l1]
         wall = time.perf_counter() - t0
-        metrics.append(
-            {
-                "iter": it,
-                "l1": l1,
-                "edges": n_edges,
-                "wall_s": wall,
-                "edges_per_sec": n_edges / wall if wall > 0 else 0.0,
-            }
-        )
-        if checkpoint is not None and (it % cfg.checkpoint_every == 0 or l1 < cfg.pr_tol):
+        converged = False
+        for i, l1 in enumerate(l1s):
+            it += 1
+            metrics.append(
+                {
+                    "iter": it,
+                    "l1": l1,
+                    "edges": n_edges,
+                    "wall_s": wall / block_iters,
+                    "edges_per_sec": n_edges * block_iters / wall if wall > 0 else 0.0,
+                }
+            )
+            if l1 < cfg.pr_tol:
+                # stop at the exact first-converged iteration (deterministic
+                # regardless of block boundaries, e.g. after a resume)
+                score_refs = block_scores[i]
+                converged = True
+                break
+        if checkpoint is not None and (it % cfg.checkpoint_every == 0 or converged):
             checkpoint.save_shards(it, vid_refs, score_refs, extra=metrics[-1])
-        if l1 < cfg.pr_tol:
+        if converged:
             break
 
     import ray.data as rd

@@ -128,6 +128,108 @@ def shard_vertices(edges_ds, P: int, *, vertices_ds=None,
     return [_build_vids.remote(*[row[p] for row in matrix]) for p in range(P)]
 
 
+@ray.remote
+def _finalize_plan(csr, vids, P):
+    """Precompute the per-iteration scatter plan for one shard (ONE TIME).
+
+    Everything that does not depend on the mutable state (labels/scores) is
+    hoisted out of the iteration loop: the edge->owner gather index, the
+    dst sort permutation, the segment starts for reduceat, and the routing
+    layout of unique dsts by destination partition. Each BSP round is then
+    pure gather + reduceat + slice — no sorting, no hashing.
+    """
+    if csr["srcs"].size == 0:
+        return {
+            "edge_src_idx": np.empty(0, np.int64),
+            "dst_order": np.empty(0, np.int64),
+            "seg_starts": np.empty(0, np.int64),
+            "uniq_dst_routed": np.empty(0, np.int64),
+            "uniq_perm": np.empty(0, np.int64),
+            "bounds": np.zeros(P + 1, np.int64),
+            "n_edges": 0,
+        }
+    src_idx = np.searchsorted(vids, csr["srcs"])
+    edge_src_idx = np.repeat(src_idx, csr["outdeg"])
+    dst = csr["dst"]
+    dst_order = np.argsort(dst, kind="stable")
+    dst_sorted = dst[dst_order]
+    uniq, seg_starts = np.unique(dst_sorted, return_index=True)
+    parts = part_of(uniq, P)
+    uniq_perm = np.argsort(parts, kind="stable")
+    bounds = np.searchsorted(parts[uniq_perm], np.arange(P + 1))
+    return {
+        "edge_src_idx": edge_src_idx,
+        "dst_order": dst_order,
+        "seg_starts": seg_starts,
+        "uniq_dst_routed": uniq[uniq_perm],
+        "uniq_perm": uniq_perm,
+        "bounds": bounds,
+        "n_edges": int(len(dst)),
+    }
+
+
+def scatter_plans(csr_refs: list, vid_refs: list, P: int) -> list:
+    return [_finalize_plan.remote(c, v, P) for c, v in zip(csr_refs, vid_refs)]
+
+
+def reduce_routed(plan, per_edge_vals: np.ndarray, op) -> list:
+    """Apply the precomputed plan: per-edge values -> per-part VALUE pieces.
+
+    The dst layout of each piece is static (plan["uniq_dst_routed"] sliced by
+    plan["bounds"]), identical every iteration — so only the reduced values
+    are shipped; destinations never travel with the messages. op is
+    np.minimum or np.add.
+    """
+    if plan["n_edges"] == 0:
+        return [np.empty(0, per_edge_vals.dtype)] * (len(plan["bounds"]) - 1)
+    vals_sorted = per_edge_vals[plan["dst_order"]]
+    red = op.reduceat(vals_sorted, plan["seg_starts"])
+    red_routed = red[plan["uniq_perm"]]
+    b = plan["bounds"]
+    return [red_routed[b[p] : b[p + 1]] for p in range(len(b) - 1)]
+
+
+@ray.remote
+def _combine_plan(q, vids, *plans):
+    """One-time combine plan for partition q.
+
+    The incoming message layout for q is the concatenation, in source-shard
+    order, of each shard's static dst piece for q. Precomputes the sort
+    permutation over destination indices, reduceat segment starts and the
+    (unique) output positions — per-iteration combining is then pure
+    gather + reduceat + one fancy assignment. This removes the dominant
+    per-wave cost (re-sorting the full message stream every round).
+    """
+    piece_idx = []
+    for plan in plans:
+        b = plan["bounds"]
+        piece = plan["uniq_dst_routed"][b[q] : b[q + 1]]
+        piece_idx.append(np.searchsorted(vids, piece))
+    if not piece_idx:
+        concat = np.empty(0, np.int64)
+    else:
+        concat = np.concatenate(piece_idx)
+    if concat.size == 0:
+        return {"order": concat, "starts": concat, "pos": concat, "total": 0}
+    order = np.argsort(concat, kind="stable")
+    srt = concat[order]
+    pos, starts = np.unique(srt, return_index=True)
+    return {"order": order, "starts": starts, "pos": pos, "total": int(concat.size)}
+
+
+def combine_plans(vid_refs: list, plans: list, P: int) -> list:
+    return [_combine_plan.remote(q, vid_refs[q], *plans) for q in range(P)]
+
+
+def apply_combine_plan(cplan, value_pieces: list, op) -> tuple[np.ndarray, np.ndarray]:
+    """(positions, reduced values) for this partition from value-only pieces."""
+    if cplan["total"] == 0:
+        return cplan["pos"], np.empty(0, np.float64)
+    vals = np.concatenate(value_pieces)
+    red = op.reduceat(vals[cplan["order"]], cplan["starts"])
+    return cplan["pos"], red
+
+
 def shards_to_dataset(shard_tables: list) -> "ray.data.Dataset":
     """Wrap per-shard pyarrow tables (refs) as a Dataset without driver copy."""
     import ray.data as rd

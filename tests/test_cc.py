@@ -39,8 +39,15 @@ def test_long_chain_converges_in_log_rounds():
     # worst case for plain hash-to-min: a path graph; pointer jumping must
     # bring rounds to O(log n) (SURVEY.md §2.3 C3's quadratic-loop fix)
     n = 512
-    res = _check(list(range(n - 1)), list(range(1, n)))
+    res = _check(
+        list(range(n - 1)),
+        list(range(1, n)),
+        cfg=EngineConfig(num_partitions=4, cc_jump_rounds=2, cc_jump_every=1),
+    )
     assert res.iterations <= 12
+    # default policy (periodic compression) still converges in O(log n)
+    res2 = _check(list(range(n - 1)), list(range(1, n)))
+    assert res2.iterations <= 30
 
 
 def test_random_graph_matches_oracle_any_partitioning():
@@ -81,3 +88,13 @@ def test_dataset_strategy_small():
     res = cc_dataset(_edges_ds(src, dst, 2), cfg=EngineConfig(num_partitions=2, cc_jump_rounds=1))
     got = _labels_dict(res)
     assert got == cc_oracle(np.asarray(src), np.asarray(dst))
+
+
+def test_fanout_exchange_agrees_with_grouped():
+    rng = np.random.RandomState(9)
+    n, m = 800, 1500
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    a = _check(src, dst, cfg=EngineConfig(num_partitions=4, exchange="grouped"))
+    b = _check(src, dst, cfg=EngineConfig(num_partitions=4, exchange="fanout"))
+    assert _labels_dict(a) == _labels_dict(b)

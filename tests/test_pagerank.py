@@ -59,3 +59,17 @@ def test_pagerank_symmetrized():
         np.array(src + dst), np.array(dst + src), np.array(src + dst)
     )
     _assert_close(got, want)
+
+
+def test_fanout_exchange_matches_oracle():
+    rng = np.random.RandomState(13)
+    n, m = 200, 600
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    v = rd.from_arrow(pa.table({"vid": pa.array(np.arange(n), pa.int64())}))
+    res = pagerank_bsp(_ds(src, dst), vertices=v,
+                       cfg=EngineConfig(num_partitions=4, exchange="fanout"))
+    df = res.scores.to_pandas()
+    got = dict(zip(df["vid"].astype(int), df["score"]))
+    want = pagerank_oracle(src, dst, np.arange(n))
+    _assert_close(got, want)
