@@ -83,7 +83,9 @@ def run_bench() -> dict:
     edge_cache = os.path.join(CACHE, f"edges_{BENCH_CONVS}_s42_salt{salts}")
     t0 = time.perf_counter()
     ds = read_transcripts(tr_path)
-    verts = transcript_vertices(ds).select_columns(["vid"])
+    # materialize once: both engines consume the vertex set; leaving it lazy
+    # would re-execute the full transcript scan inside each engine call
+    verts = transcript_vertices(ds).select_columns(["vid"]).materialize()
     if not os.path.exists(os.path.join(edge_cache, "_DONE")):
         build_transcript_edges(ds, cfg).write_parquet(edge_cache)
         open(os.path.join(edge_cache, "_DONE"), "w").write("ok")
@@ -95,13 +97,15 @@ def run_bench() -> dict:
     cc_n = cc.labels.count()
     queries["transcript_cc"] = time.perf_counter() - t0
     cc_edges = cc.metrics[-1]["edges"] if cc.metrics else 0
+    cc_iter_wall = sum(m["wall_s"] for m in cc.metrics)
     extra["cc"] = {
         "iterations": cc.iterations,
         "directed_edges": cc_edges,
         "vertices": int(cc_n),
-        "edges_per_sec_per_iter": (
-            cc_edges * cc.iterations / queries["transcript_cc"] if queries["transcript_cc"] else 0
-        ),
+        # the BASELINE metric: edges/sec per iteration, over iteration walls
+        # (shard/plan build reported separately via wall_s - iter_wall)
+        "edges_per_sec_per_iter": cc_edges * cc.iterations / cc_iter_wall if cc_iter_wall else 0,
+        "iter_wall_s": cc_iter_wall,
         "wall_s": queries["transcript_cc"],
     }
 
@@ -110,15 +114,13 @@ def run_bench() -> dict:
     pr.scores.count()
     queries["transcript_pagerank"] = time.perf_counter() - t0
     pr_edges = pr.metrics[-1]["edges"] if pr.metrics else 0
+    pr_iter_wall = sum(m["wall_s"] for m in pr.metrics)
     extra["pagerank"] = {
         "iterations": pr.iterations,
         "directed_edges": pr_edges,
         "l1_final": pr.metrics[-1]["l1"] if pr.metrics else None,
-        "edges_per_sec_per_iter": (
-            pr_edges * pr.iterations / queries["transcript_pagerank"]
-            if queries["transcript_pagerank"]
-            else 0
-        ),
+        "edges_per_sec_per_iter": pr_edges * pr.iterations / pr_iter_wall if pr_iter_wall else 0,
+        "iter_wall_s": pr_iter_wall,
         "wall_s": queries["transcript_pagerank"],
     }
 
@@ -200,7 +202,9 @@ def run_scaling() -> dict:
     r_hi = run(hi)
 
     def headline(r):
-        return r["queries"]["transcript_cc"] + r["queries"]["transcript_pagerank"]
+        # iteration walls only: the metric is edges/sec per iteration; the
+        # one-time shard/plan build is reported in the per-run JSON
+        return r["cc"]["iter_wall_s"] + r["pagerank"]["iter_wall_s"]
 
     t_lo, t_hi = headline(r_lo), headline(r_hi)
     eff = (t_lo / t_hi) / (hi / lo)

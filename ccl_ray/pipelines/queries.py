@@ -238,6 +238,19 @@ def q_simhash(sf_dir: str):
     return simhash_signatures(_docs(sf_dir))
 
 
+def q_sessionize(sf_dir: str):
+    from ccl_ray.stages.window import sessionize
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    return sessionize(ev, gap_minutes=30)
+
+
+def q_dup_clusters(sf_dir: str):
+    from ccl_ray.stages.dedup import duplicate_clusters
+
+    return duplicate_clusters(_docs(sf_dir), threshold=0.5, cfg=_cfg())
+
+
 def q_media_meta(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"])
     return media_meta(docs_to_media(docs), fake=True)
@@ -268,6 +281,8 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "media_meta": q_media_meta,
+    "sessionize": q_sessionize,
+    "dup_clusters": q_dup_clusters,
 }
 
 
@@ -397,7 +412,21 @@ ORACLE_SQL = {
           FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
           WHERE a.vec_id < 10)
         WHERE rank <= 5""",
-    # pagerank / lang_id / minhash_pairs / simhash / media_meta: iterative or
-    # model-style ops — no SQL oracle; the driver records rows-only checks and
-    # pytest carries the strict checks (numpy power-iteration allclose, etc.).
+    "sessionize": """
+        WITH t AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+              FROM t)
+        SELECT user_id, session_idx, count(*) AS n_events,
+               min(ts) AS t_start, max(ts) AS t_end
+        FROM s GROUP BY 1, 2""",
+    # pagerank / lang_id / minhash_pairs / simhash / media_meta /
+    # dup_clusters: iterative or model-style ops — no SQL oracle; the driver
+    # records rows-only checks and pytest carries the strict checks (numpy
+    # power-iteration allclose, planted-duplicate recovery, etc.).
 }

@@ -213,3 +213,31 @@ class SimHashSig:
 
 def simhash_signatures(docs: "rd.Dataset") -> "rd.Dataset":
     return docs.map_batches(SimHashSig, batch_format="pandas", concurrency=(1, 8))
+
+
+def duplicate_clusters(docs: "rd.Dataset", *, threshold: float = 0.5, cfg=None) -> "rd.Dataset":
+    """Near-duplicate CLUSTERS: MinHash-LSH pairs -> the engine's own
+    connected components over the pair graph (the scalable alternative to
+    driver-side union-find when the candidate set is large).
+
+    Returns (doc_id, cluster) where cluster = min doc_id of the near-dup
+    group; singleton documents are their own cluster.
+    """
+    from ccl_ray.config import EngineConfig
+    from ccl_ray.stages.cc_bsp import connected_components_bsp
+
+    cfg = cfg or EngineConfig(num_partitions=4)
+    pairs = minhash_dedup_pairs(docs, threshold=threshold)
+
+    def to_edges(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.array(df["a"].values.astype(np.int64)),
+                "dst": pa.array(df["b"].values.astype(np.int64)),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pandas")
+    verts = docs.select_columns(["doc_id"]).rename_columns({"doc_id": "vid"})
+    res = connected_components_bsp(edges, vertices=verts, cfg=cfg)
+    return res.labels.rename_columns({"vid": "doc_id", "label": "cluster"})

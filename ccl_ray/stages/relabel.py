@@ -35,8 +35,9 @@ def compose_translations(x0: pd.DataFrame, x1: pd.DataFrame) -> pd.DataFrame:
     composed = pd.DataFrame(
         {"old": m["old"], "new": m["new_1"].where(m["new_1"].notna(), m["new"])}
     )
-    consumed = set(x0["new"]) & set(x1["old"])
-    leftover = x1[~x1["old"].isin(consumed)]
+    # an x1 entry (o -> n) still applies to input o unless x0 remaps o away;
+    # composed rows already cover every o in x0.old
+    leftover = x1[~x1["old"].isin(set(x0["old"]))]
     out = pd.concat([composed, leftover[["old", "new"]]], ignore_index=True)
     return out.drop_duplicates(subset=["old"], keep="first").reset_index(drop=True)
 
