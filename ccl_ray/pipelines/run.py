@@ -1,0 +1,116 @@
+"""CLI pipeline entry — the `ray job submit` surface of the engine.
+
+    python -m ccl_ray.pipelines.run --input /root/testdata/sf0.001 \
+        --out /tmp/ccl_out --pipeline flagship [--transcripts DIR] \
+        --partitions 16 --checkpoint-dir /tmp/ccl_ck
+
+Writes partitioned Parquet (one directory per result table, files per
+shard) plus a run manifest, and checkpoints iterative state so a killed run
+resumes. This module OWNS the Ray session (guarded init) — the only places
+that do are this CLI, bench.py and the test fixture.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default="/root/testdata/sf0.001", help="sf dir (events graph)")
+    ap.add_argument("--transcripts", default=None, help="transcripts parquet dir instead of events")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--pipeline", default="flagship", choices=["flagship", "cc", "pagerank"])
+    ap.add_argument("--partitions", type=int, default=16)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from ccl_ray.config import EngineConfig
+    from ccl_ray.state.checkpoint import ShardCheckpoint
+
+    cfg = EngineConfig(
+        num_partitions=args.partitions,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+
+    t0 = time.perf_counter()
+    if args.transcripts:
+        from ccl_ray.sources.transcripts import (
+            build_transcript_edges,
+            read_transcripts,
+            transcript_vertices,
+        )
+
+        ds = read_transcripts(args.transcripts)
+        edges = build_transcript_edges(ds, cfg)
+        verts = transcript_vertices(ds).select_columns(["vid"]).materialize()
+    else:
+        from ccl_ray.sources.events_graph import build_event_edges, event_vertices
+
+        edges = build_event_edges(args.input)
+        verts = event_vertices(args.input)
+
+    os.makedirs(args.out, exist_ok=True)
+    manifest: dict = {"pipeline": args.pipeline, "partitions": args.partitions, "tables": {}}
+
+    def ck(name):
+        if not args.checkpoint_dir:
+            return None
+        col = "score" if name == "scores" else "label"
+        return ShardCheckpoint(os.path.join(args.checkpoint_dir, name), col=col)
+
+    if args.pipeline in ("flagship", "cc"):
+        from ccl_ray.stages.cc_bsp import connected_components_bsp
+
+        cc = connected_components_bsp(edges, vertices=verts, cfg=cfg, checkpoint=ck("labels"))
+        path = os.path.join(args.out, "labels")
+        cc.labels.write_parquet(path)
+        manifest["tables"]["labels"] = {
+            "path": path,
+            "rows": cc.labels.count(),
+            "iterations": cc.iterations,
+            "metrics": cc.metrics[-3:],
+        }
+    if args.pipeline in ("flagship", "pagerank"):
+        from ccl_ray.stages.pagerank_bsp import pagerank_bsp
+
+        pr = pagerank_bsp(edges, vertices=verts, cfg=cfg, symmetrize=True, checkpoint=ck("scores"))
+        path = os.path.join(args.out, "scores")
+        pr.scores.write_parquet(path)
+        manifest["tables"]["scores"] = {
+            "path": path,
+            "rows": pr.scores.count(),
+            "iterations": pr.iterations,
+            "metrics": pr.metrics[-3:],
+        }
+
+    manifest["wall_s"] = round(time.perf_counter() - t0, 3)
+    tmp = os.path.join(args.out, ".manifest.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, os.path.join(args.out, "run_manifest.json"))
+    print(json.dumps(manifest))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

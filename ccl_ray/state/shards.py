@@ -157,12 +157,15 @@ def _finalize_plan(csr, vids, P):
     parts = part_of(uniq, P)
     uniq_perm = np.argsort(parts, kind="stable")
     bounds = np.searchsorted(parts[uniq_perm], np.arange(P + 1))
+    # int32 indices: per-shard row counts are far below 2^31, and the hot
+    # path is random gathers through these arrays — half the index bytes is
+    # materially less memory traffic per round
     return {
-        "edge_src_idx": edge_src_idx,
-        "dst_order": dst_order,
+        "edge_src_idx": edge_src_idx.astype(np.int32),
+        "dst_order": dst_order.astype(np.int32),
         "seg_starts": seg_starts,
         "uniq_dst_routed": uniq[uniq_perm],
-        "uniq_perm": uniq_perm,
+        "uniq_perm": uniq_perm.astype(np.int32),
         "bounds": bounds,
         "n_edges": int(len(dst)),
     }
@@ -210,11 +213,16 @@ def _combine_plan(q, vids, *plans):
     else:
         concat = np.concatenate(piece_idx)
     if concat.size == 0:
-        return {"order": concat, "starts": concat, "pos": concat, "total": 0}
+        return {"order": concat.astype(np.int32), "starts": concat, "pos": concat, "total": 0}
     order = np.argsort(concat, kind="stable")
     srt = concat[order]
     pos, starts = np.unique(srt, return_index=True)
-    return {"order": order, "starts": starts, "pos": pos, "total": int(concat.size)}
+    return {
+        "order": order.astype(np.int32),
+        "starts": starts,
+        "pos": pos.astype(np.int64),
+        "total": int(concat.size),
+    }
 
 
 def combine_plans(vid_refs: list, plans: list, P: int) -> list:
