@@ -70,7 +70,7 @@ def run_bench() -> dict:
     from ccl_ray.stages.triangles import triangle_count
     import ray.data as rd
 
-    cfg = EngineConfig(num_partitions=NUM_PARTITIONS, extra={"tool_salts": int(os.environ.get("GRAFT_TOOL_SALTS", "64"))})
+    cfg = EngineConfig(num_partitions=NUM_PARTITIONS, extra={"tool_salts": int(os.environ.get("GRAFT_TOOL_SALTS", "256"))})
     queries: dict[str, float] = {}
     extra: dict = {}
     t_total = time.perf_counter()
@@ -79,7 +79,7 @@ def run_bench() -> dict:
     # The built edge table is itself cached as parquet so the 8- and 32-cpu
     # scaling runs iterate over byte-identical input.
     tr_path = _transcripts_path()
-    salts = int(os.environ.get("GRAFT_TOOL_SALTS", "64"))
+    salts = int(os.environ.get("GRAFT_TOOL_SALTS", "256"))
     edge_cache = os.path.join(CACHE, f"edges_{BENCH_CONVS}_s42_salt{salts}")
     t0 = time.perf_counter()
     ds = read_transcripts(tr_path)
@@ -197,7 +197,8 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     _transcripts_path()  # warm cache + page cache before timing
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
     r_lo = run(lo)
     r_hi = run(hi)
 
@@ -212,21 +213,21 @@ def run_scaling() -> dict:
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": round(t_lo, 3),
-        "sec_32": round(t_hi, 3),
-        "cc_eps_8": round(r_lo["cc"]["edges_per_sec_per_iter"]),
-        "cc_eps_32": round(r_hi["cc"]["edges_per_sec_per_iter"]),
-        "pr_eps_8": round(r_lo["pagerank"]["edges_per_sec_per_iter"]),
-        "pr_eps_32": round(r_hi["pagerank"]["edges_per_sec_per_iter"]),
+        f"sec_{lo}": round(t_lo, 3),
+        f"sec_{hi}": round(t_hi, 3),
+        f"cc_eps_{lo}": round(r_lo["cc"]["edges_per_sec_per_iter"]),
+        f"cc_eps_{hi}": round(r_hi["cc"]["edges_per_sec_per_iter"]),
+        f"pr_eps_{lo}": round(r_lo["pagerank"]["edges_per_sec_per_iter"]),
+        f"pr_eps_{hi}": round(r_hi["pagerank"]["edges_per_sec_per_iter"]),
         "num_partitions": NUM_PARTITIONS,
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(
             f"\n| scaling {lo}->{hi} cpus | eff={result['value']} "
-            f"(T{lo}={result['sec_8']}s, T{hi}={result['sec_32']}s) | "
-            f"CC eps {result['cc_eps_8']}->{result['cc_eps_32']}, "
-            f"PR eps {result['pr_eps_8']}->{result['pr_eps_32']} | "
+            f"(T{lo}={result[f'sec_{lo}']}s, T{hi}={result[f'sec_{hi}']}s) | "
+            f"CC eps {result[f'cc_eps_{lo}']}->{result[f'cc_eps_{hi}']}, "
+            f"PR eps {result[f'pr_eps_{lo}']}->{result[f'pr_eps_{hi}']} | "
             f"P={NUM_PARTITIONS}, convs={BENCH_CONVS} |\n"
         )
     return result
