@@ -92,8 +92,11 @@ def run_bench() -> dict:
     queries["transcript_edge_build"] = time.perf_counter() - t0
     edges = rd.read_parquet(edge_cache, columns=["src", "dst"])
 
+    from ccl_ray.state.shards import build_graph_shards
+
     t0 = time.perf_counter()
-    cc = connected_components_bsp(edges, vertices=verts, cfg=cfg)
+    shards = build_graph_shards(edges, NUM_PARTITIONS, vertices_ds=verts, symmetrize=True)
+    cc = connected_components_bsp(edges, cfg=cfg, shards=shards)
     cc_n = cc.labels.count()
     queries["transcript_cc"] = time.perf_counter() - t0
     cc_edges = cc.metrics[-1]["edges"] if cc.metrics else 0
@@ -110,7 +113,7 @@ def run_bench() -> dict:
     }
 
     t0 = time.perf_counter()
-    pr = pagerank_bsp(edges, vertices=verts, cfg=cfg, symmetrize=True)
+    pr = pagerank_bsp(edges, cfg=cfg, symmetrize=True, shards=shards)
     pr.scores.count()
     queries["transcript_pagerank"] = time.perf_counter() - t0
     pr_edges = pr.metrics[-1]["edges"] if pr.metrics else 0

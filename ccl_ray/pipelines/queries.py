@@ -124,6 +124,13 @@ def q_eol(sf_dir: str):
     return out.map_batches(to_day, batch_format="pyarrow")
 
 
+def q_densify(sf_dir: str):
+    from ccl_ray.stages.relabel import densify_labels
+
+    labels = _labels(sf_dir).rename_columns({"vid": "event_id"})
+    return densify_labels(labels)
+
+
 def q_topk_components(sf_dir: str):
     return top_k_components(_labels(sf_dir), k=10)
 
@@ -264,6 +271,7 @@ QUERIES = {
     "component_sizes": q_component_sizes,
     "ages": q_ages,
     "eol": q_eol,
+    "densify": q_densify,
     "topk_components": q_topk_components,
     "id_stats": q_id_stats,
     "triangle_count": q_triangle_count,
@@ -353,6 +361,10 @@ ORACLE_SQL = {
         SELECT a.label, a.day FROM lab_days a
         LEFT JOIN lab_days b ON b.label = a.label AND b.day = a.day + INTERVAL 1 DAY
         WHERE b.label IS NULL""",
+    "densify": f"""
+        WITH RECURSIVE {_CC_CTE}
+        SELECT event_id, label, dense_rank() OVER (ORDER BY label) - 1 AS dlabel
+        FROM labeled""",
     "topk_components": f"""
         WITH RECURSIVE {_CC_CTE}
         SELECT label, count(*) AS n_vertices FROM labeled

@@ -191,21 +191,26 @@ def connected_components_bsp(
     vertices=None,
     cfg: EngineConfig | None = None,
     checkpoint=None,
+    shards: dict | None = None,
 ) -> CCResult:
     """Exact connected components (labels = min vid per component).
 
     ``edges``/``vertices``: Ray Data datasets (src,dst int64 / vid int64).
+    ``shards``: optional prebuilt bundle from state.shards.build_graph_shards
+    (must be symmetric) — reused across algorithms on the same graph.
     Returns labels as a Dataset assembled zero-copy from shard refs.
     """
     cfg = cfg or EngineConfig()
     P = cfg.num_partitions
     grouped = cfg.exchange == "grouped"
-    csr = shard_edges_csr(edges, P, symmetrize=True)
-    vid_refs = shard_vertices(edges, P, vertices_ds=vertices)
-    plans = scatter_plans(csr, vid_refs, P)
-    cplans = combine_plans(vid_refs, plans, P)
+    if shards is None:
+        from ccl_ray.state.shards import build_graph_shards
+
+        shards = build_graph_shards(edges, P, vertices_ds=vertices, symmetrize=True)
+    assert shards["symmetrize"], "CC requires a symmetric shard bundle"
+    assert shards["P"] == P
+    vid_refs, plans, cplans = shards["vids"], shards["plans"], shards["cplans"]
     n_edges = int(sum(ray.get([_plan_edges.remote(p) for p in plans])))
-    del csr  # plans carry everything the loop needs; let CSR blocks free
 
     start_iter = 0
     label_refs = None

@@ -132,21 +132,27 @@ def pagerank_bsp(
     cfg: EngineConfig | None = None,
     checkpoint=None,
     symmetrize: bool = False,
+    shards: dict | None = None,
 ) -> PRResult:
     """PageRank on directed edges (src->dst). ``symmetrize=True`` treats the
-    edge table as undirected (each edge contributes both directions)."""
+    edge table as undirected (each edge contributes both directions).
+    ``shards``: optional prebuilt bundle (state.shards.build_graph_shards)
+    with matching symmetrize — reused across algorithms on one graph."""
     cfg = cfg or EngineConfig()
     P = cfg.num_partitions
     grouped = cfg.exchange == "grouped"
-    csr = shard_edges_csr(edges, P, symmetrize=symmetrize)
-    vid_refs = shard_vertices(edges, P, vertices_ds=vertices)
-    plans = scatter_plans(csr, vid_refs, P)
-    cplans = combine_plans(vid_refs, plans, P)
+    if shards is None:
+        from ccl_ray.state.shards import build_graph_shards
+
+        shards = build_graph_shards(edges, P, vertices_ds=vertices, symmetrize=symmetrize)
+    assert shards["symmetrize"] == symmetrize and shards["P"] == P
+    csr, vid_refs, plans, cplans = (
+        shards["csr"], shards["vids"], shards["plans"], shards["cplans"],
+    )
     outdeg = [_outdeg_aligned.remote(csr[p], vid_refs[p]) for p in range(P)]
     counts = ray.get([ray.remote(lambda v: len(v)).remote(v) for v in vid_refs])
     n = int(sum(counts))
     n_edges = int(sum(ray.get([_plan_edges.remote(p) for p in plans])))
-    del csr
 
     start_iter = 0
     score_refs = None

@@ -66,6 +66,34 @@ def apply_translation(
     return ds.map_batches(Apply, batch_format="pandas", concurrency=(1, 4))
 
 
+def densify_labels(ds: "rd.Dataset", col: str = "label", out_col: str = "dlabel") -> "rd.Dataset":
+    """Renumber labels to a dense 0..k-1 range by ascending label order.
+
+    Reference M6 (ccl2d.py:192-196, ccl_marker_stack.py:623-630): only
+    needed when a consumer wants compact label ids; component identity is
+    already canonical (min-vid). Distinct labels (one per component) are
+    collected and broadcast — components ≪ vertices; for pathological
+    component counts use a sort + rank join instead.
+    """
+    from ray.data.aggregate import Count
+
+    distinct = ds.groupby(col).aggregate(Count(alias_name="_n")).select_columns([col]).to_pandas()
+    order = np.sort(distinct[col].values.astype(np.int64))
+    ref = ray.put(order)
+
+    class Rank:
+        def __init__(self):
+            self.order = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vals = batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+            ranks = np.searchsorted(self.order, vals)
+            out = batch.append_column(out_col, pa.array(ranks.astype(np.int64)))
+            return out
+
+    return ds.map_batches(Rank, batch_format="pyarrow", concurrency=(1, 4))
+
+
 def eol_labels(present: "rd.Dataset") -> "rd.Dataset":
     """Anti-join EOL detection (reference C7, ccl_marker_stack.py:664-667).
 

@@ -238,6 +238,21 @@ def apply_combine_plan(cplan, value_pieces: list, op) -> tuple[np.ndarray, np.nd
     return cplan["pos"], red
 
 
+def build_graph_shards(edges_ds, P: int, *, vertices_ds=None, symmetrize: bool = True) -> dict:
+    """Build the full shard bundle ONCE for reuse across algorithms.
+
+    CC, PageRank(symmetrize=True) and label propagation all iterate over the
+    same symmetric CSR + plans; sharing the bundle halves setup when a
+    pipeline runs several algorithms on one graph (e.g. the flagship).
+    """
+    csr = shard_edges_csr(edges_ds, P, symmetrize=symmetrize)
+    vids = shard_vertices(edges_ds, P, vertices_ds=vertices_ds)
+    plans = scatter_plans(csr, vids, P)
+    cplans = combine_plans(vids, plans, P)
+    return {"csr": csr, "vids": vids, "plans": plans, "cplans": cplans, "P": P,
+            "symmetrize": symmetrize}
+
+
 def shards_to_dataset(shard_tables: list) -> "ray.data.Dataset":
     """Wrap per-shard pyarrow tables (refs) as a Dataset without driver copy."""
     import ray.data as rd
