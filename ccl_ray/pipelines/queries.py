@@ -144,6 +144,12 @@ def q_triangle_count(sf_dir: str):
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
+def q_triangles_per_vertex(sf_dir: str):
+    from ccl_ray.stages.triangles import triangle_counts_per_vertex
+
+    return triangle_counts_per_vertex(build_event_edges(sf_dir), cfg=_cfg())
+
+
 def q_pagerank(sf_dir: str):
     edges = build_event_edges(sf_dir)
     res = pagerank_bsp(edges, vertices=event_vertices(sf_dir), cfg=_cfg(), symmetrize=True)
@@ -275,6 +281,7 @@ QUERIES = {
     "topk_components": q_topk_components,
     "id_stats": q_id_stats,
     "triangle_count": q_triangle_count,
+    "triangles_per_vertex": q_triangles_per_vertex,
     "pagerank": q_pagerank,
     "relabel_compose": q_relabel_compose,
     "q1_agg": q_q1_agg,
@@ -378,6 +385,15 @@ ORACLE_SQL = {
         SELECT count(*) AS n_triangles
         FROM edgu e1 JOIN edgu e2 ON e2.src = e1.dst
         JOIN edgu e3 ON e3.src = e1.src AND e3.dst = e2.dst""",
+    "triangles_per_vertex": f"""
+        WITH {_EDGES_CTE},
+        tri AS (
+          SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+          FROM edgu e1 JOIN edgu e2 ON e2.src = e1.dst
+          JOIN edgu e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+        SELECT v AS vid, count(*) AS n_triangles
+        FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        GROUP BY v""",
     "relabel_compose": """
         SELECT c_custkey, r_name
         FROM customer JOIN nation ON c_nationkey = n_nationkey

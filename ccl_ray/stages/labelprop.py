@@ -158,6 +158,10 @@ def _component_min_seed(labels_ds, seeds, cfg: EngineConfig):
 
     # stage 1: per label-shard, attach seed (sentinel if absent) to each vid
     lab_blocks = labels_ds.to_arrow_refs()
+    assert len(lab_blocks) == P, (
+        "labels_ds must be the P hash-partitioned shard tables produced by "
+        "connected_components_bsp with the same cfg (block p = hash part p)"
+    )
     seed_matrix = _route_seeds(seeds, P)
 
     @ray.remote

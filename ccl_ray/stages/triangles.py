@@ -75,8 +75,9 @@ def _orient_and_wedges(csr, vids, deg, P, *resp_pieces):
         np.empty(0, np.int64),
         np.empty(0, np.int64),
     )
+    empty_wedge = (*empty_pair, np.empty(0, np.int64))
     if csr["srcs"].size == 0:
-        return (*[empty_pair] * P, empty_pair)
+        return (*[empty_wedge] * P, empty_pair)
 
     # degree lookup for dst endpoints (from the resolve wave)
     q = np.concatenate([r[0] for r in resp_pieces])
@@ -100,7 +101,7 @@ def _orient_and_wedges(csr, vids, deg, P, *resp_pieces):
     counts = np.diff(np.concatenate([start, [len(lo)]]))
 
     # vectorized wedge generation: one gather per distinct out-degree class
-    wb_parts, wc_parts = [], []
+    wb_parts, wc_parts, wa_parts = [], [], []
     for k in np.unique(counts):
         if k < 2:
             continue
@@ -109,24 +110,33 @@ def _orient_and_wedges(csr, vids, deg, P, *resp_pieces):
         gather = starts_k[:, None] + np.arange(k)[None, :]
         nb = hi[gather]          # (g, k) neighbor vids
         nbd = hi_deg[gather]     # neighbor degrees
+        apex = lo[starts_k]      # wedge apex vertex per group
         ii, jj = np.triu_indices(k, 1)
         b, c = nb[:, ii].ravel(), nb[:, jj].ravel()
         bd, cd = nbd[:, ii].ravel(), nbd[:, jj].ravel()
         swap = (cd < bd) | ((cd == bd) & (c < b))
         wb_parts.append(np.where(swap, c, b))
         wc_parts.append(np.where(swap, b, c))
+        wa_parts.append(np.repeat(apex, len(ii)))
     if wb_parts:
         wlo = np.concatenate(wb_parts)
         whi = np.concatenate(wc_parts)
+        wap = np.concatenate(wa_parts)
     else:
         wlo, whi = empty_pair
+        wap = np.empty(0, np.int64)
 
     parts = part_of(wlo, P)
     o = np.argsort(parts, kind="stable")
-    wlo, whi, parts = wlo[o], whi[o], parts[o]
+    wlo, whi, wap, parts = wlo[o], whi[o], wap[o], parts[o]
     bounds = np.searchsorted(parts, np.arange(P + 1))
     wedge_out = tuple(
-        (wlo[bounds[p] : bounds[p + 1]], whi[bounds[p] : bounds[p + 1]]) for p in range(P)
+        (
+            wlo[bounds[p] : bounds[p + 1]],
+            whi[bounds[p] : bounds[p + 1]],
+            wap[bounds[p] : bounds[p + 1]],
+        )
+        for p in range(P)
     )
     return (*wedge_out, (lo, hi))
 
@@ -146,6 +156,49 @@ def _count_matches(oriented, *wedge_pieces):
     edges = pd.DataFrame({"lo": lo, "hi": hi})
     wedges = pd.DataFrame({"lo": wl, "hi": wh})
     return int(len(wedges.merge(edges, on=["lo", "hi"], how="inner")))
+
+
+@ray.remote
+def _match_per_vertex(P, oriented, *wedge_pieces):
+    """Matched triangles -> per-vertex increments routed by hash(vid).
+
+    Each matched wedge (lo,hi,apex) is one triangle: +1 to all three
+    vertices. Returns P (vids, counts) pieces (num_returns=P)."""
+    import pandas as pd
+
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    lo, hi = oriented
+    wl = np.concatenate([w[0] for w in wedge_pieces]) if wedge_pieces else np.empty(0, np.int64)
+    if lo.size == 0 or wl.size == 0:
+        return empty if P == 1 else tuple(empty for _ in range(P))
+    wh = np.concatenate([w[1] for w in wedge_pieces])
+    wa = np.concatenate([w[2] for w in wedge_pieces])
+    edges = pd.DataFrame({"lo": lo, "hi": hi, "e": 1})
+    wedges = pd.DataFrame({"lo": wl, "hi": wh, "a": wa})
+    m = wedges.merge(edges, on=["lo", "hi"], how="inner")
+    tri_v = np.concatenate([m["lo"].values, m["hi"].values, m["a"].values]).astype(np.int64)
+    vids, cnts = np.unique(tri_v, return_counts=True)
+    parts = part_of(vids, P)
+    o = np.argsort(parts, kind="stable")
+    vids, cnts, parts = vids[o], cnts[o], parts[o]
+    b = np.searchsorted(parts, np.arange(P + 1))
+    out = tuple((vids[b[p] : b[p + 1]], cnts[b[p] : b[p + 1]].astype(np.int64)) for p in range(P))
+    return out[0] if P == 1 else out
+
+
+@ray.remote
+def _reduce_counts(*pieces):
+    import pyarrow as pa
+
+    vids = np.concatenate([p[0] for p in pieces])
+    cnts = np.concatenate([p[1] for p in pieces])
+    if vids.size == 0:
+        return pa.table({"vid": pa.array([], pa.int64()), "n_triangles": pa.array([], pa.int64())})
+    order = np.argsort(vids, kind="stable")
+    vids, cnts = vids[order], cnts[order]
+    uniq, start = np.unique(vids, return_index=True)
+    sums = np.add.reduceat(cnts, start)
+    return pa.table({"vid": pa.array(uniq), "n_triangles": pa.array(sums)})
 
 
 def triangle_count(edges, *, cfg: EngineConfig | None = None) -> int:
@@ -178,3 +231,48 @@ def triangle_count(edges, *, cfg: EngineConfig | None = None) -> int:
         _count_matches.remote(ow[q][P], *[ow[p][q] for p in range(P)]) for q in range(P)
     ]
     return int(sum(ray.get(counts)))
+
+
+def triangle_counts_per_vertex(edges, *, cfg: EngineConfig | None = None):
+    """(vid, n_triangles) per vertex with >=1 triangle.
+
+    Same waves as triangle_count, but matched wedges carry their apex so
+    each triangle credits all three vertices; per-vertex increments are
+    exchanged by hash(vid) and reduced per partition.
+    """
+    cfg = cfg or EngineConfig()
+    P = cfg.num_partitions
+    csr = shard_edges_csr(edges, P, symmetrize=True, dedupe=True, drop_self=True)
+    vid_refs = shard_vertices(edges, P)
+    deg = [_degrees.remote(csr[p], vid_refs[p]) for p in range(P)]
+    reqs = [_as_list(_deg_request.options(num_returns=P).remote(csr[p], P), P) for p in range(P)]
+    resolved = [
+        _as_list(
+            _deg_resolve.options(num_returns=P).remote(
+                vid_refs[p], deg[p], P, *[reqs[q][p] for q in range(P)]
+            ),
+            P,
+        )
+        for p in range(P)
+    ]
+    ow = [
+        list(
+            _orient_and_wedges.options(num_returns=P + 1).remote(
+                csr[p], vid_refs[p], deg[p], P, *[resolved[q][p] for q in range(P)]
+            )
+        )
+        for p in range(P)
+    ]
+    routed = [
+        _as_list(
+            _match_per_vertex.options(num_returns=P).remote(
+                P, ow[q][P], *[ow[p][q] for p in range(P)]
+            ),
+            P,
+        )
+        for q in range(P)
+    ]
+    tables = [_reduce_counts.remote(*[routed[q][r] for q in range(P)]) for r in range(P)]
+    import ray.data as rd
+
+    return rd.from_arrow_refs(tables)

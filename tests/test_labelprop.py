@@ -47,3 +47,21 @@ def test_converged_component_min_seed():
     got = _result(min_label_propagation(_ds(src, dst), seeds, rounds=None, cfg=EngineConfig(num_partitions=4)))
     assert got[0] == got[1] == got[2] == 55
     assert got[10] is None and got[11] is None and got[12] is None
+
+
+def test_converged_no_seeds_all_null():
+    got = _result(
+        min_label_propagation(
+            _ds([0, 1], [1, 2]), _seeds([]), rounds=None, cfg=EngineConfig(num_partitions=2)
+        )
+    )
+    assert got == {0: None, 1: None, 2: None}
+
+
+def test_bounded_rounds_no_seeds_all_null():
+    got = _result(
+        min_label_propagation(
+            _ds([0, 1], [1, 2]), _seeds([]), rounds=2, cfg=EngineConfig(num_partitions=2)
+        )
+    )
+    assert got == {0: None, 1: None, 2: None}

@@ -26,7 +26,12 @@ def _to_pandas(res):
     import ray.data as rd
 
     if isinstance(res, rd.Dataset):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if len(df.columns) == 0:
+            # Ray quirk: to_pandas() of an all-empty Dataset drops the
+            # schema even though ds.schema() knows it
+            df = pd.DataFrame({f.name: pd.Series(dtype="object") for f in res.schema().base_schema})
+        return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res
