@@ -66,7 +66,10 @@ def dust_filter(labels: "rd.Dataset", min_size: int) -> "rd.Dataset":
     """Zero-out members of small components (reference semantics: label -> 0).
 
     Returns (vid, label) with dust labels rewritten to 0 — the reference's
-    background value (ccl_marker_stack.py:918-926).
+    background value (ccl_marker_stack.py:918-926). Caveat: if vid 0 exists,
+    its component's canonical label is also 0; callers needing an
+    unambiguous sentinel should offset their vid space (transcript vids
+    always do).
     """
     import ray
 

@@ -98,3 +98,17 @@ def test_fanout_exchange_agrees_with_grouped():
     a = _check(src, dst, cfg=EngineConfig(num_partitions=4, exchange="grouped"))
     b = _check(src, dst, cfg=EngineConfig(num_partitions=4, exchange="fanout"))
     assert _labels_dict(a) == _labels_dict(b)
+
+
+def test_dust_filter_zeroes_small_components():
+    from ccl_ray.stages.aggregates import component_sizes, dust_filter
+
+    # one big component (100-104 chain), one small (110-111); vids start
+    # above 0 because label 0 is the background value (reference A1)
+    res = _check([100, 101, 102, 103, 110], [101, 102, 103, 104, 111])
+    filtered = dust_filter(res.labels, min_size=3).to_pandas()
+    d = dict(zip(filtered["vid"].astype(int), filtered["label"].astype(int)))
+    assert d[110] == 0 and d[111] == 0             # dust zeroed (reference A1)
+    assert d[100] == d[101] == d[102] == d[103] == d[104] == 100
+    sizes = component_sizes(res.labels, min_size=3).to_pandas()
+    assert len(sizes) == 1 and int(sizes["n_vertices"].iloc[0]) == 5
