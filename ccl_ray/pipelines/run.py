@@ -77,10 +77,17 @@ def main(argv=None) -> int:
         col = "score" if name == "scores" else "label"
         return ShardCheckpoint(os.path.join(args.checkpoint_dir, name), col=col)
 
+    # one shard bundle for all requested algorithms; materialize edges so
+    # the lazy build pipeline is not re-executed per shard exchange
+    from ccl_ray.state.shards import build_graph_shards
+
+    edges = edges.materialize()
+    shards = build_graph_shards(edges, args.partitions, vertices_ds=verts, symmetrize=True)
+
     if args.pipeline in ("flagship", "cc"):
         from ccl_ray.stages.cc_bsp import connected_components_bsp
 
-        cc = connected_components_bsp(edges, vertices=verts, cfg=cfg, checkpoint=ck("labels"))
+        cc = connected_components_bsp(edges, cfg=cfg, checkpoint=ck("labels"), shards=shards)
         path = os.path.join(args.out, "labels")
         cc.labels.write_parquet(path)
         manifest["tables"]["labels"] = {
@@ -92,7 +99,7 @@ def main(argv=None) -> int:
     if args.pipeline in ("flagship", "pagerank"):
         from ccl_ray.stages.pagerank_bsp import pagerank_bsp
 
-        pr = pagerank_bsp(edges, vertices=verts, cfg=cfg, symmetrize=True, checkpoint=ck("scores"))
+        pr = pagerank_bsp(edges, cfg=cfg, symmetrize=True, checkpoint=ck("scores"), shards=shards)
         path = os.path.join(args.out, "scores")
         pr.scores.write_parquet(path)
         manifest["tables"]["scores"] = {

@@ -97,18 +97,39 @@ def generate_transcripts(
     return out_path
 
 
+def _parse_conv_num(s) -> int:
+    """conv number for the 'c<digits>' fast path, or -1."""
+    if isinstance(s, str) and len(s) > 1 and s[0] == "c" and s[1:].isdigit():
+        return int(s[1:])
+    return -1
+
+
 def derive_vids(conv_id_arr, turn_idx_arr) -> np.ndarray:
-    """Stable vid per (conv_id, turn_idx); parsed fast path for c%06d ids."""
+    """Stable vid per (conv_id, turn_idx).
+
+    The scheme is chosen PER ROW (not per batch): 'c<digits>' ids parse to
+    ``num * 2^TURN_BITS + turn`` (collision-free, order-preserving); other
+    ids use a stable hash mix. Per-row choice keeps the mapping a pure
+    function of (conv_id, turn_idx) — independent of block boundaries —
+    which the text-equality invariant requires. Cross-scheme collisions are
+    p ~ n^2/2^62 (documented tradeoff vs a dense-rank dictionary join).
+    """
     turns = np.asarray(turn_idx_arr, dtype=np.int64)
-    ids = conv_id_arr
-    try:
-        nums = np.fromiter((int(s[1:]) for s in ids), dtype=np.int64, count=len(ids))
-        return nums * np.int64(1 << _TURN_BITS) + turns
-    except (ValueError, TypeError):
-        h = hash_strings_np(list(ids)).astype(np.int64) & np.int64((1 << 62) - 1)
-        return stable_hash64_np((h + turns).view(np.uint64)).astype(np.int64) & np.int64(
-            (1 << 62) - 1
-        )
+    ids = list(conv_id_arr)
+    nums = np.fromiter((_parse_conv_num(s) for s in ids), dtype=np.int64, count=len(ids))
+    parsed = nums * np.int64(1 << _TURN_BITS) + turns
+    fallback = nums < 0
+    if not fallback.any():
+        return parsed
+    h = hash_strings_np([ids[i] for i in np.nonzero(fallback)[0]]).astype(np.int64) & np.int64(
+        (1 << 62) - 1
+    )
+    hashed = stable_hash64_np((h + turns[fallback]).view(np.uint64)).astype(np.int64) & np.int64(
+        (1 << 62) - 1
+    )
+    out = parsed
+    out[fallback] = hashed
+    return out
 
 
 def read_transcripts(path: str) -> "rd.Dataset":
@@ -143,7 +164,9 @@ def adjacency_edges(ds: "rd.Dataset") -> "rd.Dataset":
         vids = derive_vids(convs, turns)
         mask = turns > 0
         cur = vids[mask]
-        prev = cur - 1  # contiguous turn indices => prev vid = vid - 1
+        # derive the PREVIOUS turn's vid through the same mapping — under
+        # the hash fallback vid(conv, t-1) is NOT vid(conv, t) - 1
+        prev = derive_vids([c for c, m in zip(convs, mask) if m], turns[mask] - 1)
         n = int(mask.sum())
         return pa.table(
             {

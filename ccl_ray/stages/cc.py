@@ -158,22 +158,21 @@ def connected_components(
 ) -> CCResult:
     """Exact connected components; labels = min vid per component.
 
-    ``checkpoint``: optional ccl_ray.state.checkpoint.CheckpointManager; when
-    given, per-iteration label tables + manifest rows are persisted and a
-    killed run resumes from the last complete iteration.
+    Checkpoint/resume is provided by the default BSP engine
+    (cc_bsp.connected_components_bsp + state.checkpoint.ShardCheckpoint);
+    this alternate Dataset formulation intentionally does not support it.
     """
+    if checkpoint is not None:
+        raise NotImplementedError(
+            "checkpointing is supported by the BSP engine (connected_components_bsp); "
+            "the Dataset strategy is a semantics-parity path only"
+        )
     cfg = cfg or EngineConfig()
     sym = _pin(symmetrize(edges), cfg.num_partitions)  # static across iterations
     n_dir_edges = sym.count()
 
     start_iter = 0
-    labels = None
-    if checkpoint is not None:
-        resumed = checkpoint.latest()
-        if resumed is not None:
-            start_iter, labels = resumed
-    if labels is None:
-        labels = _pin(init_labels(edges, vertices, cfg), cfg.num_partitions)
+    labels = _pin(init_labels(edges, vertices, cfg), cfg.num_partitions)
 
     metrics: list[dict] = []
     it = start_iter
@@ -208,8 +207,6 @@ def connected_components(
                 "edges_per_sec": n_dir_edges / wall if wall > 0 else 0.0,
             }
         )
-        if checkpoint is not None and (it % cfg.checkpoint_every == 0 or changed == 0):
-            checkpoint.save(it, labels, extra=metrics[-1])
         if changed == 0:
             break
 

@@ -69,6 +69,11 @@ class MinHashSig:
         return pd.DataFrame({"doc_id": df["doc_id"].values, "sig": [s.astype(np.int64) for s in sigs]})
 
 
+# buckets up to this size emit their complete pair set; larger buckets are
+# star-expanded (transitively complete for clustering, capped for listing)
+_ALLPAIR_CAP = 64
+
+
 def minhash_candidates(
     docs: "rd.Dataset",
     *,
@@ -100,11 +105,16 @@ def minhash_candidates(
         )
 
     def pairs(df: pd.DataFrame) -> pa.Table:
-        ids = np.sort(df["doc_id"].values.astype(np.int64))
+        ids = np.unique(df["doc_id"].values.astype(np.int64))
         if len(ids) < 2:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        # bucket -> pairs against the bucket min (star): enough to group
-        # near-dup clusters without O(k^2) blowup in hot buckets
+        if len(ids) <= _ALLPAIR_CAP:
+            # complete pair set (the pairs contract) for normal buckets
+            ii, jj = np.triu_indices(len(ids), 1)
+            return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
+        # hot-bucket defense: star to the bucket min keeps O(k) edges; the
+        # missing within-bucket pairs are still connected transitively, so
+        # duplicate_clusters stays exact while the pairs listing is capped
         return pa.table({"a": pa.array(np.full(len(ids) - 1, ids[0])), "b": pa.array(ids[1:])})
 
     sigs = docs.map_batches(

@@ -71,8 +71,11 @@ class _CosineScan:
                 mask &= row >= self.threshold
             idx = np.nonzero(mask)[0]
             if self.k is not None and len(idx) > self.k:
-                top = np.argpartition(-row[idx], self.k)[: self.k]
-                idx = idx[top]
+                # deterministic per-batch prune: (-sim, b) order so ties at
+                # the cut keep the smallest ids — matching the global
+                # (sim desc, b asc) tie-break and the SQL row_number oracle
+                order = np.lexsort((cids[idx], -row[idx]))
+                idx = idx[order[: self.k]]
             out_a.append(np.full(len(idx), qid, dtype=np.int64))
             out_b.append(cids[idx])
             out_s.append(row[idx])
@@ -214,8 +217,8 @@ def ivf_topk(
                 idx = np.nonzero(mask)[0]
                 row = sims[qi][idx]
                 if len(idx) > self.k:
-                    top = np.argpartition(-row, self.k)[: self.k]
-                    idx, row = idx[top], row[top]
+                    order = np.lexsort((cids[idx], -row))
+                    idx, row = idx[order[: self.k]], row[order[: self.k]]
                 out.append(pd.DataFrame({"a": qid, "b": cids[idx], "sim": row}))
             return (
                 pd.concat(out, ignore_index=True)

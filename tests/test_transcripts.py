@@ -98,3 +98,39 @@ def test_derive_vids_fallback_hash():
     # stable across calls
     again = derive_vids(["conv-x", "conv-y", "conv-x"], np.array([0, 0, 1]))
     assert (vids == again).all()
+
+
+def test_hash_fallback_adjacency_and_block_independence(tmp_path):
+    """Arbitrary conv ids: per-row vid scheme; adjacency must route through
+    derive_vids (vid(conv,t-1) != vid(conv,t)-1 under the hash fallback),
+    and the mapping must not depend on which rows share a block."""
+    import pyarrow as pa
+
+    rows = []
+    for conv in ["weird-x", "c000007", "another!id"]:
+        for t in range(4):
+            rows.append((conv, t))
+    t_tbl = pa.table(
+        {
+            "conv_id": pa.array([c for c, _ in rows]),
+            "turn_idx": pa.array([t for _, t in rows], pa.int32()),
+        }
+    )
+    for blocks in (1, 5):
+        ds = rd.from_arrow(t_tbl).repartition(blocks)
+        edges = adjacency_edges(ds).to_pandas()
+        verts = transcript_vertices(ds).to_pandas()
+        vid_of = {(c, t): v for c, t, v in zip(verts["conv_id"], verts["turn_idx"], verts["vid"])}
+        assert verts["vid"].is_unique
+        # every adjacency edge connects consecutive turns of one conv
+        expected = set()
+        for conv in ["weird-x", "c000007", "another!id"]:
+            for t in range(1, 4):
+                a, b = vid_of[(conv, t - 1)], vid_of[(conv, t)]
+                expected.add((min(a, b), max(a, b)))
+        got = set(zip(edges["src"].astype(int), edges["dst"].astype(int)))
+        assert got == expected
+        if blocks == 1:
+            base_vids = vid_of
+        else:
+            assert vid_of == base_vids  # block-independent mapping
