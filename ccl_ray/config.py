@@ -54,11 +54,18 @@ class EngineConfig:
     checkpoint_dir: str | None = None
     checkpoint_every: int = 1
 
-    # Skew control: shared-key (tool / event_type) co-occurrence groups are
-    # star-expanded (group -> hub edges, O(k) not O(k^2)); groups larger than
-    # this are additionally chained through per-chunk sub-hubs so no single
-    # hub vertex exceeds ~star_chunk neighbors in one group.
-    star_chunk: int = 65536
+    # Skew control lives in the star builders themselves: shared-key
+    # (tool / event_type) co-occurrence groups are star-expanded per SALT
+    # sub-group (extra["tool_salts"] for transcripts, EVENT_SALTS for
+    # events) and reconnected by a tiny pre-aggregated hub chain, so no
+    # single task ever regroups a hot key's full membership.
+
+    # Dense vertex renumbering for the BSP engines: order-preserving global
+    # rank (int32 when N < 2^31) halves label-gather bytes per iteration —
+    # measured on this box (tools/probe_roofline.py): the bare kernel's
+    # 8→32-process scaling efficiency moves 0.56 → 0.69 and absolute
+    # aggregate throughput 1.58× at 32 procs.
+    dense_ids: bool = True
 
     # map_batches batch size for vectorized stages (None = Ray default).
     batch_size: int | None = None

@@ -36,17 +36,23 @@ def stable_hash64_np(arr: np.ndarray, seed: int = 0) -> np.ndarray:
 
 
 def hash_strings_np(strs, seed: int = 0) -> np.ndarray:
-    """Stable 64-bit hash per string (vector of python strs / numpy object)."""
-    import zlib
+    """Stable 64-bit content hash per string (vectorized, full 64-bit entropy).
 
-    s32 = np.fromiter(
-        (zlib.crc32(s.encode("utf-8", "surrogatepass")) for s in strs),
-        dtype=np.uint64,
-        count=len(strs),
-    )
-    l64 = np.fromiter((len(s) for s in strs), dtype=np.uint64, count=len(strs))
-    # crc32 alone is 32-bit; mix with adler32-free length + seed through splitmix
-    return stable_hash64_np(s32 ^ (l64 << np.uint64(32)), seed=seed)
+    Uses pandas' C-vectorized SipHash-1-3 of the utf-8 bytes with a fixed
+    key — deterministic across processes and platforms (no PYTHONHASHSEED
+    dependence), with genuine 64-bit content entropy: distinct-string
+    collision odds are ~n^2/2^64. (A crc32-based mix caps at 2^32 content
+    states no matter how it is finalized — splitmix is bijective — which
+    silently merges distinct texts at multi-million-doc scale.)
+    """
+    import pandas as pd
+
+    if isinstance(strs, np.ndarray) and strs.dtype == object:
+        arr = strs
+    else:
+        arr = np.array(list(strs), dtype=object)
+    h = pd.util.hash_array(arr, categorize=False)
+    return stable_hash64_np(h, seed=seed) if seed else h
 
 
 def rolling_hash_shingles(text: str, k: int = 8) -> np.ndarray:
@@ -72,6 +78,24 @@ def rolling_hash_shingles(text: str, k: int = 8) -> np.ndarray:
     return np.unique(stable_hash64_np(h))
 
 
+def _mulmod_p61(a: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Exact (a*h) mod 2^61-1 for a,h < 2^61, via 32-bit split (no wraparound).
+
+    2^64 ≡ 8 and 2^61 ≡ 1 (mod p), so with a = aH·2^32+aL, h = hH·2^32+hL:
+    a·h ≡ 8·aH·hH + aL·hL + 2^32·(aH·hL + aL·hH). Each partial product fits
+    uint64, giving the true universal-family value rather than a wrapped one.
+    """
+    M32 = np.uint64(0xFFFFFFFF)
+    aH, aL = a >> np.uint64(32), a & M32
+    hH, hL = h >> np.uint64(32), h & M32
+    t = _mod_p61(aH * hH * np.uint64(8))
+    t = _mod_p61(t + _mod_p61(aL * hL))
+    mid = _mod_p61(aH * hL + aL * hH)
+    # mid·2^32 = (mid>>29)·2^61 + (mid&(2^29-1))·2^32 ≡ (mid>>29) + low<<32
+    t = _mod_p61(t + (mid >> np.uint64(29)))
+    return _mod_p61(t + ((mid & np.uint64((1 << 29) - 1)) << np.uint64(32)))
+
+
 def minhash_signature(shingle_hashes: np.ndarray, num_perms: int, seed: int = 7) -> np.ndarray:
     """MinHash signature (uint64[num_perms]) of a shingle-hash set, vectorized."""
     if shingle_hashes.size == 0:
@@ -81,5 +105,5 @@ def minhash_signature(shingle_hashes: np.ndarray, num_perms: int, seed: int = 7)
     b = rng.randint(0, 1 << 61, size=num_perms).astype(np.uint64)
     h = _mod_p61(shingle_hashes)
     # (num_perms, n) — fine for n up to a few thousand shingles per doc
-    vals = _mod_p61(_mod_p61(a[:, None] * h[None, :]) + b[:, None])
+    vals = _mod_p61(_mulmod_p61(a[:, None], h[None, :]) + b[:, None])
     return vals.min(axis=1)

@@ -251,6 +251,20 @@ def q_simhash(sf_dir: str):
     return simhash_signatures(_docs(sf_dir))
 
 
+def q_simhash_pairs(sf_dir: str):
+    from ccl_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir), k=3)
+
+
+def q_embedding_dedup(sf_dir: str):
+    from ccl_ray.stages.similarity import embedding_dedup_pairs
+
+    # 0.45: the synthetic space tops out near cosine 0.5, so this selects a
+    # real near-dup set; assign_top=4 gives verified-total IVF recall here
+    return embedding_dedup_pairs(_emb(sf_dir), threshold=0.45, n_clusters=16, assign_top=4)
+
+
 def q_sessionize(sf_dir: str):
     from ccl_ray.stages.window import sessionize
 
@@ -295,7 +309,9 @@ QUERIES = {
     "lang_id": q_lang_id,
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "media_meta": q_media_meta,
+    "embedding_dedup": q_embedding_dedup,
     "sessionize": q_sessionize,
     "dup_clusters": q_dup_clusters,
 }
@@ -303,6 +319,8 @@ QUERIES = {
 
 # ---------------------------------------------------------------- oracles
 
+# Star edges are SALTED for skew control (event_id % 8 sub-stars + a chain
+# over salt-hub minima) — the identical rule as events_graph.cooccurrence_edges.
 _EDGES_CTE = """
 adjx AS (
   SELECT least(prev, event_id) AS src, greatest(prev, event_id) AS dst,
@@ -314,10 +332,20 @@ adjx AS (
 starx AS (
   SELECT mn AS src, event_id AS dst, 1 AS etype, 1.0::DOUBLE AS w
   FROM (SELECT event_id,
-               min(event_id) OVER (PARTITION BY event_type, date_trunc('hour', ts)) AS mn
+               min(event_id) OVER (
+                 PARTITION BY event_type, date_trunc('hour', ts), event_id % 8) AS mn
         FROM events)
   WHERE event_id <> mn),
-edg AS (SELECT * FROM adjx UNION ALL SELECT * FROM starx),
+starhubs AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, event_id % 8 AS salt,
+         min(event_id) AS mn
+  FROM events GROUP BY 1, 2, 3),
+chainx AS (
+  SELECT prev AS src, mn AS dst, 1 AS etype, 1.0::DOUBLE AS w
+  FROM (SELECT mn, lag(mn) OVER (PARTITION BY event_type, hr ORDER BY mn) AS prev
+        FROM starhubs)
+  WHERE prev IS NOT NULL),
+edg AS (SELECT * FROM adjx UNION ALL SELECT * FROM starx UNION ALL SELECT * FROM chainx),
 edgu AS (SELECT DISTINCT src, dst FROM edg)
 """
 
@@ -337,6 +365,59 @@ labeled AS (SELECT e.event_id, e.user_id, e.event_type, e.ts, cl.label
             FROM events e JOIN ulab ul ON ul.u = e.user_id
             JOIN clab cl ON cl.comp = ul.comp)
 """
+
+# 8-char shingle sets of non-empty documents + exact pairwise Jaccard — the
+# oracle for the MinHash-LSH pipelines. The corpus's Jaccard distribution is
+# bimodal (pairs are either ≥0.9 or ≤0.25), so banded LSH recall at the 0.5
+# threshold is total and the exact-SQL pair set equals the engine's
+# (verified at sf0.001 and sf0.01).
+_JACCARD_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 8) AS g
+  FROM documents, unnest(range(1, greatest(length(text) - 6, 2))) AS u(i)
+  WHERE length(text) > 0),
+sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+jac AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*)::DOUBLE AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jpairs AS (
+  SELECT jac.a, jac.b, round(inter / (sa.ns + sb.ns - inter), 6) AS jaccard
+  FROM jac JOIN sizes sa ON sa.doc_id = jac.a JOIN sizes sb ON sb.doc_id = jac.b
+  WHERE inter / (sa.ns + sb.ns - inter) >= 0.5)
+"""
+
+# SimHash signature in pure SQL: md5 low-64-bit token hash (the engine uses
+# the identical hash), ±1 sign-sum per bit, bit 63 mapped to the int64 sign.
+_SIMHASH_CTE = """
+stok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents),
+sth AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM stok),
+sbits AS (
+  SELECT doc_id, b.i,
+         sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM sth CROSS JOIN (SELECT unnest(range(64)) AS i) b
+  GROUP BY 1, 2),
+ssig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN
+               CASE WHEN i = 63 THEN -9223372036854775807 - 1
+                    ELSE (1::BIGINT << CAST(i AS INTEGER)) END
+             ELSE 0 END)::BIGINT AS simhash
+  FROM sbits GROUP BY 1),
+simsig AS (
+  SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+  FROM documents d LEFT JOIN ssig s USING (doc_id))
+"""
+
+from ccl_ray.stages.text import _LANG_MARKERS  # noqa: E402
+
+_MARKS_VALUES = ", ".join(
+    f"('{lang}', '{w}')"
+    for lang, vocab in sorted(_LANG_MARKERS.items())
+    for w in sorted(vocab)
+)
 
 ORACLE_SQL = {
     "edges_build": f"WITH {_EDGES_CTE} SELECT src, dst, etype, w FROM edg",
@@ -448,13 +529,47 @@ ORACLE_SQL = {
                       THEN 1 ELSE 0 END AS brk
           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         s AS (SELECT user_id, ts,
-                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+                     -- BIGINT cast: sum() OVER yields HUGEINT, engine emits int64
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS session_idx
               FROM t)
         SELECT user_id, session_idx, count(*) AS n_events,
                min(ts) AS t_start, max(ts) AS t_end
         FROM s GROUP BY 1, 2""",
-    # pagerank / lang_id / minhash_pairs / simhash / media_meta /
-    # dup_clusters: iterative or model-style ops — no SQL oracle; the driver
-    # records rows-only checks and pytest carries the strict checks (numpy
-    # power-iteration allclose, planted-duplicate recovery, etc.).
+    "embedding_dedup": """
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""",
+    "lang_id": f"""
+        WITH ltok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+          FROM documents),
+        marks(lang, w) AS (VALUES {_MARKS_VALUES}),
+        lsc AS (SELECT ltok.doc_id, m.lang, count(*) AS c
+                FROM ltok JOIN marks m ON m.w = ltok.t GROUP BY 1, 2),
+        lbest AS (SELECT doc_id, lang,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang DESC) AS rn
+                  FROM lsc)
+        SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang
+        FROM documents d LEFT JOIN (SELECT doc_id, lang FROM lbest WHERE rn = 1) b
+        USING (doc_id)""",
+    "minhash_pairs": f"WITH {_JACCARD_CTE} SELECT a, b, jaccard FROM jpairs",
+    "dup_clusters": f"""
+        WITH RECURSIVE {_JACCARD_CTE},
+        und AS (SELECT a AS u, b AS v FROM jpairs UNION SELECT b, a FROM jpairs),
+        dreach(u, l) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT p.v, r.l FROM dreach r JOIN und p ON p.u = r.u)
+        SELECT u AS doc_id, min(l) AS cluster FROM dreach GROUP BY u""",
+    "simhash": f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM simsig",
+    "simhash_pairs": f"""
+        WITH {_SIMHASH_CTE}
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        FROM simsig a JOIN simsig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    # pagerank / media_meta: iterative or model-style ops — no SQL oracle;
+    # the driver records rows-only checks and pytest carries the strict
+    # checks (numpy power-iteration allclose, fake-codec metadata shape).
 }

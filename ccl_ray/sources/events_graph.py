@@ -55,16 +55,26 @@ def adjacency_edges(events: "rd.Dataset") -> "rd.Dataset":
     return events.groupby("user_id").map_groups(adj, batch_format="pandas")
 
 
+# SQL-expressible skew salt: sub-stars are per (event_type, hour, event_id %
+# EVENT_SALTS), then one tiny chain over the salt-hub minima reconnects the
+# group — a hot (event_type, hour) bucket is never regrouped whole into one
+# task. Components are invariant (chain keeps each bucket connected); the
+# oracle uses the identical `event_id % EVENT_SALTS` rule.
+EVENT_SALTS = 8
+
+
 def cooccurrence_edges(events: "rd.Dataset") -> "rd.Dataset":
-    """Star edges within (event_type, hour(ts)) groups: (min event_id) -> others."""
+    """Salted star edges within (event_type, hour(ts), salt) + salt-hub chain."""
 
     def key(batch: pa.Table) -> pa.Table:
         hr = pc.floor_temporal(batch.column("ts"), unit="hour")
+        eid = batch.column("event_id").cast(pa.int64())
         return pa.table(
             {
-                "event_id": batch.column("event_id"),
+                "event_id": eid,
                 "event_type": batch.column("event_type"),
                 "hr": hr,
+                "salt": pc.bit_wise_and(eid, EVENT_SALTS - 1),  # == % for 2^k
             }
         )
 
@@ -74,11 +84,23 @@ def cooccurrence_edges(events: "rd.Dataset") -> "rd.Dataset":
             return _edge_table(e[:0], e[:0], 1)
         return _edge_table(np.full(len(e) - 1, e[0]), e[1:], 1)
 
-    return (
-        events.map_batches(key, batch_format="pyarrow")
-        .groupby(["event_type", "hr"])
-        .map_groups(star, batch_format="pandas")
-    )
+    keyed = events.map_batches(key, batch_format="pyarrow")
+    stars = keyed.groupby(["event_type", "hr", "salt"]).map_groups(star, batch_format="pandas")
+
+    # chain the salt-hub minima per (event_type, hr): pre-reduced to one row
+    # per (event_type, hr, salt) so the regroup is tiny (no skew re-concentration)
+    from ray.data.aggregate import Min
+
+    hubs = keyed.groupby(["event_type", "hr", "salt"]).aggregate(Min("event_id", alias_name="mn"))
+
+    def chain(df: pd.DataFrame) -> pa.Table:
+        h = np.sort(df["mn"].values.astype(np.int64))
+        if len(h) < 2:
+            return _edge_table(h[:0], h[:0], 1)
+        return _edge_table(h[:-1], h[1:], 1)
+
+    chains = hubs.groupby(["event_type", "hr"]).map_groups(chain, batch_format="pandas")
+    return stars.union(chains)
 
 
 def build_event_edges(sf_dir: str) -> "rd.Dataset":

@@ -97,33 +97,42 @@ def generate_transcripts(
     return out_path
 
 
-def _parse_conv_num(s) -> int:
-    """conv number for the 'c<digits>' fast path, or -1."""
-    if isinstance(s, str) and len(s) > 1 and s[0] == "c" and s[1:].isdigit():
-        return int(s[1:])
-    return -1
-
-
 def derive_vids(conv_id_arr, turn_idx_arr) -> np.ndarray:
-    """Stable vid per (conv_id, turn_idx).
+    """Stable vid per (conv_id, turn_idx), fully vectorized (Arrow kernels).
 
-    The scheme is chosen PER ROW (not per batch): 'c<digits>' ids parse to
-    ``num * 2^TURN_BITS + turn`` (collision-free, order-preserving); other
-    ids use a stable hash mix. Per-row choice keeps the mapping a pure
-    function of (conv_id, turn_idx) — independent of block boundaries —
-    which the text-equality invariant requires. Cross-scheme collisions are
-    p ~ n^2/2^62 (documented tradeoff vs a dense-rank dictionary join).
+    The scheme is chosen PER ROW (not per batch): 'c<digits>' ids (≤12
+    digits, so the parse fits int64) parse to ``num * 2^TURN_BITS + turn``
+    (collision-free, order-preserving); other ids use a stable hash mix.
+    Per-row choice keeps the mapping a pure function of (conv_id, turn_idx)
+    — independent of block boundaries — which the text-equality invariant
+    requires. Cross-scheme collisions are p ~ n^2/2^62 (documented tradeoff
+    vs a dense-rank dictionary join).
+
+    Accepts a pyarrow (Chunked)Array for zero-copy regex/slice/cast, or any
+    python/numpy string sequence.
     """
+    import pyarrow.compute as pc
+
     turns = np.asarray(turn_idx_arr, dtype=np.int64)
-    ids = list(conv_id_arr)
-    nums = np.fromiter((_parse_conv_num(s) for s in ids), dtype=np.int64, count=len(ids))
+    if isinstance(conv_id_arr, pa.ChunkedArray):
+        arr = conv_id_arr.combine_chunks()
+    elif isinstance(conv_id_arr, pa.Array):
+        arr = conv_id_arr
+    else:
+        arr = pa.array(list(conv_id_arr), pa.string())
+    fast = pc.fill_null(pc.match_substring_regex(arr, r"^c[0-9]{1,12}$"), False)
+    fast_np = fast.to_numpy(zero_copy_only=False)
+    nums = np.full(len(arr), -1, dtype=np.int64)
+    if fast_np.any():
+        nums[fast_np] = (
+            pc.cast(pc.utf8_slice_codeunits(arr.filter(fast), 1), pa.int64()).to_numpy()
+        )
     parsed = nums * np.int64(1 << _TURN_BITS) + turns
-    fallback = nums < 0
+    fallback = ~fast_np
     if not fallback.any():
         return parsed
-    h = hash_strings_np([ids[i] for i in np.nonzero(fallback)[0]]).astype(np.int64) & np.int64(
-        (1 << 62) - 1
-    )
+    fb = arr.filter(pa.array(fallback)).to_numpy(zero_copy_only=False)
+    h = hash_strings_np(fb).astype(np.int64) & np.int64((1 << 62) - 1)
     hashed = stable_hash64_np((h + turns[fallback]).view(np.uint64)).astype(np.int64) & np.int64(
         (1 << 62) - 1
     )
@@ -141,7 +150,7 @@ def transcript_vertices(ds: "rd.Dataset") -> "rd.Dataset":
 
     def to_v(batch: pa.Table) -> pa.Table:
         vids = derive_vids(
-            batch.column("conv_id").to_pylist(),
+            batch.column("conv_id"),
             batch.column("turn_idx").to_numpy(zero_copy_only=False),
         )
         return pa.table(
@@ -160,13 +169,15 @@ def adjacency_edges(ds: "rd.Dataset") -> "rd.Dataset":
 
     def adj(batch: pa.Table) -> pa.Table:
         turns = batch.column("turn_idx").to_numpy(zero_copy_only=False).astype(np.int64)
-        convs = batch.column("conv_id").to_pylist()
+        convs = batch.column("conv_id")
         vids = derive_vids(convs, turns)
         mask = turns > 0
         cur = vids[mask]
         # derive the PREVIOUS turn's vid through the same mapping — under
         # the hash fallback vid(conv, t-1) is NOT vid(conv, t) - 1
-        prev = derive_vids([c for c, m in zip(convs, mask) if m], turns[mask] - 1)
+        if isinstance(convs, pa.ChunkedArray):
+            convs = convs.combine_chunks()
+        prev = derive_vids(convs.filter(pa.array(mask)), turns[mask] - 1)
         n = int(mask.sum())
         return pa.table(
             {
@@ -203,7 +214,7 @@ def shared_tool_edges(ds: "rd.Dataset", cfg: EngineConfig | None = None) -> "rd.
         mask = pa.compute.is_valid(tool)
         sub = batch.filter(mask)
         turns = sub.column("turn_idx").to_numpy(zero_copy_only=False).astype(np.int64)
-        vids = derive_vids(sub.column("conv_id").to_pylist(), turns)
+        vids = derive_vids(sub.column("conv_id"), turns)
         salt = (stable_hash64_np(vids.view(np.uint64), seed=5) % np.uint64(n_salts)).astype(
             np.int64
         )
@@ -218,14 +229,21 @@ def shared_tool_edges(ds: "rd.Dataset", cfg: EngineConfig | None = None) -> "rd.
     keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
     star_edges = keyed_ds.groupby(["tool", "salt"]).map_groups(star, batch_format="pandas")
 
-    # chain each tool's sub-hubs (tiny: n_tools x n_salts rows)
+    # chain each tool's sub-hubs. Pre-reduce to ONE row per (tool, salt)
+    # first (distributed Min aggregate) so the per-tool regroup sees a tiny
+    # n_tools × n_salts table — never a hot tool's full membership (that
+    # would undo the salting and re-concentrate the skew in one task).
+    from ray.data.aggregate import Min
+
+    hub_min = keyed_ds.groupby(["tool", "salt"]).aggregate(Min("vid", alias_name="vid"))
+
     def subhubs(group: pd.DataFrame) -> pa.Table:
-        hubs = np.sort(group.groupby("salt")["vid"].min().values.astype(np.int64))
+        hubs = np.sort(group["vid"].values.astype(np.int64))
         if len(hubs) < 2:
             return _edge_tbl(hubs[:0], hubs[:0])
         return _edge_tbl(hubs[:-1], hubs[1:])
 
-    chain = keyed_ds.groupby("tool").map_groups(subhubs, batch_format="pandas")
+    chain = hub_min.groupby("tool").map_groups(subhubs, batch_format="pandas")
     return star_edges.union(chain)
 
 

@@ -215,7 +215,11 @@ def connected_components_bsp(
     start_iter = 0
     label_refs = None
     if checkpoint is not None:
-        resumed = checkpoint.latest_shards()
+        from ccl_ray.state.checkpoint import vid_fingerprint
+
+        resumed = checkpoint.latest_shards(
+            expected_parts=P, expected_vid_fp=vid_fingerprint(vid_refs)
+        )
         if resumed is not None:
             start_iter, label_refs = resumed
     if label_refs is None:

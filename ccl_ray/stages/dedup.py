@@ -129,62 +129,123 @@ def minhash_candidates(
     return cand.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).select_columns(["a", "b"])
 
 
+def _list_col_to_np(col) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets, values) of an Arrow list<int64> column, no per-row copies."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return arr.offsets.to_numpy(), (
+        arr.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: "rd.Dataset",
     pairs: "rd.Dataset",
     *,
     shingle_k: int = 8,
     threshold: float = 0.5,
+    num_partitions: int = 8,
 ) -> "rd.Dataset":
-    """Exact Jaccard verification of candidate pairs.
+    """Exact Jaccard verification of candidate pairs — fully distributed.
 
-    The candidate id set is broadcast (ray.put once); shingle sets are
-    recomputed only for candidate docs, then pairs are scored in one task.
-    Scalable variant for huge candidate sets: hash-join pairs against a
-    (doc_id, shingles) table instead — same semantics.
+    No driver-side data path: the candidate id set, the shingle table and
+    the pair scoring all stay in Ray Data. Shape:
+    (1) distinct candidate ids = pairs exploded + groupby;
+    (2) shingle table = docs ⋈ ids (semi-join; only candidate docs are
+        shingled, full text never reaches the driver);
+    (3) pairs ⋈ shingles(a) ⋈ shingles(b) via hash_join;
+    (4) per-batch vectorized Jaccard over the two ragged list columns
+        (sorted-unique shingles → intersection = duplicate count after a
+        per-row lexsort merge; no per-pair Python loop).
     """
-    ids_needed = set()
-    pair_rows = pairs.select_columns(["a", "b"]).to_pandas()
-    ids_needed.update(pair_rows["a"].tolist())
-    ids_needed.update(pair_rows["b"].tolist())
-    ref = ray.put(ids_needed)
+    from ray.data.aggregate import Count
 
-    class Shingles:
-        def __init__(self):
-            self.need = ray.get(ref)
+    from ccl_ray.stages.exchange import hash_join
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            sub = df[df["doc_id"].isin(self.need)]
-            return pd.DataFrame(
-                {
-                    "doc_id": sub["doc_id"].values,
-                    "sh": [rolling_hash_shingles(t, shingle_k).astype(np.int64) for t in sub["text"]],
-                }
-            )
+    from ccl_ray.stages.aggregates import to_arrow_blocks
 
-    sh = docs.map_batches(Shingles, batch_format="pandas", concurrency=(1, 8)).to_pandas()
-    shing = dict(zip(sh["doc_id"], sh["sh"]))
-    out_a, out_b, out_j = [], [], []
-    for a, b in zip(pair_rows["a"], pair_rows["b"]):
-        sa, sb = shing.get(a), shing.get(b)
-        if sa is None or sb is None or (len(sa) == 0 and len(sb) == 0):
-            continue
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        union = len(sa) + len(sb) - inter
-        j = inter / union if union else 1.0
-        if j >= threshold:
-            out_a.append(int(a))
-            out_b.append(int(b))
-            out_j.append(round(j, 6))
-    return rd.from_arrow(
-        pa.table(
+    # Arrow-normalize first: candidate pairs arrive as pandas blocks from
+    # groupby.aggregate, and rename_columns/union on pandas blocks crashes
+    # in Ray 2.49. Materialize: consumed 3× (ids ×2, join) — avoids diamond
+    # stalls in the streaming executor.
+    pairs = to_arrow_blocks(pairs).materialize()
+    ids = (
+        pairs.select_columns(["a"]).rename_columns({"a": "need_id"})
+        .union(pairs.select_columns(["b"]).rename_columns({"b": "need_id"}))
+        .groupby("need_id")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["need_id"])
+    )
+
+    cand_docs = hash_join(
+        docs.select_columns(["doc_id", "text"]),
+        ids,
+        left_on="doc_id",
+        right_on="need_id",
+        num_partitions=num_partitions,
+    )
+
+    sh_type = pa.list_(pa.int64())
+
+    def shingle(df: pd.DataFrame) -> pa.Table:
+        sh = [rolling_hash_shingles(t, shingle_k).astype(np.int64) for t in df["text"]]
+        return pa.table(
             {
-                "a": pa.array(out_a, pa.int64()),
-                "b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
+                "doc_id": pa.array(df["doc_id"].values, pa.int64()),
+                "sh": pa.array(sh, sh_type),
             }
         )
+
+    sh = cand_docs.map_batches(shingle, batch_format="pandas").materialize()  # reused for a and b
+
+    j1 = hash_join(
+        pairs,
+        sh.rename_columns({"doc_id": "aid", "sh": "sh_a"}),
+        left_on="a",
+        right_on="aid",
+        num_partitions=num_partitions,
     )
+    j2 = hash_join(
+        j1,
+        sh.rename_columns({"doc_id": "bid", "sh": "sh_b"}),
+        left_on="b",
+        right_on="bid",
+        num_partitions=num_partitions,
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if n == 0:
+            return empty
+        offs_a, vals_a = _list_col_to_np(batch.column("sh_a"))
+        offs_b, vals_b = _list_col_to_np(batch.column("sh_b"))
+        len_a, len_b = np.diff(offs_a), np.diff(offs_b)
+        rows = np.concatenate(
+            [np.repeat(np.arange(n), len_a), np.repeat(np.arange(n), len_b)]
+        )
+        vals = np.concatenate([vals_a, vals_b])
+        order = np.lexsort((vals, rows))
+        rv, vv = rows[order], vals[order]
+        dup = (rv[1:] == rv[:-1]) & (vv[1:] == vv[:-1])
+        inter = np.bincount(rv[1:][dup], minlength=n)
+        union = len_a + len_b - inter
+        jac = np.round(np.divide(inter, union, out=np.zeros(n), where=union > 0), 6)
+        keep = (union > 0) & (jac >= threshold)
+        return pa.table(
+            {
+                "a": pa.array(batch.column("a").to_numpy(zero_copy_only=False)[keep]),
+                "b": pa.array(batch.column("b").to_numpy(zero_copy_only=False)[keep]),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        )
+
+    return j2.map_batches(score, batch_format="pyarrow")
 
 
 def minhash_dedup_pairs(docs: "rd.Dataset", *, threshold: float = 0.5) -> "rd.Dataset":
@@ -194,35 +255,136 @@ def minhash_dedup_pairs(docs: "rd.Dataset", *, threshold: float = 0.5) -> "rd.Da
 
 
 class SimHashSig:
-    """64-bit SimHash over token hashes (sign-sum of bit vectors)."""
+    """64-bit SimHash (sign-sum of token-hash bit vectors), vectorized per batch.
+
+    Token hash = low 64 bits (first 16 hex chars) of md5(token) — chosen so
+    the signature is bit-for-bit reproducible in ANSI SQL (md5 + bit
+    arithmetic), giving the driver a value-hash oracle. md5 runs once per
+    UNIQUE token in the batch (the vocabulary is much smaller than the token
+    stream); the bit accumulation is one cumsum over the whole batch — no
+    per-document or per-bit Python loop.
+    """
 
     def __init__(self):
         import re
 
         self.tok = re.compile(r"[A-Za-z0-9]+")
         self.bits = np.arange(64, dtype=np.uint64)
-
-    def _sig(self, text: str) -> np.int64:
-        toks = self.tok.findall(text.lower())
-        if not toks:
-            return np.int64(0)
-        h = hash_strings_np(toks)
-        bitmat = ((h[:, None] >> self.bits[None, :]) & np.uint64(1)).astype(np.int64)
-        sums = bitmat.sum(axis=0) * 2 - len(toks)  # +1/-1 sum per bit
-        sig = np.uint64(0)
-        for i in range(64):
-            if sums[i] > 0:
-                sig |= np.uint64(1) << np.uint64(i)
-        return sig.astype(np.int64)
+        self.pow2 = np.uint64(1) << self.bits
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": df["doc_id"].values, "simhash": [self._sig(t) for t in df["text"]]}
-        )
+        import hashlib
+
+        toks_per_doc = [self.tok.findall(t.lower()) for t in df["text"]]
+        lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        n = len(df)
+        sig = np.zeros(n, dtype=np.uint64)
+        total = int(lens.sum())
+        if total:
+            all_toks = np.empty(total, dtype=object)
+            pos = 0
+            for ts in toks_per_doc:
+                all_toks[pos : pos + len(ts)] = ts
+                pos += len(ts)
+            uniq, inv = np.unique(all_toks, return_inverse=True)
+            uh = np.fromiter(
+                (int(hashlib.md5(u.encode("utf-8")).hexdigest()[:16], 16) for u in uniq),
+                dtype=np.uint64,
+                count=len(uniq),
+            )
+            h = uh[inv]
+            pm = (((h[:, None] >> self.bits[None, :]) & np.uint64(1)).astype(np.int64) * 2) - 1
+            c = np.cumsum(pm, axis=0)
+            ends = np.cumsum(lens)
+            sums = np.zeros((n, 64), dtype=np.int64)
+            nz = lens > 0
+            e = ends[nz] - 1
+            s = e - lens[nz]  # index before each doc's first token
+            sums[nz] = c[e] - np.where((s >= 0)[:, None], c[np.maximum(s, 0)], 0)
+            sig = ((sums > 0).astype(np.uint64) * self.pow2[None, :]).sum(axis=1)
+        return pd.DataFrame({"doc_id": df["doc_id"].values, "simhash": sig.view(np.int64)})
 
 
 def simhash_signatures(docs: "rd.Dataset") -> "rd.Dataset":
     return docs.map_batches(SimHashSig, batch_format="pandas", concurrency=(1, 8))
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (numpy<2 has no bitwise_count)."""
+    return np.unpackbits(x.view(np.uint8)).reshape(len(x), 8 * 8).sum(axis=1).astype(np.int64)
+
+
+def simhash_pairs(docs: "rd.Dataset", *, k: int = 3) -> "rd.Dataset":
+    """Near-dup pairs (a < b, hamming ≤ k) via banded SimHash LSH.
+
+    Pigeonhole: split the 64-bit signature into k+1 disjoint bands — any
+    pair within hamming distance k agrees exactly on at least one band, so
+    bucketing by (band, band_value) has total recall. Buckets verify true
+    hamming via popcount(xor); hot buckets (> _ALLPAIR_CAP ids) emit the
+    star to the min id only (same capped-listing contract as MinHash LSH).
+    """
+    nb = k + 1
+    # band i covers bits [lo[i], lo[i+1]); last band absorbs the remainder
+    lo = [round(i * 64 / nb) for i in range(nb + 1)]
+
+    def explode(df: pd.DataFrame) -> pa.Table:
+        sig = df["simhash"].values.astype(np.int64).view(np.uint64)
+        n = len(sig)
+        bands, bvals, ids, sigs = [], [], [], []
+        for i in range(nb):
+            w = lo[i + 1] - lo[i]
+            mask = np.uint64((1 << w) - 1)
+            bv = ((sig >> np.uint64(lo[i])) & mask).view(np.int64)
+            bands.append(np.full(n, i, dtype=np.int64))
+            bvals.append(bv)
+            ids.append(df["doc_id"].values.astype(np.int64))
+            sigs.append(sig.view(np.int64))
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(bands) if n else np.empty(0, np.int64)),
+                "bv": pa.array(np.concatenate(bvals) if n else np.empty(0, np.int64)),
+                "doc_id": pa.array(np.concatenate(ids) if n else np.empty(0, np.int64)),
+                "sig": pa.array(np.concatenate(sigs) if n else np.empty(0, np.int64)),
+            }
+        )
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        sub = df.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = sub["doc_id"].values.astype(np.int64)
+        sigs = sub["sig"].values.astype(np.int64).view(np.uint64)
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        if len(ids) < 2:
+            return empty
+        if len(ids) <= _ALLPAIR_CAP:
+            ii, jj = np.triu_indices(len(ids), 1)
+        else:  # hot-bucket star cap (see docstring)
+            ii = np.zeros(len(ids) - 1, dtype=np.int64)
+            jj = np.arange(1, len(ids), dtype=np.int64)
+        ham = _popcount64(sigs[ii] ^ sigs[jj])
+        keep = ham <= k
+        return pa.table(
+            {
+                "a": pa.array(ids[ii][keep]),
+                "b": pa.array(ids[jj][keep]),
+                "hamming": pa.array(ham[keep]),
+            }
+        )
+
+    sigs = simhash_signatures(docs)
+    buckets = sigs.map_batches(explode, batch_format="pandas")
+    cand = buckets.groupby(["band", "bv"]).map_groups(pairs, batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    out = cand.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    from ccl_ray.stages.aggregates import to_arrow_blocks
+
+    return to_arrow_blocks(out)
 
 
 def duplicate_clusters(docs: "rd.Dataset", *, threshold: float = 0.5, cfg=None) -> "rd.Dataset":

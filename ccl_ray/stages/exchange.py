@@ -94,12 +94,29 @@ def hash_join(
                 if n != right_on:
                     out[n] = pa.nulls(lt.num_rows, combined.field(n).type)
             return pa.table({n: out[n] for n in out_names})
-        joined = lt.join(
-            rt,
+        # Join on (key, row-index) then take payload columns: pyarrow's
+        # Table.join rejects nested payload types (e.g. list<int64> shingle
+        # columns), while take supports every Arrow type — and take with a
+        # null index (unmatched left-outer row) yields null, as required.
+        import pyarrow.compute as pc
+
+        lt_keys = pa.table(
+            {left_on: lt.column(left_on), "__li": pa.array(np.arange(lt.num_rows, dtype=np.int64))}
+        )
+        rt_keys = pa.table(
+            {right_on: rt.column(right_on), "__ri": pa.array(np.arange(rt.num_rows, dtype=np.int64))}
+        )
+        j = lt_keys.join(
+            rt_keys,
             keys=[left_on],
             right_keys=[right_on],
             join_type="inner" if how == "inner" else "left outer",
         )
-        return joined.select(out_names)
+        li, ri = j.column("__li"), j.column("__ri")
+        out = {n: pc.take(lt.column(n), li) for n in l_names}
+        for n in r_names:
+            if n != right_on:
+                out[n] = pc.take(rt.column(n), ri)
+        return pa.table({n: out[n] for n in out_names})
 
     return tagged.groupby(_PART).map_groups(join_part, batch_format="pyarrow")

@@ -157,7 +157,11 @@ def pagerank_bsp(
     start_iter = 0
     score_refs = None
     if checkpoint is not None:
-        resumed = checkpoint.latest_shards()
+        from ccl_ray.state.checkpoint import vid_fingerprint
+
+        resumed = checkpoint.latest_shards(
+            expected_parts=P, expected_vid_fp=vid_fingerprint(vid_refs)
+        )
         if resumed is not None:
             start_iter, score_refs = resumed
     if score_refs is None:

@@ -23,6 +23,21 @@ def _to_matrix(series) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in series])
 
 
+def _arrow_list_matrix(col) -> np.ndarray:
+    """(n, dim) float64 matrix from an Arrow list<float> column, zero-copy
+    on the flat values buffer (no per-row Python objects)."""
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = arr.offsets.to_numpy()
+    vals = arr.values.to_numpy(zero_copy_only=False)
+    lens = np.diff(offs)
+    if len(lens) and (lens == lens[0]).all():
+        start, stop = offs[0], offs[-1]
+        return vals[start:stop].reshape(len(lens), lens[0]).astype(np.float64, copy=False)
+    return np.stack([vals[offs[i] : offs[i + 1]] for i in range(len(lens))]).astype(np.float64)
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     return m / np.maximum(n, 1e-30)
@@ -55,10 +70,9 @@ class _CosineScan:
         self.exclude_self = exclude_self
 
     def __call__(self, batch) -> "object":
-        emb = batch.column("embedding").to_pylist()
-        if not emb:
+        if batch.num_rows == 0:
             return _pair_table([], [], [])
-        cm = _normalize(np.asarray(emb, dtype=np.float64))
+        cm = _normalize(_arrow_list_matrix(batch.column("embedding")))
         cids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         sims = self.qm @ cm.T  # (Q, B)
         out_a, out_b, out_s = [], [], []
@@ -146,20 +160,79 @@ def cosine_pairs(
     return out
 
 
-def embedding_dedup_pairs(embeddings: "rd.Dataset", threshold: float = 0.95) -> "rd.Dataset":
-    """Near-duplicate vectors: all (a<b) pairs with cosine >= threshold.
+def embedding_dedup_pairs(
+    embeddings: "rd.Dataset",
+    threshold: float = 0.95,
+    *,
+    n_clusters: int = 16,
+    assign_top: int = 2,
+    seed: int = 0,
+    round_to: int | None = 6,
+) -> "rd.Dataset":
+    """Near-duplicate vectors (a < b, cosine >= threshold) via IVF bucketing.
 
-    Brute-force all-vs-all via the broadcast scan (quadratic — the baseline
-    path); use ivf_topk for the sub-linear scale path.
+    Scale path — no driver-side id materialization, no all-pairs broadcast:
+    a seeded coarse quantizer (sampled k-means) is broadcast once (ray.put);
+    each vector routes to its ``assign_top`` nearest clusters inside
+    map_batches; exact-cosine candidate verification happens within each
+    cluster bucket (groupby); cross-bucket duplicates collapse via a tiny
+    (a, b) groupby. Recall: a pair is found iff its members share a probed
+    cluster — the standard IVF approximation, ~total for tight near-dups
+    with assign_top >= 2. Partitioning assumption: a bucket holds ~
+    N·assign_top/n_clusters vectors and is verified in one task — raise
+    n_clusters with N to bound per-task memory/compute.
     """
-    ids = embeddings.select_columns(["vec_id"]).to_pandas()["vec_id"].tolist()
-    pairs = cosine_pairs(embeddings, ids, threshold=threshold)
+    import pyarrow as pa
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["a"] < df["b"]]
-        return df
+    cents = kmeans_centroids(embeddings, n_clusters=n_clusters, seed=seed)
+    ref = ray.put(cents)
 
-    return pairs.map_batches(canon, batch_format="pandas")
+    class Route:
+        def __init__(self):
+            self.cents = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({"cluster": [], "vec_id": [], "embedding": []})
+            cm = _normalize(_to_matrix(df["embedding"]))
+            ids = df["vec_id"].values.astype(np.int64)
+            t = min(assign_top, len(self.cents))
+            top = np.argsort(-(cm @ self.cents.T), axis=1)[:, :t]
+            rep = np.repeat(np.arange(len(ids)), t)
+            return pd.DataFrame(
+                {
+                    "cluster": top.ravel().astype(np.int64),
+                    "vec_id": ids[rep],
+                    "embedding": df["embedding"].values[rep],
+                }
+            )
+
+    routed = embeddings.map_batches(Route, batch_format="pandas", concurrency=(1, 8))
+
+    def bucket_pairs(df: pd.DataFrame) -> "pa.Table":
+        sub = df.drop_duplicates("vec_id").sort_values("vec_id")
+        ids = sub["vec_id"].values.astype(np.int64)
+        if len(ids) < 2:
+            return _pair_table([], [], [])
+        m = _normalize(_to_matrix(sub["embedding"]))
+        ii, jj = np.triu_indices(len(ids), 1)
+        s = (m @ m.T)[ii, jj]
+        keep = s >= threshold
+        return _pair_table(ids[ii[keep]], ids[jj[keep]], s[keep])
+
+    pairs = routed.groupby("cluster").map_groups(bucket_pairs, batch_format="pandas")
+
+    from ray.data.aggregate import Min
+
+    out = pairs.groupby(["a", "b"]).aggregate(Min("sim", alias_name="sim"))
+
+    def finish(df: pd.DataFrame) -> "pa.Table":
+        sim = df["sim"].values.astype(np.float64)
+        if round_to is not None:
+            sim = np.round(sim, round_to)
+        return _pair_table(df["a"].values.astype(np.int64), df["b"].values.astype(np.int64), sim)
+
+    return out.map_batches(finish, batch_format="pandas")
 
 
 def kmeans_centroids(

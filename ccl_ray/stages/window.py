@@ -42,6 +42,20 @@ def sessionize(
             [key, "session_idx"], sort=False
         )
         out = g.agg(n_events=(ts_col, "size"), t_start=(ts_col, "min"), t_end=(ts_col, "max"))
-        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+        out = out.reset_index()
+        # Explicit Arrow schema: the driver's value-hash does NOT normalize
+        # dtypes, so emit exactly what the SQL oracle emits — int64 counters
+        # and timestamp[us] (from_pandas would default to timestamp[ns]).
+        key_type = pa.Table.from_pandas(df[[key]].head(0), preserve_index=False).schema.field(key).type
+        schema = pa.schema(
+            [
+                (key, key_type),
+                ("session_idx", pa.int64()),
+                ("n_events", pa.int64()),
+                ("t_start", pa.timestamp("us")),
+                ("t_end", pa.timestamp("us")),
+            ]
+        )
+        return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
 
     return events.groupby(key).map_groups(per_key, batch_format="pandas")

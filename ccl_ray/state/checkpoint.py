@@ -28,6 +28,38 @@ import ray
 from ccl_ray.functions.hashing import stable_hash64_np
 
 
+def _vid_fp_np(vids: np.ndarray) -> int:
+    """Order-insensitive fingerprint of one shard's vid set."""
+    if not len(vids):
+        return 0
+    return int(np.bitwise_xor.reduce(stable_hash64_np(vids.view(np.uint64))))
+
+
+def _combine_fps(fps: list[int]) -> int:
+    """Position-SENSITIVE combine across shards: catches both content drift
+    and shard-order/partition-count misalignment."""
+    out = 0
+    for p, f in enumerate(fps):
+        out ^= int(stable_hash64_np(np.array([f ^ p], dtype=np.uint64))[0])
+    return out
+
+
+@ray.remote
+def _vid_fp_remote(vids: np.ndarray) -> int:
+    return _vid_fp_np(vids)
+
+
+def vid_fingerprint(vid_refs: list) -> int:
+    """Fingerprint of a partitioned vid-shard layout (P shards, in order).
+
+    Saved in each manifest and re-derived from the rebuilt shards on resume —
+    a checkpoint written under a different partition count, hash scheme or
+    input graph will not match and is refused (silently-wrong labels from
+    positionally-misaligned value arrays are the failure this prevents).
+    """
+    return _combine_fps(ray.get([_vid_fp_remote.remote(v) for v in vid_refs]))
+
+
 @ray.remote
 def _write_shard(path: str, vids: np.ndarray, vals: np.ndarray, col: str):
     t = pa.table({"vid": pa.array(vids), col: pa.array(vals)})
@@ -40,7 +72,7 @@ def _write_shard(path: str, vids: np.ndarray, vals: np.ndarray, col: str):
         if len(vids)
         else 0
     )
-    return len(vids), fp
+    return len(vids), fp, _vid_fp_np(vids)
 
 
 @ray.remote
@@ -68,13 +100,14 @@ class ShardCheckpoint:
         results = ray.get(outs)
         rows = sum(r[0] for r in results)
         fp = 0
-        for _, f in results:
+        for _, f, _vf in results:
             fp ^= f
         manifest = {
             "iter": it,
             "parts": len(vid_refs),
             "rows": rows,
             "fingerprint": fp,
+            "vid_fp": _combine_fps([r[2] for r in results]),
             "extra": extra or {},
         }
         tmp = os.path.join(d, ".manifest.tmp")
@@ -84,8 +117,17 @@ class ShardCheckpoint:
         with open(os.path.join(self.root, "metrics.jsonl"), "a") as f:
             f.write(json.dumps({"iter": it, **(extra or {})}) + "\n")
 
-    def latest_shards(self):
-        """(iter, [value-array refs]) of the newest complete checkpoint, or None."""
+    def latest_shards(self, *, expected_parts: int | None = None, expected_vid_fp: int | None = None):
+        """(iter, [value-array refs]) of the newest complete checkpoint, or None.
+
+        When ``expected_parts`` / ``expected_vid_fp`` are given (the current
+        run's partition count and rebuilt vid-shard fingerprint), a manifest
+        that does not match is REFUSED (returns None → fresh start) — a
+        stale/foreign checkpoint dir or a --partitions change must never
+        yield positionally-misaligned value arrays.
+        """
+        import warnings
+
         best = None
         if not os.path.isdir(self.root):
             return None
@@ -103,6 +145,22 @@ class ShardCheckpoint:
         d = self._iter_dir(best)
         with open(os.path.join(d, "manifest.json")) as f:
             manifest = json.load(f)
+        if expected_parts is not None and manifest["parts"] != expected_parts:
+            warnings.warn(
+                f"checkpoint {d}: parts={manifest['parts']} != current "
+                f"num_partitions={expected_parts}; ignoring checkpoint"
+            )
+            return None
+        if (
+            expected_vid_fp is not None
+            and manifest.get("vid_fp") is not None
+            and manifest["vid_fp"] != expected_vid_fp
+        ):
+            warnings.warn(
+                f"checkpoint {d}: vid-shard fingerprint mismatch "
+                "(different input graph / hash layout); ignoring checkpoint"
+            )
+            return None
         refs = [
             _read_shard.remote(os.path.join(d, f"part-{p:03d}.parquet"), self.col)
             for p in range(manifest["parts"])

@@ -67,6 +67,37 @@ def test_cc_ignores_aborted_checkpoint(tmp_path):
     assert it == 2  # aborted dir skipped
 
 
+def test_resume_refuses_mismatched_checkpoint(tmp_path):
+    """A stale/foreign checkpoint (different P or different graph) must be
+    ignored — resuming it would yield positionally-misaligned labels."""
+    import pytest
+
+    ck_dir = str(tmp_path / "cc_mismatch")
+    cfg = EngineConfig(num_partitions=4, checkpoint_every=1, cc_max_iters=2)
+    connected_components_bsp(_edges(), cfg=cfg, checkpoint=ShardCheckpoint(ck_dir))
+
+    ck = ShardCheckpoint(ck_dir)
+    # different partition count → refused
+    with pytest.warns(UserWarning, match="num_partitions"):
+        assert ck.latest_shards(expected_parts=8) is None
+    # different vid layout (wrong fingerprint) → refused
+    with pytest.warns(UserWarning, match="fingerprint"):
+        assert ck.latest_shards(expected_parts=4, expected_vid_fp=12345) is None
+    # matching layout → accepted (resume path)
+    assert ck.latest_shards(expected_parts=4) is not None
+
+    # end-to-end: resuming under a different P starts fresh and is still exact
+    want = _labels_sorted(connected_components_bsp(_edges(), cfg=EngineConfig(num_partitions=3)))
+    got = _labels_sorted(
+        connected_components_bsp(
+            _edges(),
+            cfg=EngineConfig(num_partitions=3, checkpoint_every=1),
+            checkpoint=ShardCheckpoint(ck_dir),
+        )
+    )
+    assert got == want
+
+
 def test_pagerank_resume_identical(tmp_path):
     ck_dir = str(tmp_path / "pr_ck")
     full = pagerank_bsp(_edges(), cfg=EngineConfig(num_partitions=4))

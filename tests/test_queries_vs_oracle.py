@@ -61,8 +61,19 @@ ALL_QUERIES = entrymod.queries()
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, con):
-    got = _canon(_to_pandas(ALL_QUERIES[name](SF_DIR)))
-    want = _canon(con.execute(ORACLES[name]).df())
+    got_raw = _to_pandas(ALL_QUERIES[name](SF_DIR))
+    want_raw = con.execute(ORACLES[name]).df()
+    # Driver-faithful dtype-KIND check: the external gate hashes values
+    # without normalizing dtypes, so int64 vs HUGEINT→float64 fails there
+    # even when values match (this is what broke sessionize in round 1).
+    # Timestamp unit skew (ns vs us) is known-tolerated (events_hourly was
+    # green in round 1), hence kind — not exact dtype — comparison.
+    for c in sorted(set(got_raw.columns) & set(want_raw.columns)):
+        gd, wd = got_raw[c].dtype, want_raw[c].dtype
+        if len(got_raw) and len(want_raw):
+            assert gd.kind == wd.kind, f"{name}.{c}: engine dtype {gd} !~ oracle dtype {wd}"
+    got = _canon(got_raw)
+    want = _canon(want_raw)
     assert list(got.columns) == list(want.columns), (got.columns, want.columns)
     assert len(got) == len(want), f"rows: ray={len(got)} sql={len(want)}"
     for c in got.columns:
