@@ -96,13 +96,22 @@ def _mulmod_p61(a: np.ndarray, h: np.ndarray) -> np.ndarray:
     return _mod_p61(t + ((mid & np.uint64((1 << 29) - 1)) << np.uint64(32)))
 
 
-def minhash_signature(shingle_hashes: np.ndarray, num_perms: int, seed: int = 7) -> np.ndarray:
-    """MinHash signature (uint64[num_perms]) of a shingle-hash set, vectorized."""
-    if shingle_hashes.size == 0:
-        return np.full(num_perms, np.iinfo(np.uint64).max, dtype=np.uint64)
+def minhash_coeffs(num_perms: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded (a, b) coefficient vectors for the MinHash permutation family.
+    Compute ONCE per actor (stateful stage) — not per document."""
     rng = np.random.RandomState(seed)
     a = rng.randint(1, 1 << 61, size=num_perms).astype(np.uint64)
     b = rng.randint(0, 1 << 61, size=num_perms).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(
+    shingle_hashes: np.ndarray, num_perms: int, seed: int = 7, coeffs=None
+) -> np.ndarray:
+    """MinHash signature (uint64[num_perms]) of a shingle-hash set, vectorized."""
+    if shingle_hashes.size == 0:
+        return np.full(num_perms, np.iinfo(np.uint64).max, dtype=np.uint64)
+    a, b = coeffs if coeffs is not None else minhash_coeffs(num_perms, seed)
     h = _mod_p61(shingle_hashes)
     # (num_perms, n) — fine for n up to a few thousand shingles per doc
     vals = _mod_p61(_mulmod_p61(a[:, None], h[None, :]) + b[:, None])

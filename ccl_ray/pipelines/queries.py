@@ -272,6 +272,26 @@ def q_sessionize(sf_dir: str):
     return sessionize(ev, gap_minutes=30)
 
 
+def q_redact(sf_dir: str):
+    from ccl_ray.stages.text import redact
+
+    return redact(_docs(sf_dir))
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    from ccl_ray.stages.text import tfidf_top_terms
+
+    out = tfidf_top_terms(_docs(sf_dir), k=5)
+    return out.select_columns(["doc_id", "term", "score", "rank"])
+
+
+def q_hopping_window(sf_dir: str):
+    from ccl_ray.stages.window import hopping_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    return hopping_window(ev, size_hours=2, hop_hours=1)
+
+
 def q_dup_clusters(sf_dir: str):
     from ccl_ray.stages.dedup import duplicate_clusters
 
@@ -313,6 +333,9 @@ QUERIES = {
     "media_meta": q_media_meta,
     "embedding_dedup": q_embedding_dedup,
     "sessionize": q_sessionize,
+    "redact": q_redact,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "hopping_window": q_hopping_window,
     "dup_clusters": q_dup_clusters,
 }
 
@@ -535,6 +558,35 @@ ORACLE_SQL = {
         SELECT user_id, session_idx, count(*) AS n_events,
                min(ts) AS t_start, max(ts) AS t_end
         FROM s GROUP BY 1, 2""",
+    "redact": """
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]{7,}', '<NUM>', 'g') AS clean_text
+        FROM documents""",
+    "tfidf_top_terms": """
+        WITH ttok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents),
+        ttf AS (SELECT doc_id, term, count(*) AS tf FROM ttok GROUP BY 1, 2),
+        tdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM ttok GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT ttf.doc_id, ttf.term,
+                 round(ttf.tf * ln(nn.n / tdf.df), 6) AS score
+          FROM ttf JOIN tdf USING (term) CROSS JOIN nn),
+        ranked AS (
+          SELECT doc_id, term, score,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+          FROM scored)
+        SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 5""",
+    "hopping_window": """
+        SELECT event_type,
+               date_trunc('hour', ts) - to_hours(o.h) AS w_start,
+               round(sum(value), 2) AS sum_value, count(*) AS n_events
+        FROM events CROSS JOIN (VALUES (0), (1)) o(h)
+        GROUP BY 1, 2""",
     "embedding_dedup": """
         SELECT a.vec_id AS a, b.vec_id AS b,
                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim

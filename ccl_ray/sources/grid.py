@@ -8,7 +8,12 @@ reference's golden tests replay as edge-table CC problems (SURVEY.md §1.1):
   (ccl2d.py:33-44) is monotone for these fixtures so > thresh_lo matches)
 - in-plane 8-connectivity (diagonals connect) — ccl2d.py:80-83
 - pole rows: all set pixels in row 0 mutually connected; likewise row n0-1
-  (ccl2d.py:117-126), when global_latlon_grid
+  (ccl2d.py:117-126), when global_latlon_grid. INTENTIONAL DIVERGENCE: if
+  an entire pole row is above threshold (no background pixel in the row),
+  the reference leaves bot_unique[0]'s component unmerged (arguably a bug
+  in its row-scan); this adapter chains ALL set pixels of the row, so a
+  golden fixture with a fully-set pole row will differ from the reference
+  by that one merge
 - dateline wrap: col 0 ~ col n1-1 within ±1 row (ccl2d.py:133-147)
 - inter-slice: face adjacency at the same (i,j) between slice t and t+1
   (ccl_relabel2 overlap labeling, ccl_marker_stack.py:300-343) — NOT
@@ -31,13 +36,54 @@ def grid_vids(t: np.ndarray, i: np.ndarray, j: np.ndarray, n0: int, n1: int) -> 
     return t.astype(np.int64) * (n0 * n1) + i.astype(np.int64) * n1 + j.astype(np.int64)
 
 
+def slice_mask(
+    a: np.ndarray,
+    thresh_lo: float,
+    *,
+    norm_data: bool = False,
+    thresh_inverse: bool = False,
+    perform_threshold: bool = True,
+) -> np.ndarray:
+    """Set-pixel mask with the reference's full threshold knob set.
+
+    - ``norm_data`` (ccl2d.py:33-44): rescale to uint8 via 255*(x/nanmax)
+      with C truncation (the reference assigns the float product into a
+      uint8 array), and truncate the trigger the same way — reproduces the
+      reference's quantization exactly, including its non-monotone edge
+      cases near bucket boundaries.
+    - ``thresh_inverse`` (ccl2d.py:58-62): cv2.THRESH_BINARY_INV semantics —
+      set iff value <= trigger (vs BINARY's value > trigger).
+    - ``perform_threshold=False``: the input is already a mask; set iff != 0.
+    """
+    a = np.asarray(a)
+    if norm_data:
+        mx = np.nanmax(a)
+        if mx == 0:
+            mx = 1
+        data = (255 * (a / mx)).astype(np.uint8)
+        trigger = int(255 * thresh_lo / mx)
+    else:
+        data, trigger = a, thresh_lo
+    if not perform_threshold:
+        return data != 0
+    return (data <= trigger) if thresh_inverse else (data > trigger)
+
+
 def stack_to_graph(
     stack: list[np.ndarray],
     thresh_lo: float,
     *,
     global_latlon_grid: bool = True,
+    norm_data: bool = False,
+    thresh_inverse: bool = False,
+    perform_threshold: bool = True,
 ) -> tuple[pa.Table, pa.Table]:
-    """Returns (vertices(vid, t, i, j), edges(src, dst)) for the whole stack."""
+    """Returns (vertices(vid, t, i, j), edges(src, dst)) for the whole stack.
+
+    Threshold knobs mirror the reference's ccl2d signature (see slice_mask);
+    defaults keep the raw ``> thresh_lo`` semantics the golden fixtures pin
+    (the reference's norm_data=True default is monotone for those fixtures).
+    """
     n0, n1 = stack[0].shape
     vids_all, ts_all, is_all, js_all = [], [], [], []
     srcs, dsts = [], []
@@ -47,7 +93,16 @@ def stack_to_graph(
             srcs.append(a)
             dsts.append(b)
 
-    masks = [np.asarray(s) > thresh_lo for s in stack]
+    masks = [
+        slice_mask(
+            s,
+            thresh_lo,
+            norm_data=norm_data,
+            thresh_inverse=thresh_inverse,
+            perform_threshold=perform_threshold,
+        )
+        for s in stack
+    ]
     for t, mask in enumerate(masks):
         ii, jj = np.nonzero(mask)
         v = grid_vids(np.full(len(ii), t), ii, jj, n0, n1)

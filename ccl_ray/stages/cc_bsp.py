@@ -206,7 +206,9 @@ def connected_components_bsp(
     if shards is None:
         from ccl_ray.state.shards import build_graph_shards
 
-        shards = build_graph_shards(edges, P, vertices_ds=vertices, symmetrize=True)
+        shards = build_graph_shards(
+            edges, P, vertices_ds=vertices, symmetrize=True, dense=cfg.dense_ids
+        )
     assert shards["symmetrize"], "CC requires a symmetric shard bundle"
     assert shards["P"] == P
     vid_refs, plans, cplans = shards["vids"], shards["plans"], shards["cplans"]
@@ -267,7 +269,15 @@ def connected_components_bsp(
 
     import ray.data as rd
 
-    labels_ds = rd.from_arrow_refs(
-        [_shard_table.remote(vid_refs[p], label_refs[p]) for p in range(P)]
-    )
+    if shards.get("dense") is not None:
+        # one resolve wave maps dense int32 (vid, label) back to original
+        # int64 vids; min-dense == min-vid because the rank is order-preserving
+        from ccl_ray.state.dense import translate_shard_tables
+
+        tables = translate_shard_tables(
+            shards["dense"], vid_refs, label_refs, value_is_dense=True, value_col="label"
+        )
+    else:
+        tables = [_shard_table.remote(vid_refs[p], label_refs[p]) for p in range(P)]
+    labels_ds = rd.from_arrow_refs(tables)
     return CCResult(labels=labels_ds, iterations=it - start_iter, metrics=metrics)

@@ -55,15 +55,19 @@ def exact_dedup(docs: "rd.Dataset", text_col: str = "text", id_col: str = "doc_i
 
 
 class MinHashSig:
-    """Per-batch MinHash signatures (compiled once per actor)."""
+    """Per-batch MinHash signatures (permutation coefficients built once
+    per actor in __init__, not per document)."""
 
     def __init__(self, num_perms: int = 64, shingle_k: int = 8):
+        from ccl_ray.functions.hashing import minhash_coeffs
+
         self.num_perms = num_perms
         self.k = shingle_k
+        self.coeffs = minhash_coeffs(num_perms)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         sigs = [
-            minhash_signature(rolling_hash_shingles(t, self.k), self.num_perms)
+            minhash_signature(rolling_hash_shingles(t, self.k), self.num_perms, coeffs=self.coeffs)
             for t in df["text"]
         ]
         return pd.DataFrame({"doc_id": df["doc_id"].values, "sig": [s.astype(np.int64) for s in sigs]})
@@ -104,25 +108,68 @@ def minhash_candidates(
             }
         )
 
-    def pairs(df: pd.DataFrame) -> pa.Table:
-        ids = np.unique(df["doc_id"].values.astype(np.int64))
+    # Pair emission is PARTITION-grouped, not bucket-grouped: most LSH
+    # buckets are singletons, and Ray's map_groups pays a Python round-trip
+    # per group (~1.6M groups at 100k docs ≈ minutes). Instead route bucket
+    # rows by hash(band, bh) into P partitions and process each partition's
+    # buckets with ONE vectorized pass (lexsort + per-size-class batch
+    # emission) — identical output, O(P) groups.
+    P = 16
+
+    def route(batch: pa.Table) -> pa.Table:
+        bh = batch.column("bh").to_numpy(zero_copy_only=False)
+        band = batch.column("band").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            key = bh.view(np.uint64) * np.uint64(31) + band.view(np.uint64)
+        part = (stable_hash64_np(key) % np.uint64(P)).astype(np.int64)
+        return batch.append_column("part", pa.array(part))
+
+    def pairs_part(df: pd.DataFrame) -> pa.Table:
+        band = df["band"].values.astype(np.int64)
+        bh = df["bh"].values.astype(np.int64)
+        ids = df["doc_id"].values.astype(np.int64)
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
         if len(ids) < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        if len(ids) <= _ALLPAIR_CAP:
-            # complete pair set (the pairs contract) for normal buckets
-            ii, jj = np.triu_indices(len(ids), 1)
-            return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
-        # hot-bucket defense: star to the bucket min keeps O(k) edges; the
-        # missing within-bucket pairs are still connected transitively, so
-        # duplicate_clusters stays exact while the pairs listing is capped
-        return pa.table({"a": pa.array(np.full(len(ids) - 1, ids[0])), "b": pa.array(ids[1:])})
+            return empty
+        order = np.lexsort((ids, bh, band))
+        band, bh, ids = band[order], bh[order], ids[order]
+        new = np.empty(len(ids), bool)
+        new[0] = True
+        new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.nonzero(new)[0]
+        sizes = np.diff(np.concatenate([starts, [len(ids)]]))
+        out_a, out_b = [], []
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            sel = starts[sizes == s]
+            if s <= _ALLPAIR_CAP:
+                # complete pair set (the pairs contract) for normal buckets;
+                # ids sorted within bucket → a < b
+                ii, jj = np.triu_indices(int(s), 1)
+                out_a.append(ids[(sel[:, None] + ii[None, :])].ravel())
+                out_b.append(ids[(sel[:, None] + jj[None, :])].ravel())
+            else:
+                # hot-bucket defense: star to the bucket min keeps O(k)
+                # edges; within-bucket pairs stay transitively connected, so
+                # duplicate_clusters is exact while the listing is capped
+                out_a.append(np.repeat(ids[sel], int(s) - 1))
+                off = np.arange(1, int(s))
+                out_b.append(ids[(sel[:, None] + off[None, :])].ravel())
+        if not out_a:
+            return empty
+        return pa.table(
+            {"a": pa.array(np.concatenate(out_a)), "b": pa.array(np.concatenate(out_b))}
+        )
 
     sigs = docs.map_batches(
         MinHashSig, batch_format="pandas", concurrency=(1, 8),
         fn_constructor_kwargs={"num_perms": num_perms, "shingle_k": shingle_k},
     )
-    buckets = sigs.map_batches(explode, batch_format="pandas")
-    cand = buckets.groupby(["band", "bh"]).map_groups(pairs, batch_format="pandas")
+    buckets = sigs.map_batches(explode, batch_format="pandas").map_batches(
+        route, batch_format="pyarrow"
+    )
+    cand = buckets.groupby("part").map_groups(pairs_part, batch_format="pandas")
     # distinct pairs
     from ray.data.aggregate import Count
 
@@ -137,6 +184,22 @@ def _list_col_to_np(col) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
+def _jaccard_from_lists(offs_a, vals_a, offs_b, vals_b, n, threshold):
+    """Vectorized exact Jaccard of n ragged sorted-unique shingle-list pairs.
+    Returns (jaccard[n] rounded to 6, keep mask) — no per-pair Python loop:
+    intersection size = duplicate count after a per-row lexsort merge."""
+    len_a, len_b = np.diff(offs_a), np.diff(offs_b)
+    rows = np.concatenate([np.repeat(np.arange(n), len_a), np.repeat(np.arange(n), len_b)])
+    vals = np.concatenate([vals_a, vals_b])
+    order = np.lexsort((vals, rows))
+    rv, vv = rows[order], vals[order]
+    dup = (rv[1:] == rv[:-1]) & (vv[1:] == vv[:-1])
+    inter = np.bincount(rv[1:][dup], minlength=n)
+    union = len_a + len_b - inter
+    jac = np.round(np.divide(inter, union, out=np.zeros(n), where=union > 0), 6)
+    return jac, (union > 0) & (jac >= threshold)
+
+
 def ngram_jaccard_pairs(
     docs: "rd.Dataset",
     pairs: "rd.Dataset",
@@ -144,30 +207,34 @@ def ngram_jaccard_pairs(
     shingle_k: int = 8,
     threshold: float = 0.5,
     num_partitions: int = 8,
+    broadcast_ids_limit: int = 65536,
 ) -> "rd.Dataset":
-    """Exact Jaccard verification of candidate pairs — fully distributed.
+    """Exact Jaccard verification of candidate pairs.
 
-    No driver-side data path: the candidate id set, the shingle table and
-    the pair scoring all stay in Ray Data. Shape:
-    (1) distinct candidate ids = pairs exploded + groupby;
-    (2) shingle table = docs ⋈ ids (semi-join; only candidate docs are
-        shingled, full text never reaches the driver);
-    (3) pairs ⋈ shingles(a) ⋈ shingles(b) via hash_join;
-    (4) per-batch vectorized Jaccard over the two ragged list columns
-        (sorted-unique shingles → intersection = duplicate count after a
-        per-row lexsort merge; no per-pair Python loop).
+    Two paths, chosen by candidate-set size (bounded, never a driver loop):
+
+    - SMALL (≤ broadcast_ids_limit candidate ids): broadcast the id array
+      (ray.put, ≤ 512 KB at the default limit), shingle only candidate docs
+      in map_batches, then score ALL pairs in one vectorized remote task
+      (shingle payload bounded by limit × ~KB). Skips three shuffle ops —
+      the right shape when LSH found few candidates.
+    - LARGE: fully distributed — (1) distinct ids via groupby; (2) shingle
+      table = docs ⋈ ids semi-join; (3) pairs ⋈ shingles(a) ⋈ shingles(b)
+      via hash_join; (4) per-batch vectorized Jaccard. Nothing bounded by
+      driver or single-task memory.
     """
     from ray.data.aggregate import Count
 
-    from ccl_ray.stages.exchange import hash_join
-
     from ccl_ray.stages.aggregates import to_arrow_blocks
+    from ccl_ray.stages.exchange import hash_join
 
     # Arrow-normalize first: candidate pairs arrive as pandas blocks from
     # groupby.aggregate, and rename_columns/union on pandas blocks crashes
     # in Ray 2.49. Materialize: consumed 3× (ids ×2, join) — avoids diamond
     # stalls in the streaming executor.
     pairs = to_arrow_blocks(pairs).materialize()
+    if pairs.count() * 2 <= broadcast_ids_limit:
+        return _jaccard_broadcast(docs, pairs, shingle_k, threshold)
     ids = (
         pairs.select_columns(["a"]).rename_columns({"a": "need_id"})
         .union(pairs.select_columns(["b"]).rename_columns({"b": "need_id"}))
@@ -214,29 +281,17 @@ def ngram_jaccard_pairs(
 
     def score(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        empty = pa.table(
-            {
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
-            }
-        )
         if n == 0:
-            return empty
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
         offs_a, vals_a = _list_col_to_np(batch.column("sh_a"))
         offs_b, vals_b = _list_col_to_np(batch.column("sh_b"))
-        len_a, len_b = np.diff(offs_a), np.diff(offs_b)
-        rows = np.concatenate(
-            [np.repeat(np.arange(n), len_a), np.repeat(np.arange(n), len_b)]
-        )
-        vals = np.concatenate([vals_a, vals_b])
-        order = np.lexsort((vals, rows))
-        rv, vv = rows[order], vals[order]
-        dup = (rv[1:] == rv[:-1]) & (vv[1:] == vv[:-1])
-        inter = np.bincount(rv[1:][dup], minlength=n)
-        union = len_a + len_b - inter
-        jac = np.round(np.divide(inter, union, out=np.zeros(n), where=union > 0), 6)
-        keep = (union > 0) & (jac >= threshold)
+        jac, keep = _jaccard_from_lists(offs_a, vals_a, offs_b, vals_b, n, threshold)
         return pa.table(
             {
                 "a": pa.array(batch.column("a").to_numpy(zero_copy_only=False)[keep]),
@@ -246,6 +301,94 @@ def ngram_jaccard_pairs(
         )
 
     return j2.map_batches(score, batch_format="pyarrow")
+
+
+def _jaccard_broadcast(docs: "rd.Dataset", pairs: "rd.Dataset", shingle_k: int,
+                       threshold: float) -> "rd.Dataset":
+    """Small-candidate-set verify: broadcast id array, one scoring task.
+
+    Bounded by broadcast_ids_limit (caller-checked): the id broadcast is
+    ≤ 512 KB and the single scoring task holds only candidate shingles
+    (≤ limit × ~KB). The per-pair scoring itself is the same vectorized
+    kernel as the distributed path — never a Python loop over pairs.
+    """
+    pair_df = pairs.select_columns(["a", "b"]).to_pandas()
+    ids_arr = np.unique(np.concatenate([pair_df["a"].values, pair_df["b"].values])).astype(
+        np.int64
+    )
+    ids_ref = ray.put(ids_arr)
+
+    sh_type = pa.list_(pa.int64())
+
+    class Shingles:
+        def __init__(self):
+            self.ids = ray.get(ids_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            sub = df[np.isin(df["doc_id"].values, self.ids)]
+            sh = [rolling_hash_shingles(t, shingle_k).astype(np.int64) for t in sub["text"]]
+            return pa.table(
+                {
+                    "doc_id": pa.array(sub["doc_id"].values, pa.int64()),
+                    "sh": pa.array(sh, sh_type),
+                }
+            )
+
+    sh = docs.map_batches(Shingles, batch_format="pandas", concurrency=(1, 8))
+
+    def _run_gather(starts_sel, lens_sel):
+        """Vectorized gather index for ragged runs: position k of run i maps
+        to starts_sel[i] + (k - offs[i]). No per-run Python loop."""
+        offs = np.concatenate([[0], np.cumsum(lens_sel)]).astype(np.int64)
+        total = int(offs[-1])
+        idx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(offs[:-1], lens_sel)
+            + np.repeat(starts_sel, lens_sel)
+        )
+        return idx, offs
+
+    @ray.remote
+    def score_all(pair_a, pair_b, *sh_tbls):
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        nonempty = [t for t in sh_tbls if t.num_rows]
+        if not nonempty or not len(pair_a):
+            return empty
+        tbl = pa.concat_tables(nonempty)
+        doc_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids = doc_ids[order]
+        offs, vals = _list_col_to_np(tbl.column("sh"))
+        lens = np.diff(offs)[order]
+        starts = offs[:-1][order]
+        ia = np.searchsorted(doc_ids, pair_a)
+        ib = np.searchsorted(doc_ids, pair_b)
+        n = len(pair_a)
+        idx_a, offs_a = _run_gather(starts[ia], lens[ia])
+        idx_b, offs_b = _run_gather(starts[ib], lens[ib])
+        jac, keep = _jaccard_from_lists(
+            offs_a, vals[idx_a], offs_b, vals[idx_b], n, threshold
+        )
+        return pa.table(
+            {
+                "a": pa.array(pair_a[keep], pa.int64()),
+                "b": pa.array(pair_b[keep], pa.int64()),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        )
+
+    out_ref = score_all.remote(
+        pair_df["a"].values.astype(np.int64),
+        pair_df["b"].values.astype(np.int64),
+        *sh.to_arrow_refs(),
+    )
+    return rd.from_arrow_refs([out_ref])
 
 
 def minhash_dedup_pairs(docs: "rd.Dataset", *, threshold: float = 0.5) -> "rd.Dataset":
@@ -348,10 +491,23 @@ def simhash_pairs(docs: "rd.Dataset", *, k: int = 3) -> "rd.Dataset":
             }
         )
 
-    def pairs(df: pd.DataFrame) -> pa.Table:
-        sub = df.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = sub["doc_id"].values.astype(np.int64)
-        sigs = sub["sig"].values.astype(np.int64).view(np.uint64)
+    # Partition-grouped pair emission (same rationale as minhash_candidates:
+    # most buckets are singletons; never pay a Python round-trip per bucket)
+    P = 16
+
+    def route(batch: pa.Table) -> pa.Table:
+        bv = batch.column("bv").to_numpy(zero_copy_only=False)
+        band = batch.column("band").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            key = bv.view(np.uint64) * np.uint64(31) + band.view(np.uint64)
+        part = (stable_hash64_np(key) % np.uint64(P)).astype(np.int64)
+        return batch.append_column("part", pa.array(part))
+
+    def pairs_part(df: pd.DataFrame) -> pa.Table:
+        band = df["band"].values.astype(np.int64)
+        bv = df["bv"].values.astype(np.int64)
+        ids = df["doc_id"].values.astype(np.int64)
+        sg = df["sig"].values.astype(np.int64)
         empty = pa.table(
             {
                 "a": pa.array([], pa.int64()),
@@ -361,24 +517,45 @@ def simhash_pairs(docs: "rd.Dataset", *, k: int = 3) -> "rd.Dataset":
         )
         if len(ids) < 2:
             return empty
-        if len(ids) <= _ALLPAIR_CAP:
-            ii, jj = np.triu_indices(len(ids), 1)
-        else:  # hot-bucket star cap (see docstring)
-            ii = np.zeros(len(ids) - 1, dtype=np.int64)
-            jj = np.arange(1, len(ids), dtype=np.int64)
-        ham = _popcount64(sigs[ii] ^ sigs[jj])
-        keep = ham <= k
+        order = np.lexsort((ids, bv, band))
+        band, bv, ids, sg = band[order], bv[order], ids[order], sg[order]
+        new = np.empty(len(ids), bool)
+        new[0] = True
+        new[1:] = (band[1:] != band[:-1]) | (bv[1:] != bv[:-1])
+        starts = np.nonzero(new)[0]
+        sizes = np.diff(np.concatenate([starts, [len(ids)]]))
+        out_a, out_b, out_h = [], [], []
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            sel = starts[sizes == s]
+            if s <= _ALLPAIR_CAP:
+                ii, jj = np.triu_indices(int(s), 1)
+                ai, bi = (sel[:, None] + ii[None, :]).ravel(), (sel[:, None] + jj[None, :]).ravel()
+            else:  # hot-bucket star cap (see docstring)
+                ai = np.repeat(sel, int(s) - 1)
+                off = np.arange(1, int(s))
+                bi = (sel[:, None] + off[None, :]).ravel()
+            ham = _popcount64(sg[ai].view(np.uint64) ^ sg[bi].view(np.uint64))
+            keep = ham <= k
+            out_a.append(ids[ai][keep])
+            out_b.append(ids[bi][keep])
+            out_h.append(ham[keep])
+        if not out_a:
+            return empty
         return pa.table(
             {
-                "a": pa.array(ids[ii][keep]),
-                "b": pa.array(ids[jj][keep]),
-                "hamming": pa.array(ham[keep]),
+                "a": pa.array(np.concatenate(out_a)),
+                "b": pa.array(np.concatenate(out_b)),
+                "hamming": pa.array(np.concatenate(out_h)),
             }
         )
 
     sigs = simhash_signatures(docs)
-    buckets = sigs.map_batches(explode, batch_format="pandas")
-    cand = buckets.groupby(["band", "bv"]).map_groups(pairs, batch_format="pandas")
+    buckets = sigs.map_batches(explode, batch_format="pandas").map_batches(
+        route, batch_format="pyarrow"
+    )
+    cand = buckets.groupby("part").map_groups(pairs_part, batch_format="pandas")
     from ray.data.aggregate import Min
 
     out = cand.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))

@@ -28,6 +28,13 @@ _SIDE = "__side"
 
 
 def _partition_ids(key_arr: pa.ChunkedArray | pa.Array, P: int) -> pa.Array:
+    t = key_arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        from ccl_ray.functions.hashing import hash_strings_np
+
+        h = hash_strings_np(key_arr.to_numpy(zero_copy_only=False))
+        part = (h % np.uint64(P)).astype(np.int32)
+        return pa.array(part)
     np_keys = key_arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     part = (stable_hash64_np(np_keys.view(np.uint64)) % np.uint64(P)).astype(np.int32)
     return pa.array(part)

@@ -107,8 +107,15 @@ def min_label_propagation(
     P = cfg.num_partitions
 
     if rounds is None:
-        # converge: CC, then min-seed per component via two exchanges
-        cc = connected_components_bsp(edges, vertices=vertices, cfg=cfg)
+        # converge: CC, then min-seed per component via two exchanges.
+        # dense_ids OFF here: _component_min_seed aligns seed pieces to the
+        # CC label shards by hash(original vid) = shard index, which only
+        # holds when the BSP ran in the original vid domain.
+        import dataclasses
+
+        cc = connected_components_bsp(
+            edges, vertices=vertices, cfg=dataclasses.replace(cfg, dense_ids=False)
+        )
         return _component_min_seed(cc.labels, seeds, cfg)
 
     csr = shard_edges_csr(edges, P, symmetrize=True)

@@ -144,7 +144,9 @@ def pagerank_bsp(
     if shards is None:
         from ccl_ray.state.shards import build_graph_shards
 
-        shards = build_graph_shards(edges, P, vertices_ds=vertices, symmetrize=symmetrize)
+        shards = build_graph_shards(
+            edges, P, vertices_ds=vertices, symmetrize=symmetrize, dense=cfg.dense_ids
+        )
     assert shards["symmetrize"] == symmetrize and shards["P"] == P
     csr, vid_refs, plans, cplans = (
         shards["csr"], shards["vids"], shards["plans"], shards["cplans"],
@@ -238,7 +240,14 @@ def pagerank_bsp(
 
     import ray.data as rd
 
-    scores_ds = rd.from_arrow_refs(
-        [_shard_table.remote(vid_refs[p], score_refs[p]) for p in range(P)]
-    )
+    if shards.get("dense") is not None:
+        # map dense int32 vids back to originals; scores pass through
+        from ccl_ray.state.dense import translate_shard_tables
+
+        tables = translate_shard_tables(
+            shards["dense"], vid_refs, score_refs, value_is_dense=False, value_col="score"
+        )
+    else:
+        tables = [_shard_table.remote(vid_refs[p], score_refs[p]) for p in range(P)]
+    scores_ds = rd.from_arrow_refs(tables)
     return PRResult(scores=scores_ds, iterations=it - start_iter, metrics=metrics)

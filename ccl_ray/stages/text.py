@@ -97,6 +97,149 @@ class LangId:
         return pd.DataFrame({"doc_id": df["doc_id"], "pred_lang": toks.map(best)})
 
 
+# RE2-compatible scrub patterns (identical semantics in Python re and
+# DuckDB regexp_replace): greedy, no backrefs/lookaround
+REDACT_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{7,}", "<NUM>"),
+)
+
+
+class Redact:
+    """PII-style scrubbing: emails and long digit runs → placeholders.
+    Patterns compiled once per actor; chosen RE2-compatible so the SQL
+    oracle (regexp_replace chain) is value-identical."""
+
+    def __init__(self):
+        import re
+
+        self.pats = [(re.compile(p), r) for p, r in REDACT_PATTERNS]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = df["text"]
+        for pat, rep in self.pats:
+            out = out.str.replace(pat, rep, regex=True)
+        return pd.DataFrame({"doc_id": df["doc_id"], "clean_text": out})
+
+
+def redact(docs: "rd.Dataset") -> "rd.Dataset":
+    return docs.map_batches(Redact, batch_format="pandas", concurrency=(1, 8))
+
+
+def tfidf_top_terms(docs: "rd.Dataset", k: int = 5, *, num_partitions: int = 8) -> "rd.Dataset":
+    """(doc_id, term, score, rank): top-k tokens per document by tf·idf.
+
+    Distributed shape: per-batch (doc_id, term, tf) partials → term df via
+    one groupby (partial-agg) → broadcast N (one scalar) → hash-join tf ⋈
+    df → per-doc top-k via hash(doc_id)-partition-grouped vectorized rank
+    (never one Python group per document). idf = ln(N/df); score rounded to
+    6 BEFORE ranking so ties resolve identically in the SQL oracle
+    (rank order: score desc, term asc).
+    """
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from ccl_ray.functions.hashing import stable_hash64_np
+    from ccl_ray.stages.aggregates import to_arrow_blocks
+    from ccl_ray.stages.exchange import hash_join
+
+    class TermFreq:
+        def __init__(self):
+            import re
+
+            self.tok = re.compile(TOKEN_RE)
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            ids, terms = [], []
+            for did, t in zip(df["doc_id"].values, df["text"]):
+                ws = self.tok.findall(t.lower())
+                ids.append(np.full(len(ws), did, dtype=np.int64))
+                terms.append(np.array(ws, dtype=object))
+            if not ids:
+                return pa.table(
+                    {"doc_id": pa.array([], pa.int64()), "term": pa.array([], pa.string()),
+                     "tf": pa.array([], pa.int64())}
+                )
+            g = pd.DataFrame(
+                {"doc_id": np.concatenate(ids), "term": np.concatenate(terms)}
+            ).groupby(["doc_id", "term"], sort=False)
+            out = g.size().rename("tf").reset_index()
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"].values, pa.int64()),
+                    "term": pa.array(out["term"].values, pa.string()),
+                    "tf": pa.array(out["tf"].values, pa.int64()),
+                }
+            )
+
+    tf = docs.map_batches(TermFreq, batch_format="pandas", concurrency=(1, 8)).materialize()
+    # df: docs-per-term — tf rows are already distinct (doc, term), so a
+    # count per term is a sum of ones (partial-aggregated by Ray)
+    df_tbl = to_arrow_blocks(
+        tf.map_batches(
+            lambda b: pa.table(
+                {"dterm": b.column("term"), "one": pa.array(np.ones(b.num_rows, np.int64))}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("dterm")
+        .aggregate(Sum("one", alias_name="df"))
+    )
+    n_docs = docs.count()
+
+    joined = hash_join(tf, df_tbl, left_on="term", right_on="dterm",
+                       num_partitions=num_partitions)
+
+    P = num_partitions
+
+    def score_route(batch: pa.Table) -> pa.Table:
+        tfv = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = batch.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        score = np.round(tfv * np.log(n_docs / dfv), 6)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        part = (stable_hash64_np(did.view(np.uint64)) % np.uint64(P)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "term": batch.column("term"),
+                "score": pa.array(score),
+                "part": pa.array(part),
+            }
+        )
+
+    def topk_part(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "term": pa.array([], pa.string()),
+                 "score": pa.array([], pa.float64()), "rank": pa.array([], pa.int64())}
+            )
+        d = df.sort_values(["doc_id", "score", "term"], ascending=[True, False, True],
+                           kind="stable")
+        grp_start = np.empty(len(d), bool)
+        did = d["doc_id"].values
+        grp_start[0] = True
+        grp_start[1:] = did[1:] != did[:-1]
+        idx_in_grp = np.arange(len(d)) - np.maximum.accumulate(
+            np.where(grp_start, np.arange(len(d)), 0)
+        )
+        keep = idx_in_grp < k
+        d = d[keep]
+        rank = (idx_in_grp[keep] + 1).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d["doc_id"].values, pa.int64()),
+                "term": pa.array(d["term"].values, pa.string()),
+                "score": pa.array(d["score"].values, pa.float64()),
+                "rank": pa.array(rank),
+            }
+        )
+
+    return joined.map_batches(score_route, batch_format="pyarrow").groupby("part").map_groups(
+        topk_part, batch_format="pandas"
+    )
+
+
 def token_count(docs: "rd.Dataset") -> "rd.Dataset":
     return docs.map_batches(TokenCount, batch_format="pandas", concurrency=(1, 8))
 

@@ -15,6 +15,74 @@ import pyarrow as pa
 import ray.data as rd
 
 
+def hopping_window(
+    events: "rd.Dataset",
+    *,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    size_hours: int = 2,
+    hop_hours: int = 1,
+) -> "rd.Dataset":
+    """Hopping (sliding) window aggregate: per (key, window start), the
+    sum/count of events whose ts falls in [w_start, w_start + size).
+
+    Each event belongs to size/hop consecutive windows, so the map stage
+    EMITS size/hop rows per event (a per-batch Arrow explode — no shuffle
+    amplification beyond the factor itself), then one partial-aggregated
+    groupby does the rest. Sums rounded to 2 (fixed-point inputs).
+    """
+    assert size_hours % hop_hours == 0, "size must be a multiple of hop"
+    n_win = size_hours // hop_hours
+    hop_us = hop_hours * 3_600_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (ts // hop_us) * hop_us  # floor to hop grid
+        starts = (
+            np.concatenate([base - h * hop_us for h in range(n_win)])
+            if n
+            else np.empty(0, np.int64)
+        )
+        keys_np = batch.column(key).to_numpy(zero_copy_only=False)
+        keys = np.concatenate([keys_np] * n_win) if n else keys_np
+        vals_np = batch.column(val_col).to_numpy(zero_copy_only=False)
+        vals = np.concatenate([vals_np] * n_win) if n else vals_np
+        return pa.table(
+            {
+                key: pa.array(keys, batch.schema.field(key).type),
+                "w_start": pa.array(starts).cast(pa.timestamp("us")),
+                val_col: pa.array(vals, pa.float64()),
+            }
+        )
+
+    from ccl_ray.stages.aggregates import partial_sum_agg
+
+    agg = partial_sum_agg(
+        events.map_batches(explode, batch_format="pyarrow"),
+        [key, "w_start"],
+        {val_col: "sum_value"},
+        count_as="n_events",
+    )
+
+    def rnd(df: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(
+            df.assign(sum_value=df["sum_value"].round(2)),
+            schema=pa.schema(
+                [
+                    (key, pa.string()),
+                    ("w_start", pa.timestamp("us")),
+                    ("sum_value", pa.float64()),
+                    ("n_events", pa.int64()),
+                ]
+            ),
+            preserve_index=False,
+        )
+
+    return agg.map_batches(rnd, batch_format="pandas")
+
+
 def sessionize(
     events: "rd.Dataset",
     *,

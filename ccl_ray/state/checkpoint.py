@@ -28,11 +28,19 @@ import ray
 from ccl_ray.functions.hashing import stable_hash64_np
 
 
+def _bits64(x: np.ndarray) -> np.ndarray:
+    """uint64 bit view, widening narrow int dtypes (int32 dense vids) first."""
+    x = np.ascontiguousarray(x)
+    if x.dtype.itemsize == 8:
+        return x.view(np.uint64)
+    return x.astype(np.int64).view(np.uint64)
+
+
 def _vid_fp_np(vids: np.ndarray) -> int:
     """Order-insensitive fingerprint of one shard's vid set."""
     if not len(vids):
         return 0
-    return int(np.bitwise_xor.reduce(stable_hash64_np(vids.view(np.uint64))))
+    return int(np.bitwise_xor.reduce(stable_hash64_np(_bits64(vids))))
 
 
 def _combine_fps(fps: list[int]) -> int:
@@ -66,8 +74,8 @@ def _write_shard(path: str, vids: np.ndarray, vals: np.ndarray, col: str):
     pq.write_table(t, path)
     fp = int(
         np.bitwise_xor.reduce(
-            stable_hash64_np(vids.view(np.uint64) * np.uint64(31))
-            ^ stable_hash64_np(np.asarray(vals).view(np.uint64))
+            stable_hash64_np(_bits64(vids) * np.uint64(31))
+            ^ stable_hash64_np(_bits64(np.asarray(vals)))
         )
         if len(vids)
         else 0

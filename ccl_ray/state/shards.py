@@ -238,13 +238,26 @@ def apply_combine_plan(cplan, value_pieces: list, op) -> tuple[np.ndarray, np.nd
     return cplan["pos"], red
 
 
-def build_graph_shards(edges_ds, P: int, *, vertices_ds=None, symmetrize: bool = True) -> dict:
+def build_graph_shards(edges_ds, P: int, *, vertices_ds=None, symmetrize: bool = True,
+                       dense: bool = True) -> dict:
     """Build the full shard bundle ONCE for reuse across algorithms.
 
     CC, PageRank(symmetrize=True) and label propagation all iterate over the
     same symmetric CSR + plans; sharing the bundle halves setup when a
     pipeline runs several algorithms on one graph (e.g. the flagship).
+
+    ``dense=True`` (default): build in the dense int32 vertex domain
+    (state.dense) — halves label-gather bytes per BSP iteration; consumers
+    translate outputs back to original vids via the bundle's ``dense``
+    metadata. ``dense=False`` keeps the original int64 vid domain (needed
+    when callers align external per-vid data against the shard layout by
+    hash(vid), e.g. label propagation's seed routing).
     """
+    if dense:
+        from ccl_ray.state.dense import build_dense_graph_shards
+
+        return build_dense_graph_shards(edges_ds, P, vertices_ds=vertices_ds,
+                                        symmetrize=symmetrize)
     csr = shard_edges_csr(edges_ds, P, symmetrize=symmetrize)
     vids = shard_vertices(edges_ds, P, vertices_ds=vertices_ds)
     plans = scatter_plans(csr, vids, P)

@@ -134,3 +134,41 @@ def test_multimodal_plumbing_and_stub():
 
     with pytest.raises(NotImplementedError):
         dec._decode_impl(b"\x00" * 32)
+
+
+def test_minhash_verify_distributed_at_scale():
+    """The Jaccard verify stage must hold NO driver-side shingle dict: at
+    1e5 docs the round-1 implementation would have materialized every
+    candidate doc's shingle set on the driver. Planted duplicate groups
+    must still be recovered exactly, through the hash-join + vectorized
+    per-batch scoring path."""
+    n = 100_000
+    rng = np.random.RandomState(1)
+    # large vocabulary of prefix-free hex words → random docs are
+    # near-disjoint in SHINGLE space (a shared "wordNNN" prefix would make
+    # every doc similar at the 8-char-window level), so the only LSH
+    # candidates are the planted duplicates
+    words = np.array(
+        [format((i * 2654435761) % (1 << 32), "08x") for i in range(5000)], dtype=object
+    )
+    # unique 24-word docs, then plant 50 duplicate PAIRS at known positions
+    picks = words[rng.randint(0, len(words), size=(n, 24))]
+    texts = np.array([" ".join(p) + f" uniq{i}" for i, p in enumerate(picks)], dtype=object)
+    planted = [(2_000 + 7 * k, 60_000 + 11 * k) for k in range(50)]
+    for a, b in planted:
+        texts[b] = texts[a]
+    from ccl_ray.stages.dedup import minhash_candidates, ngram_jaccard_pairs
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)), "text": pa.array(texts)})
+    ).repartition(16)
+    cand = minhash_candidates(docs)
+    # broadcast_ids_limit=0 forces the fully-distributed verify (semi-join +
+    # hash-join + per-batch kernel) — the path that must hold at 100 TB
+    pairs = ngram_jaccard_pairs(docs, cand, threshold=0.9, broadcast_ids_limit=0).to_pandas()
+    got = set(zip(pairs["a"].astype(int), pairs["b"].astype(int)))
+    for a, b in planted:
+        assert (a, b) in got, (a, b)
+    # identical texts verify at jaccard 1.0
+    j = dict(zip(zip(pairs["a"].astype(int), pairs["b"].astype(int)), pairs["jaccard"]))
+    assert all(j[p] == 1.0 for p in planted)

@@ -192,3 +192,57 @@ def test_distributed_equals_serial_partitions():
             base = sig
         else:
             assert sig == base
+
+
+def test_thresh_inverse_selects_complement():
+    """cv2.THRESH_BINARY_INV parity (ccl2d.py:58-62): set iff value <= trigger."""
+    from ccl_ray.sources.grid import slice_mask
+
+    s = np.array([[5, 1, 5], [1, 5, 1], [5, 1, 5]], dtype=np.float64)
+    m = slice_mask(s, 2)
+    mi = slice_mask(s, 2, thresh_inverse=True)
+    assert (m == (s > 2)).all()
+    assert (mi == (s <= 2)).all()
+    assert (m ^ mi).all()  # exact complements
+
+    # end-to-end: inverse threshold picks the 4 corner-adjacent low pixels,
+    # which 8-connectivity joins into ONE component through the center? no —
+    # the low pixels are the edge-midpoints (0,1),(1,0),(1,2),(2,1): each
+    # pair is diagonal-adjacent, so all four form one 8-connected component
+    verts, edges = stack_to_graph([s], 2, global_latlon_grid=False, thresh_inverse=True)
+    assert verts.num_rows == 4
+    res = connected_components_bsp(
+        rd.from_arrow(edges),
+        vertices=rd.from_arrow(verts.select(["vid"])),
+        cfg=EngineConfig(num_partitions=2),
+    )
+    labs = res.labels.to_pandas()
+    assert labs["label"].nunique() == 1
+
+
+def test_norm_data_uint8_quantization_parity():
+    """norm_data=True must reproduce the reference's uint8 rescale incl.
+    truncation (ccl2d.py:33-44): values that collapse into the same uint8
+    bucket as the trigger become background."""
+    from ccl_ray.sources.grid import slice_mask
+
+    # mx=10 -> scale 25.5/unit; trigger thresh_lo=4 -> int(255*4/10)=102
+    # value 4.05 -> int(255*.405)=103 > 102 set; 4.0 -> 102 not set
+    s = np.array([[4.0, 4.05], [10.0, 0.0]])
+    m = slice_mask(s, 4, norm_data=True)
+    assert m.tolist() == [[False, True], [True, False]]
+    # raw (un-normalized) semantics differ at exactly the boundary value
+    m_raw = slice_mask(s, 4)
+    assert m_raw.tolist() == [[False, True], [True, False]]
+    # a case where quantization CHANGES the outcome vs raw floats:
+    # 4.003 raw-> set (4.003 > 4), norm-> int(255*0.4003)=102 == trigger -> not set
+    s2 = np.array([[4.003, 10.0]])
+    assert slice_mask(s2, 4).tolist() == [[True, True]]
+    assert slice_mask(s2, 4, norm_data=True).tolist() == [[False, True]]
+
+
+def test_perform_threshold_false_uses_nonzero_mask():
+    from ccl_ray.sources.grid import slice_mask
+
+    s = np.array([[0, 2], [3, 0]])
+    assert slice_mask(s, 99, perform_threshold=False).tolist() == [[False, True], [True, False]]
