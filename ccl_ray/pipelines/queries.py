@@ -272,6 +272,51 @@ def q_sessionize(sf_dir: str):
     return sessionize(ev, gap_minutes=30)
 
 
+def q_asof_join(sf_dir: str):
+    from ray.data.aggregate import Max
+
+    from ccl_ray.stages.aggregates import to_arrow_blocks
+    from ccl_ray.stages.joins import asof_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey").cast(pa.int64()),
+                "o_ts": batch.column("o_orderdate").cast(pa.timestamp("us")),
+                "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+            }
+        )
+
+    # unique per (key, ts): newest-order ties resolved by max orderkey —
+    # required for a deterministic as-of match (same rule in the oracle)
+    right = to_arrow_blocks(
+        orders.map_batches(prep, batch_format="pyarrow")
+        .groupby(["o_custkey", "o_ts"])
+        .aggregate(Max("o_orderkey", alias_name="last_orderkey"))
+    )
+    out = asof_join(
+        ev, right,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_ts",
+        right_vals=["last_orderkey"],
+    )
+    return out.select_columns(["event_id", "user_id", "ts", "last_orderkey"])
+
+
+def q_range_prev_hour(sf_dir: str):
+    from ccl_ray.stages.joins import range_count_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts"]
+    ).materialize()  # consumed as both probe and build side (diamond)
+    return range_count_join(ev, ev, key="event_type", ts_col="ts", window_hours=1)
+
+
 def q_redact(sf_dir: str):
     from ccl_ray.stages.text import redact
 
@@ -333,6 +378,8 @@ QUERIES = {
     "media_meta": q_media_meta,
     "embedding_dedup": q_embedding_dedup,
     "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
+    "range_prev_hour": q_range_prev_hour,
     "redact": q_redact,
     "tfidf_top_terms": q_tfidf_top_terms,
     "hopping_window": q_hopping_window,
@@ -558,6 +605,19 @@ ORACLE_SQL = {
         SELECT user_id, session_idx, count(*) AS n_events,
                min(ts) AS t_start, max(ts) AS t_end
         FROM s GROUP BY 1, 2""",
+    "asof_join": """
+        WITH r AS (SELECT o_custkey, o_orderdate::TIMESTAMP AS o_ts,
+                          max(o_orderkey) AS last_orderkey
+                   FROM orders GROUP BY 1, 2)
+        SELECT e.event_id, e.user_id, e.ts, r.last_orderkey
+        FROM events e ASOF LEFT JOIN r
+          ON e.user_id = r.o_custkey AND e.ts >= r.o_ts""",
+    "range_prev_hour": """
+        SELECT a.event_id, count(b.event_id) AS n_in_window
+        FROM events a LEFT JOIN events b
+          ON b.event_type = a.event_type
+         AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts
+        GROUP BY 1""",
     "redact": """
         SELECT doc_id,
                regexp_replace(
