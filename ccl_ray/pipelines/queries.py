@@ -348,6 +348,16 @@ def q_media_meta(sf_dir: str):
     return media_meta(docs_to_media(docs), fake=True)
 
 
+def q_frame_sample(sf_dir: str):
+    from ccl_ray.stages.multimodal import docs_to_videos, frame_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    out = frame_sample(docs_to_videos(docs), every_k=2, fake=True)
+    # the driver compares the fanout (media_id, frame_idx); binary frames +
+    # checksums are pytest-verified (no SQL representation)
+    return out.select_columns(["media_id", "frame_idx"])
+
+
 QUERIES = {
     "edges_build": q_edges_build,
     "degree": q_degree,
@@ -376,6 +386,7 @@ QUERIES = {
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "media_meta": q_media_meta,
+    "frame_sample": q_frame_sample,
     "embedding_dedup": q_embedding_dedup,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
@@ -605,6 +616,10 @@ ORACLE_SQL = {
         SELECT user_id, session_idx, count(*) AS n_events,
                min(ts) AS t_start, max(ts) AS t_end
         FROM s GROUP BY 1, 2""",
+    "frame_sample": """
+        SELECT doc_id AS media_id,
+               unnest(range(0, 4 + n_chars % 8, 2))::INTEGER AS frame_idx
+        FROM documents""",
     "asof_join": """
         WITH r AS (SELECT o_custkey, o_orderdate::TIMESTAMP AS o_ts,
                           max(o_orderkey) AS last_orderkey

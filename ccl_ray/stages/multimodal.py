@@ -126,6 +126,96 @@ class ResizeImage:
         )
 
 
+FAKE_VID_MAGIC = b"FAKEVID1"
+
+
+def encode_fake_video(n_frames: int, frame_bytes: int, seed: int = 0) -> bytes:
+    """Deterministic fake 'video': header (magic, n_frames, frame_bytes) +
+    concatenated seeded frame bodies."""
+    rng = np.random.RandomState(seed)
+    body = rng.randint(0, 256, size=n_frames * frame_bytes, dtype=np.uint8).tobytes()
+    head = FAKE_VID_MAGIC + np.array([n_frames, frame_bytes], dtype="<u4").tobytes()
+    return head + body
+
+
+class FrameSample:
+    """Actor-pool frame-sampling stage: every k-th frame of a video payload
+    becomes one output row (media_id, frame_idx, frame binary, checksum).
+
+    Same stub contract as DecodeImage: the container has no real demuxer,
+    so fake=False raises on first batch and fake=True parses the
+    deterministic fake container. The Ray plumbing — one input row fans out
+    to n_frames/k output rows, small batch_size against payload width,
+    per-actor init — is real and is what a production ffmpeg-backed
+    implementation would reuse unchanged.
+    """
+
+    def __init__(self, every_k: int = 2, fake: bool = False):
+        self.k = every_k
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, idx_out, frames, sums = [], [], [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            if not self.fake:
+                raise NotImplementedError(
+                    "real video demuxer not available; construct FrameSample(fake=True) "
+                    "or plug in ffmpeg here"
+                )
+            assert payload[:8] == FAKE_VID_MAGIC, "not a fake video payload"
+            nf, fb = np.frombuffer(payload[8:16], dtype="<u4")
+            body = np.frombuffer(payload[16 : 16 + nf * fb], dtype=np.uint8)
+            for fi in range(0, int(nf), self.k):
+                frame = body[fi * fb : (fi + 1) * fb]
+                ids_out.append(mid)
+                idx_out.append(fi)
+                frames.append(frame.tobytes())
+                sums.append(zlib.crc32(frame.tobytes()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids_out, pa.int64()),
+                "frame_idx": pa.array(idx_out, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+                "checksum": pa.array(np.array(sums, dtype=np.int64)),
+            }
+        )
+
+
+def frame_sample(media: "rd.Dataset", *, every_k: int = 2, fake: bool = True,
+                 batch_size: int = 64) -> "rd.Dataset":
+    """Frame-sampling wiring: tiny batches (video payloads are wide), actor
+    pool, one-to-many row fanout."""
+    return media.map_batches(
+        FrameSample,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"every_k": every_k, "fake": fake},
+    )
+
+
+def docs_to_videos(docs: "rd.Dataset") -> "rd.Dataset":
+    """Manufacture a fake video table from documents (test plumbing source)."""
+
+    def mk(df: pd.DataFrame) -> pa.Table:
+        payloads = [
+            encode_fake_video(4 + (n % 8), 64, seed=int(d))
+            for d, n in zip(df["doc_id"], df["n_chars"])
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(df["doc_id"].values, pa.int64()),
+                "kind": pa.array(["video"] * len(df), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "meta": pa.array(["{}"] * len(df), pa.string()),
+            }
+        )
+
+    return docs.map_batches(mk, batch_format="pandas")
+
+
 def media_meta(media: "rd.Dataset", *, fake: bool = True, batch_size: int = 256) -> "rd.Dataset":
     """Decode stage wiring: small batches (payload width!), actor pool."""
     return media.map_batches(

@@ -1,0 +1,141 @@
+"""asof_join / range_count_join edge cases beyond the SQL-oracle gate."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ccl_ray.stages.joins import asof_join, range_count_join
+
+_US_H = 3_600_000_000
+
+
+def _ts(hours):
+    return (np.asarray(hours, dtype=np.int64) * _US_H).astype("datetime64[us]")
+
+
+def _left(keys, hours):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lid": pa.array(range(len(keys)), pa.int64()),
+                "k": pa.array(keys, pa.int64()),
+                "ts": pa.array(_ts(hours), pa.timestamp("us")),
+            }
+        )
+    )
+
+
+def _right(keys, hours, vals):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array(keys, pa.int64()),
+                "rts": pa.array(_ts(hours), pa.timestamp("us")),
+                "v": pa.array(vals, pa.int64()),
+            }
+        )
+    )
+
+
+def _run_asof(l, r):
+    out = asof_join(
+        l, r, left_key="k", right_key="rk", left_ts="ts", right_ts="rts", right_vals=["v"]
+    ).to_pandas()
+    return out.sort_values("lid").reset_index(drop=True)
+
+
+def test_asof_basic_equal_and_between():
+    l = _left([1, 1, 1, 2], [5, 10, 3, 7])
+    r = _right([1, 1, 2], [5, 8, 9], [50, 80, 90])
+    out = _run_asof(l, r)
+    # ts=5 matches the equal-ts right row; ts=10 the newest earlier (8);
+    # ts=3 has no earlier row -> null; key 2 at ts=7 has only a later row
+    assert out["v"].tolist()[0] == 50
+    assert out["v"].tolist()[1] == 80
+    assert pd.isna(out["v"].tolist()[2])
+    assert pd.isna(out["v"].tolist()[3])
+
+
+def test_asof_empty_right_and_unknown_keys():
+    l = _left([1, 2], [1, 2])
+    r = _right([], [], [])
+    out = _run_asof(l, r)
+    assert len(out) == 2 and out["v"].isna().all()
+    # keys present on left only
+    r2 = _right([9], [0], [99])
+    out2 = _run_asof(l, r2)
+    assert out2["v"].isna().all()
+
+
+def test_range_count_window_edges():
+    # builds at hours 0.0, 0.5, 1.0; probe at 1.0 counts [0.0, 1.0):
+    # 0.0 included (>= ts-1h), 0.5 included, 1.0 excluded (< ts)
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([0, 1, 2], pa.int64()),
+                "event_type": pa.array(["a"] * 3, pa.string()),
+                "ts": pa.array(
+                    (np.array([0, 18, 36]) * 600 * 1_000_000).astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+    ).materialize()
+    out = (
+        range_count_join(ev, ev, key="event_type", ts_col="ts", window_hours=1)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # hours: 0.0, 3.0h? no: 18*600s = 3h. Recompute: ts are 0h, 3h, 6h — all
+    # farther apart than 1h, so all counts 0
+    assert out["n_in_window"].tolist() == [0, 0, 0]
+
+
+def test_range_count_cross_bucket():
+    # probe at 1.5h counts builds in [0.5h, 1.5h): builds at 0.6h (bucket 0)
+    # and 1.2h (bucket 1) — the 0.6h build lives in the PREVIOUS bucket and
+    # is only visible through replication
+    h = np.array([0.6, 1.2, 1.5])
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([0, 1, 2], pa.int64()),
+                "event_type": pa.array(["a"] * 3, pa.string()),
+                "ts": pa.array((h * _US_H).astype(np.int64).astype("datetime64[us]"),
+                               pa.timestamp("us")),
+            }
+        )
+    ).materialize()
+    out = (
+        range_count_join(ev, ev, key="event_type", ts_col="ts", window_hours=1)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_in_window"].tolist() == [0, 1, 2]
+
+
+def test_frame_sample_fanout_and_determinism():
+    from ccl_ray.stages.multimodal import docs_to_videos, frame_sample
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "n_chars": pa.array([0, 3, 7], pa.int64()),
+            }
+        )
+    )
+    out = frame_sample(docs_to_videos(docs), every_k=2, fake=True).to_pandas()
+    # n_frames = 4 + n_chars % 8 -> 4, 7, 11; sampled every 2 -> 2, 4, 6 rows
+    counts = out.groupby("media_id").size().to_dict()
+    assert counts == {1: 2, 2: 4, 3: 6}
+    # deterministic checksums across runs
+    out2 = frame_sample(docs_to_videos(docs), every_k=2, fake=True).to_pandas()
+    a = out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    b = out2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    assert (a["checksum"].values == b["checksum"].values).all()
