@@ -107,15 +107,9 @@ def min_label_propagation(
     P = cfg.num_partitions
 
     if rounds is None:
-        # converge: CC, then min-seed per component via two exchanges.
-        # dense_ids OFF here: _component_min_seed aligns seed pieces to the
-        # CC label shards by hash(original vid) = shard index, which only
-        # holds when the BSP ran in the original vid domain.
-        import dataclasses
-
-        cc = connected_components_bsp(
-            edges, vertices=vertices, cfg=dataclasses.replace(cfg, dense_ids=False)
-        )
+        # converge: CC (dense path fine — _component_min_seed routes label
+        # rows by hash(vid) itself), then min-seed per component
+        cc = connected_components_bsp(edges, vertices=vertices, cfg=cfg)
         return _component_min_seed(cc.labels, seeds, cfg)
 
     csr = shard_edges_csr(edges, P, symmetrize=True)
@@ -163,34 +157,56 @@ def _component_min_seed(labels_ds, seeds, cfg: EngineConfig):
 
     P = cfg.num_partitions
 
-    # stage 1: per label-shard, attach seed (sentinel if absent) to each vid
+    # stage 1: route BOTH label rows and seed rows by hash(vid), then attach
+    # seed (sentinel if absent) to each vid. Routing the labels explicitly
+    # (instead of assuming block p == hash part p) makes this correct for
+    # ANY labels_ds provenance — including the dense-renumbered CC engine,
+    # whose translated output blocks are partitioned by hash(dense vid).
     lab_blocks = labels_ds.to_arrow_refs()
-    assert len(lab_blocks) == P, (
-        "labels_ds must be the P hash-partitioned shard tables produced by "
-        "connected_components_bsp with the same cfg (block p = hash part p)"
-    )
+
+    @ray.remote
+    def _split_label_pairs(block, P):
+        if block.num_rows == 0 or "vid" not in block.column_names:
+            empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+            return empty if P == 1 else tuple(empty for _ in range(P))
+        v = block.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = block.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = part_of(v, P)
+        order = np.argsort(parts, kind="stable")
+        v, s, parts = v[order], s[order], parts[order]
+        bounds = np.searchsorted(parts, np.arange(P + 1))
+        out = tuple((v[bounds[p]:bounds[p + 1]], s[bounds[p]:bounds[p + 1]]) for p in range(P))
+        return out[0] if P == 1 else out
+
+    split = _split_label_pairs.options(num_returns=P)
+    lab_matrix = [split.remote(b, P) for b in lab_blocks]
+    if P == 1:
+        lab_matrix = [[m] for m in lab_matrix]
     seed_matrix = _route_seeds(seeds, P)
 
     @ray.remote
-    def align(block, *seed_pieces):
-        v = block.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
-        l = block.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    def align(n_lab, *pieces):
+        lab_pieces, seed_pieces = pieces[:n_lab], pieces[n_lab:]
+        v = np.concatenate([x[0] for x in lab_pieces]) if lab_pieces else np.empty(0, np.int64)
+        l = np.concatenate([x[1] for x in lab_pieces]) if lab_pieces else np.empty(0, np.int64)
         order = np.argsort(v, kind="stable")
         v, l = v[order], l[order]
         sd = np.full(len(v), _I64MAX, dtype=np.int64)
         for sv, ss in seed_pieces:
-            if sv.size:
-                # seeds routed by hash(vid); only those present in this block apply
+            if sv.size and len(v):
+                # seeds routed by hash(vid); only vids present here apply
                 pos = np.searchsorted(v, sv)
                 ok = (pos < len(v)) & (v[np.minimum(pos, len(v) - 1)] == sv)
                 np.minimum.at(sd, pos[ok], ss[ok])
         return pa.table({"label": pa.array(l), "seed_min": pa.array(sd)})
 
-    # labels_ds shards were built per part p (hash(vid)=p) by cc_bsp, so the
-    # p-th seed column routes to the p-th label shard.
     aligned = [
-        align.remote(lab_blocks[p], *[row[p] for row in seed_matrix])
-        for p in range(len(lab_blocks))
+        align.remote(
+            len(lab_matrix),
+            *[row[p] for row in lab_matrix],
+            *[row[p] for row in seed_matrix],
+        )
+        for p in range(P)
     ]
 
     # stage 2: min seed per label, routed by hash(label)
