@@ -139,3 +139,48 @@ def test_frame_sample_fanout_and_determinism():
     a = out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
     b = out2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
     assert (a["checksum"].values == b["checksum"].values).all()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 50)), min_size=0, max_size=40),
+    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 50)), min_size=0, max_size=40),
+)
+@settings(max_examples=20, deadline=None)
+def test_asof_matches_pandas_merge_asof(lrows, rrows):
+    """Random keys/timestamps vs pandas merge_asof(direction='backward')."""
+    # right must be unique per (key, ts): keep max value per pair
+    rmap = {}
+    for i, (k, h) in enumerate(rrows):
+        rmap[(k, h)] = max(rmap.get((k, h), -1), i + 100)
+    rk = [k for k, _ in rmap]
+    rh = [h for _, h in rmap]
+    rv = [rmap[(k, h)] for k, h in rmap]
+
+    l = _left([k for k, _ in lrows], [h for _, h in lrows])
+    r = _right(rk, rh, rv)
+    out = asof_join(
+        l, r, left_key="k", right_key="rk", left_ts="ts", right_ts="rts", right_vals=["v"]
+    ).to_pandas()
+    if not lrows:
+        assert len(out) == 0
+        return
+    got = out.sort_values("lid").reset_index(drop=True)
+
+    ldf = pd.DataFrame(
+        {"lid": range(len(lrows)), "k": [k for k, _ in lrows], "ts": _ts([h for _, h in lrows])}
+    ).sort_values("ts", kind="stable")
+    rdf = pd.DataFrame({"k": rk, "rts": _ts(rh), "v": rv}).sort_values("rts", kind="stable")
+    if len(rdf):
+        want = pd.merge_asof(ldf, rdf, left_on="ts", right_on="rts", by="k",
+                             direction="backward")
+    else:
+        want = ldf.assign(v=np.nan)
+    want = want.sort_values("lid").reset_index(drop=True)
+    gv = got.sort_values("lid")["v"].values.astype(float)
+    wv = want["v"].values.astype(float)
+    assert len(gv) == len(wv)
+    assert ((np.isnan(gv) & np.isnan(wv)) | (gv == wv)).all(), (gv, wv)
