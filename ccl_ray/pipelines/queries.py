@@ -448,10 +448,12 @@ labeled AS (SELECT e.event_id, e.user_id, e.event_type, e.ts, cl.label
 """
 
 # 8-char shingle sets of non-empty documents + exact pairwise Jaccard — the
-# oracle for the MinHash-LSH pipelines. The corpus's Jaccard distribution is
-# bimodal (pairs are either ≥0.9 or ≤0.25), so banded LSH recall at the 0.5
-# threshold is total and the exact-SQL pair set equals the engine's
-# (verified at sf0.001 and sf0.01).
+# oracle for the MinHash-LSH pipelines. Two corpus facts make the exact-SQL
+# pair set equal the engine's (verified at sf0.001 and sf0.01): the Jaccard
+# distribution is bimodal (pairs ≥0.9 or ≤0.25 — banded LSH recall at the
+# 0.5 threshold is total), and no LSH bucket exceeds dedup._ALLPAIR_CAP
+# (the engine star-caps hotter buckets, which would make its listing a
+# strict subset of this oracle's).
 _JACCARD_CTE = """
 sh AS (
   SELECT DISTINCT doc_id, substr(text, i, 8) AS g

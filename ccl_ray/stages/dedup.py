@@ -73,9 +73,59 @@ class MinHashSig:
         return pd.DataFrame({"doc_id": df["doc_id"].values, "sig": [s.astype(np.int64) for s in sigs]})
 
 
-# buckets up to this size emit their complete pair set; larger buckets are
-# star-expanded (transitively complete for clustering, capped for listing)
-_ALLPAIR_CAP = 64
+# Buckets up to this size emit their complete pair set; larger buckets are
+# star-expanded to the bucket min: O(k) edges, transitively complete for
+# clustering, but a CAPPED LISTING — the full-pair SQL oracles only hold on
+# corpora whose buckets stay under the cap (true for the gate corpora:
+# duplicate groups are ~10^1 docs). 256 bounds a hot bucket at ~32k pairs.
+_ALLPAIR_CAP = 256
+
+
+def _emit_bucket_pairs(ids: np.ndarray, bucket_key_cols: list[np.ndarray], cap: int):
+    """Vectorized pair emission for pre-lexsorted bucket rows.
+
+    ``ids`` and the bucket key columns must already be sorted by
+    (*bucket_key_cols, ids). Duplicate ids within a bucket are dropped
+    first (a doc appears once per band by construction, but an upstream
+    union/double-read must not produce a==b self-pairs). Returns (ai, bi)
+    INDEX arrays into the deduplicated arrays plus the dedup mask — callers
+    gather their own payload columns with them.
+    """
+    n = len(ids)
+    if n < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64), np.ones(n, bool)
+    new = np.empty(n, bool)
+    new[0] = True
+    same_bucket = np.ones(n - 1, bool)
+    for col in bucket_key_cols:
+        same_bucket &= col[1:] == col[:-1]
+    new[1:] = ~same_bucket
+    # drop duplicate ids within a bucket (ids sorted within bucket)
+    keep = np.empty(n, bool)
+    keep[0] = True
+    keep[1:] = ~same_bucket | (ids[1:] != ids[:-1])
+    ids = ids[keep]
+    new = new[keep]
+    starts = np.nonzero(new)[0]
+    sizes = np.diff(np.concatenate([starts, [len(ids)]]))
+    out_a, out_b = [], []
+    for s in np.unique(sizes):
+        if s < 2:
+            continue
+        sel = starts[sizes == s]
+        if s <= cap:
+            # complete pair set; ids sorted within bucket → a < b
+            ii, jj = np.triu_indices(int(s), 1)
+            out_a.append((sel[:, None] + ii[None, :]).ravel())
+            out_b.append((sel[:, None] + jj[None, :]).ravel())
+        else:
+            # hot-bucket star cap (see _ALLPAIR_CAP note)
+            out_a.append(np.repeat(sel, int(s) - 1))
+            off = np.arange(1, int(s))
+            out_b.append((sel[:, None] + off[None, :]).ravel())
+    if not out_a:
+        return np.empty(0, np.int64), np.empty(0, np.int64), keep
+    return np.concatenate(out_a), np.concatenate(out_b), keep
 
 
 def minhash_candidates(
@@ -133,34 +183,11 @@ def minhash_candidates(
             return empty
         order = np.lexsort((ids, bh, band))
         band, bh, ids = band[order], bh[order], ids[order]
-        new = np.empty(len(ids), bool)
-        new[0] = True
-        new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
-        starts = np.nonzero(new)[0]
-        sizes = np.diff(np.concatenate([starts, [len(ids)]]))
-        out_a, out_b = [], []
-        for s in np.unique(sizes):
-            if s < 2:
-                continue
-            sel = starts[sizes == s]
-            if s <= _ALLPAIR_CAP:
-                # complete pair set (the pairs contract) for normal buckets;
-                # ids sorted within bucket → a < b
-                ii, jj = np.triu_indices(int(s), 1)
-                out_a.append(ids[(sel[:, None] + ii[None, :])].ravel())
-                out_b.append(ids[(sel[:, None] + jj[None, :])].ravel())
-            else:
-                # hot-bucket defense: star to the bucket min keeps O(k)
-                # edges; within-bucket pairs stay transitively connected, so
-                # duplicate_clusters is exact while the listing is capped
-                out_a.append(np.repeat(ids[sel], int(s) - 1))
-                off = np.arange(1, int(s))
-                out_b.append(ids[(sel[:, None] + off[None, :])].ravel())
-        if not out_a:
+        ai, bi, keep = _emit_bucket_pairs(ids, [band, bh], _ALLPAIR_CAP)
+        if not len(ai):
             return empty
-        return pa.table(
-            {"a": pa.array(np.concatenate(out_a)), "b": pa.array(np.concatenate(out_b))}
-        )
+        ids = ids[keep]
+        return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
 
     sigs = docs.map_batches(
         MinHashSig, batch_format="pandas", concurrency=(1, 8),
@@ -187,7 +214,9 @@ def _list_col_to_np(col) -> tuple[np.ndarray, np.ndarray]:
 def _jaccard_from_lists(offs_a, vals_a, offs_b, vals_b, n, threshold):
     """Vectorized exact Jaccard of n ragged sorted-unique shingle-list pairs.
     Returns (jaccard[n] rounded to 6, keep mask) — no per-pair Python loop:
-    intersection size = duplicate count after a per-row lexsort merge."""
+    intersection size = duplicate count after a per-row lexsort merge.
+    The threshold compares the UNROUNDED ratio (matching the SQL oracle's
+    WHERE clause); rounding applies only to the reported value."""
     len_a, len_b = np.diff(offs_a), np.diff(offs_b)
     rows = np.concatenate([np.repeat(np.arange(n), len_a), np.repeat(np.arange(n), len_b)])
     vals = np.concatenate([vals_a, vals_b])
@@ -196,8 +225,8 @@ def _jaccard_from_lists(offs_a, vals_a, offs_b, vals_b, n, threshold):
     dup = (rv[1:] == rv[:-1]) & (vv[1:] == vv[:-1])
     inter = np.bincount(rv[1:][dup], minlength=n)
     union = len_a + len_b - inter
-    jac = np.round(np.divide(inter, union, out=np.zeros(n), where=union > 0), 6)
-    return jac, (union > 0) & (jac >= threshold)
+    raw = np.divide(inter, union, out=np.zeros(n), where=union > 0)
+    return np.round(raw, 6), (union > 0) & (raw >= threshold)
 
 
 def ngram_jaccard_pairs(
@@ -233,7 +262,19 @@ def ngram_jaccard_pairs(
     # in Ray 2.49. Materialize: consumed 3× (ids ×2, join) — avoids diamond
     # stalls in the streaming executor.
     pairs = to_arrow_blocks(pairs).materialize()
-    if pairs.count() * 2 <= broadcast_ids_limit:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        # explicit-schema empty result (an all-empty Dataset loses columns)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    if n_pairs * 2 <= broadcast_ids_limit:
         return _jaccard_broadcast(docs, pairs, shingle_k, threshold)
     ids = (
         pairs.select_columns(["a"]).rename_columns({"a": "need_id"})
@@ -367,9 +408,21 @@ def _jaccard_broadcast(docs: "rd.Dataset", pairs: "rd.Dataset", shingle_k: int,
         offs, vals = _list_col_to_np(tbl.column("sh"))
         lens = np.diff(offs)[order]
         starts = offs[:-1][order]
+        # membership-checked lookup: a pair referencing a doc_id absent from
+        # docs is DROPPED (the distributed path drops it via inner join;
+        # an unchecked searchsorted would gather a neighbor's shingles)
         ia = np.searchsorted(doc_ids, pair_a)
         ib = np.searchsorted(doc_ids, pair_b)
+        ok = (
+            (ia < len(doc_ids))
+            & (ib < len(doc_ids))
+            & (doc_ids[np.minimum(ia, len(doc_ids) - 1)] == pair_a)
+            & (doc_ids[np.minimum(ib, len(doc_ids) - 1)] == pair_b)
+        )
+        pair_a, pair_b, ia, ib = pair_a[ok], pair_b[ok], ia[ok], ib[ok]
         n = len(pair_a)
+        if n == 0:
+            return empty
         idx_a, offs_a = _run_gather(starts[ia], lens[ia])
         idx_b, offs_b = _run_gather(starts[ib], lens[ib])
         jac, keep = _jaccard_from_lists(
@@ -437,13 +490,12 @@ class SimHashSig:
             )
             h = uh[inv]
             pm = (((h[:, None] >> self.bits[None, :]) & np.uint64(1)).astype(np.int64) * 2) - 1
-            c = np.cumsum(pm, axis=0)
-            ends = np.cumsum(lens)
-            sums = np.zeros((n, 64), dtype=np.int64)
+            # per-doc sums via reduceat on nonzero-doc token boundaries — no
+            # full-batch prefix-sum copy (halves peak memory on wide batches)
             nz = lens > 0
-            e = ends[nz] - 1
-            s = e - lens[nz]  # index before each doc's first token
-            sums[nz] = c[e] - np.where((s >= 0)[:, None], c[np.maximum(s, 0)], 0)
+            starts = (np.cumsum(lens) - lens)[nz]
+            sums = np.zeros((n, 64), dtype=np.int64)
+            sums[nz] = np.add.reduceat(pm, starts, axis=0)
             sig = ((sums > 0).astype(np.uint64) * self.pow2[None, :]).sum(axis=1)
         return pd.DataFrame({"doc_id": df["doc_id"].values, "simhash": sig.view(np.int64)})
 
@@ -462,9 +514,11 @@ def simhash_pairs(docs: "rd.Dataset", *, k: int = 3) -> "rd.Dataset":
 
     Pigeonhole: split the 64-bit signature into k+1 disjoint bands — any
     pair within hamming distance k agrees exactly on at least one band, so
-    bucketing by (band, band_value) has total recall. Buckets verify true
-    hamming via popcount(xor); hot buckets (> _ALLPAIR_CAP ids) emit the
-    star to the min id only (same capped-listing contract as MinHash LSH).
+    bucketing by (band, band_value) has total recall FOR BUCKETS UP TO
+    _ALLPAIR_CAP ids. Hot buckets (> cap) emit only the hamming-verified
+    star to the min id — a capped listing (the full-pair SQL oracle assumes
+    no hot buckets, which holds on the gate corpora). Buckets verify true
+    hamming via popcount(xor).
     """
     nb = k + 1
     # band i covers bits [lo[i], lo[i+1]); last band absorbs the remainder
@@ -519,35 +573,17 @@ def simhash_pairs(docs: "rd.Dataset", *, k: int = 3) -> "rd.Dataset":
             return empty
         order = np.lexsort((ids, bv, band))
         band, bv, ids, sg = band[order], bv[order], ids[order], sg[order]
-        new = np.empty(len(ids), bool)
-        new[0] = True
-        new[1:] = (band[1:] != band[:-1]) | (bv[1:] != bv[:-1])
-        starts = np.nonzero(new)[0]
-        sizes = np.diff(np.concatenate([starts, [len(ids)]]))
-        out_a, out_b, out_h = [], [], []
-        for s in np.unique(sizes):
-            if s < 2:
-                continue
-            sel = starts[sizes == s]
-            if s <= _ALLPAIR_CAP:
-                ii, jj = np.triu_indices(int(s), 1)
-                ai, bi = (sel[:, None] + ii[None, :]).ravel(), (sel[:, None] + jj[None, :]).ravel()
-            else:  # hot-bucket star cap (see docstring)
-                ai = np.repeat(sel, int(s) - 1)
-                off = np.arange(1, int(s))
-                bi = (sel[:, None] + off[None, :]).ravel()
-            ham = _popcount64(sg[ai].view(np.uint64) ^ sg[bi].view(np.uint64))
-            keep = ham <= k
-            out_a.append(ids[ai][keep])
-            out_b.append(ids[bi][keep])
-            out_h.append(ham[keep])
-        if not out_a:
+        ai, bi, keep_rows = _emit_bucket_pairs(ids, [band, bv], _ALLPAIR_CAP)
+        if not len(ai):
             return empty
+        ids, sg = ids[keep_rows], sg[keep_rows]
+        ham = _popcount64(sg[ai].view(np.uint64) ^ sg[bi].view(np.uint64))
+        keep = ham <= k
         return pa.table(
             {
-                "a": pa.array(np.concatenate(out_a)),
-                "b": pa.array(np.concatenate(out_b)),
-                "hamming": pa.array(np.concatenate(out_h)),
+                "a": pa.array(ids[ai][keep]),
+                "b": pa.array(ids[bi][keep]),
+                "hamming": pa.array(ham[keep]),
             }
         )
 

@@ -181,6 +181,12 @@ def embedding_dedup_pairs(
     with assign_top >= 2. Partitioning assumption: a bucket holds ~
     N·assign_top/n_clusters vectors and is verified in one task — raise
     n_clusters with N to bound per-task memory/compute.
+
+    APPROXIMATE by design (this replaced round 1's exact all-pairs
+    broadcast, a scale-killer). ``assign_top=n_clusters`` recovers exact
+    (quadratic) semantics for small corpora; the embedding_dedup query pins
+    (threshold=0.45, n_clusters=16, assign_top=4), verified-total recall on
+    the gate corpora at both sf0.001 and sf0.01.
     """
     import pyarrow as pa
 

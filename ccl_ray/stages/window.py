@@ -35,6 +35,10 @@ def hopping_window(
     assert size_hours % hop_hours == 0, "size must be a multiple of hop"
     n_win = size_hours // hop_hours
     hop_us = hop_hours * 3_600_000_000
+    # resolve the key's Arrow type once from the input schema (the final
+    # explicit output schema must not hardcode string — int keys are legal)
+    in_schema = events.schema()
+    key_type = dict(zip(in_schema.names, in_schema.types))[key]
 
     def explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -51,7 +55,7 @@ def hopping_window(
         vals = np.concatenate([vals_np] * n_win) if n else vals_np
         return pa.table(
             {
-                key: pa.array(keys, batch.schema.field(key).type),
+                key: pa.array(keys, key_type),
                 "w_start": pa.array(starts).cast(pa.timestamp("us")),
                 val_col: pa.array(vals, pa.float64()),
             }
@@ -71,7 +75,7 @@ def hopping_window(
             df.assign(sum_value=df["sum_value"].round(2)),
             schema=pa.schema(
                 [
-                    (key, pa.string()),
+                    (key, key_type),
                     ("w_start", pa.timestamp("us")),
                     ("sum_value", pa.float64()),
                     ("n_events", pa.int64()),
@@ -114,7 +118,10 @@ def sessionize(
         # Explicit Arrow schema: the driver's value-hash does NOT normalize
         # dtypes, so emit exactly what the SQL oracle emits — int64 counters
         # and timestamp[us] (from_pandas would default to timestamp[ns]).
-        key_type = pa.Table.from_pandas(df[[key]].head(0), preserve_index=False).schema.field(key).type
+        # Infer the key type from ONE REAL ROW (map_groups groups are never
+        # empty): a zero-row object column would infer the null type and
+        # make the cast below crash for string keys.
+        key_type = pa.Table.from_pandas(df[[key]].head(1), preserve_index=False).schema.field(key).type
         schema = pa.schema(
             [
                 (key, key_type),

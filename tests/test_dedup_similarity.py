@@ -172,3 +172,56 @@ def test_minhash_verify_distributed_at_scale():
     # identical texts verify at jaccard 1.0
     j = dict(zip(zip(pairs["a"].astype(int), pairs["b"].astype(int)), pairs["jaccard"]))
     assert all(j[p] == 1.0 for p in planted)
+
+
+def test_duplicate_docid_rows_no_self_pairs():
+    """Duplicate doc_id rows (upstream double-read) must not emit a==b."""
+    texts = ["the quick brown fox jumps over the lazy dog"] * 2
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 1], pa.int64()), "text": pa.array(texts)})
+    )
+    pairs = minhash_dedup_pairs(docs, threshold=0.5).to_pandas()
+    # only one distinct doc → no pairs, and critically no (1,1) self-pair
+    # (Ray quirk: an all-empty Dataset drops its schema, so only check len)
+    assert len(pairs) == 0
+
+
+def test_jaccard_broadcast_drops_unknown_pair_ids():
+    from ccl_ray.stages.dedup import ngram_jaccard_pairs
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["aaaa bbbb cccc dddd", "aaaa bbbb cccc dddd"]),
+            }
+        )
+    )
+    pairs = rd.from_arrow(
+        pa.table({"a": pa.array([1, 1, 99], pa.int64()), "b": pa.array([2, 999, 1000], pa.int64())})
+    )
+    out = ngram_jaccard_pairs(docs, pairs, threshold=0.5).to_pandas()
+    # the (1,2) pair verifies at 1.0; pairs referencing unknown ids vanish
+    assert len(out) == 1 and out.iloc[0]["a"] == 1 and out.iloc[0]["b"] == 2
+    assert out.iloc[0]["jaccard"] == 1.0
+
+
+def test_hot_bucket_star_cap_keeps_clusters_connected():
+    """> _ALLPAIR_CAP identical docs: listing is star-capped but
+    duplicate_clusters still reports ONE cluster (transitive closure)."""
+    from ccl_ray.stages.dedup import _ALLPAIR_CAP, duplicate_clusters, minhash_candidates
+
+    n = _ALLPAIR_CAP + 10
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array(["identical text body for every document here"] * n),
+            }
+        )
+    )
+    cand = minhash_candidates(docs).to_pandas()
+    assert len(cand) == n - 1  # star to the min id, not C(n,2)
+    assert (cand["a"] == 0).all()
+    clusters = duplicate_clusters(docs, threshold=0.5).to_pandas()
+    assert (clusters["cluster"] == 0).all()

@@ -100,3 +100,19 @@ def test_entry_smoke():
     df = _to_pandas(entrymod.entry())
     assert len(df) > 0
     assert set(df.columns) == {"event_id", "label", "score"}
+
+
+def test_sessionize_string_key_and_hopping_int_key():
+    """Key-type plumbing: windows must work for string AND int keys."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ccl_ray.stages.window import hopping_window, sessionize
+
+    ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_id", "user_id", "event_type", "ts", "value"])
+    s = sessionize(ev, key="event_type", gap_minutes=30).to_pandas()
+    assert len(s) > 0 and s["event_type"].dtype == object
+    h = hopping_window(ev, key="user_id", size_hours=2, hop_hours=1).to_pandas()
+    assert len(h) > 0 and str(h["user_id"].dtype) == "int64"
