@@ -102,3 +102,40 @@ def test_dense_checkpoint_resume(tmp_path):
     connected_components_bsp(edges, cfg=cfg_short, checkpoint=ShardCheckpoint(ck_dir))
     resumed = connected_components_bsp(edges, cfg=cfg, checkpoint=ShardCheckpoint(ck_dir))
     assert _sorted_labels(resumed).equals(want)
+
+
+def test_dense_empty_edges_with_vertices():
+    """Empty edge table + explicit vertices: every vertex self-labels.
+    Exercises the degenerate splitter path (no samples → R=1)."""
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    )
+    verts = rd.from_arrow(pa.table({"vid": pa.array([5, 7, 11], pa.int64())}))
+    res = connected_components_bsp(
+        edges, vertices=verts, cfg=EngineConfig(num_partitions=3, dense_ids=True)
+    )
+    df = _sorted_labels(res)
+    assert df["vid"].tolist() == [5, 7, 11]
+    assert (df["label"] == df["vid"]).all()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.lists(st.tuples(st.integers(0, 60), st.integers(0, 60)), min_size=0, max_size=80))
+@settings(max_examples=15, deadline=None)
+def test_dense_equals_hash_property(pairs):
+    """Random small graphs: dense path labels == original-domain labels."""
+    if not pairs:
+        return
+    s = np.array([a * 13 for a, _ in pairs], dtype=np.int64)
+    d = np.array([b * 13 for _, b in pairs], dtype=np.int64)
+    edges = _edges_tbl(s, d)
+    dense = _sorted_labels(
+        connected_components_bsp(edges, cfg=EngineConfig(num_partitions=3, dense_ids=True))
+    )
+    hashp = _sorted_labels(
+        connected_components_bsp(edges, cfg=EngineConfig(num_partitions=3, dense_ids=False))
+    )
+    assert dense.equals(hashp)
