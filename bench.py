@@ -217,6 +217,22 @@ def run_bench() -> dict:
     embedding_dedup_pairs(emb, threshold=0.45, n_clusters=16, assign_top=4).count()
     queries["embedding_dedup"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    from ccl_ray.stages.text import tfidf_top_terms
+
+    tfidf_top_terms(docs, k=5).count()
+    queries["tfidf_top_terms"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.pipelines.queries import q_asof_join, q_range_prev_hour
+
+    q_asof_join(SF_DIR).count()
+    queries["asof_join"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    q_range_prev_hour(SF_DIR).count()
+    queries["range_prev_hour"] = time.perf_counter() - t0
+
     total = time.perf_counter() - t_total
     ray.shutdown()
     return {

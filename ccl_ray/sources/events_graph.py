@@ -43,16 +43,50 @@ def read_events(sf_dir: str) -> "rd.Dataset":
     )
 
 
-def adjacency_edges(events: "rd.Dataset") -> "rd.Dataset":
-    """(src,dst) = consecutive events per user by (ts, event_id); src<dst canonical."""
+# partition count for the vectorized per-partition passes below: groups are
+# processed many-per-task (one lexsort pass), never one Python call per key
+_ADJ_PARTS = 16
 
-    def adj(df: pd.DataFrame) -> pa.Table:
-        df = df.sort_values(["ts", "event_id"])
+
+def adjacency_edges(events: "rd.Dataset") -> "rd.Dataset":
+    """(src,dst) = consecutive events per user by (ts, event_id); src<dst canonical.
+
+    Partition-grouped: users route by hash(user_id) % P and each partition
+    handles ALL its users in one lexsort pass — a per-user map_groups would
+    pay a Python round-trip per user (100k+ groups at sf0.1; billions at
+    10^12-turn scale).
+    """
+    from ccl_ray.functions.hashing import stable_hash64_np
+
+    def route(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        part = (stable_hash64_np(u.view(np.uint64)) % np.uint64(_ADJ_PARTS)).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "part": pa.array(part),
+            }
+        )
+
+    def adj_part(df: pd.DataFrame) -> pa.Table:
+        if len(df) < 2:
+            return _edge_table(np.empty(0, np.int64), np.empty(0, np.int64), 0)
         e = df["event_id"].values.astype(np.int64)
-        a, b = (e[:-1], e[1:]) if len(e) > 1 else (e[:0], e[:0])
+        u = df["user_id"].values.astype(np.int64)
+        ts = df["ts"].values
+        order = np.lexsort((e, ts.astype("datetime64[us]").astype(np.int64), u))
+        e, u = e[order], u[order]
+        same = u[1:] == u[:-1]
+        a, b = e[:-1][same], e[1:][same]
         return _edge_table(np.minimum(a, b), np.maximum(a, b), 0)
 
-    return events.groupby("user_id").map_groups(adj, batch_format="pandas")
+    return (
+        events.map_batches(route, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(adj_part, batch_format="pandas")
+    )
 
 
 # SQL-expressible skew salt: sub-stars are per (event_type, hour, event_id %
@@ -64,42 +98,82 @@ EVENT_SALTS = 8
 
 
 def cooccurrence_edges(events: "rd.Dataset") -> "rd.Dataset":
-    """Salted star edges within (event_type, hour(ts), salt) + salt-hub chain."""
+    """Salted star edges within (event_type, hour(ts), salt) + salt-hub chain.
+
+    Both passes are partition-grouped (hash of the group key % P, one
+    vectorized lexsort pass per partition) — a per-bucket map_groups costs
+    a Python round-trip per (type, hour, salt) bucket (~30k at sf0.1).
+    """
+    from ccl_ray.functions.hashing import stable_hash64_np
 
     def key(batch: pa.Table) -> pa.Table:
         hr = pc.floor_temporal(batch.column("ts"), unit="hour")
         eid = batch.column("event_id").cast(pa.int64())
+        hr_us = hr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = batch.column("event_type")
+        from ccl_ray.functions.hashing import hash_strings_np
+
+        with np.errstate(over="ignore"):
+            gkey = hash_strings_np(et.to_numpy(zero_copy_only=False)) * np.uint64(
+                1099511628211
+            ) + hr_us.view(np.uint64)
+        part = (stable_hash64_np(gkey) % np.uint64(_ADJ_PARTS)).astype(np.int64)
         return pa.table(
             {
                 "event_id": eid,
-                "event_type": batch.column("event_type"),
+                "event_type": et,
                 "hr": hr,
                 "salt": pc.bit_wise_and(eid, EVENT_SALTS - 1),  # == % for 2^k
+                "part": pa.array(part),
             }
         )
 
-    def star(df: pd.DataFrame) -> pa.Table:
-        e = np.sort(df["event_id"].values.astype(np.int64))
-        if len(e) < 2:
-            return _edge_table(e[:0], e[:0], 1)
-        return _edge_table(np.full(len(e) - 1, e[0]), e[1:], 1)
+    def stars_part(df: pd.DataFrame) -> pa.Table:
+        if len(df) < 2:
+            return _edge_table(np.empty(0, np.int64), np.empty(0, np.int64), 1)
+        e = df["event_id"].values.astype(np.int64)
+        hr = df["hr"].values.astype("datetime64[us]").astype(np.int64)
+        salt = df["salt"].values.astype(np.int64)
+        et = df["event_type"].values
+        # vectorized per-bucket star: sort by (type, hr, salt, event_id);
+        # each row after a bucket's first links to the bucket min (ffill of
+        # the bucket-start event_id via maximum.accumulate on start indices)
+        order = np.lexsort((e, salt, hr, et))
+        e, hr, salt, et = e[order], hr[order], salt[order], et[order]
+        n = len(e)
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = (et[1:] != et[:-1]) | (hr[1:] != hr[:-1]) | (salt[1:] != salt[:-1])
+        start_idx = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+        hub = e[start_idx]
+        member = ~new
+        return _edge_table(hub[member], e[member], 1)
 
     keyed = events.map_batches(key, batch_format="pyarrow")
-    stars = keyed.groupby(["event_type", "hr", "salt"]).map_groups(star, batch_format="pandas")
+    stars = keyed.groupby("part").map_groups(stars_part, batch_format="pandas")
 
     # chain the salt-hub minima per (event_type, hr): pre-reduced to one row
-    # per (event_type, hr, salt) so the regroup is tiny (no skew re-concentration)
+    # per (event_type, hr, salt) so the regroup is tiny (no skew
+    # re-concentration); the per-(type,hr) chain pass is equally vectorized
     from ray.data.aggregate import Min
 
     hubs = keyed.groupby(["event_type", "hr", "salt"]).aggregate(Min("event_id", alias_name="mn"))
 
-    def chain(df: pd.DataFrame) -> pa.Table:
-        h = np.sort(df["mn"].values.astype(np.int64))
-        if len(h) < 2:
-            return _edge_table(h[:0], h[:0], 1)
-        return _edge_table(h[:-1], h[1:], 1)
+    def chains_all(df: pd.DataFrame) -> pa.Table:
+        if len(df) < 2:
+            return _edge_table(np.empty(0, np.int64), np.empty(0, np.int64), 1)
+        mn = df["mn"].values.astype(np.int64)
+        hr = df["hr"].values.astype("datetime64[us]").astype(np.int64)
+        et = df["event_type"].values
+        order = np.lexsort((mn, hr, et))
+        mn, hr, et = mn[order], hr[order], et[order]
+        same = (et[1:] == et[:-1]) & (hr[1:] == hr[:-1])
+        return _edge_table(mn[:-1][same], mn[1:][same], 1)
 
-    chains = hubs.groupby(["event_type", "hr"]).map_groups(chain, batch_format="pandas")
+    # the hub table is tiny (types × hours × salts rows) — one pass over the
+    # whole table (batch_size=None → entire block; a default-sized batch
+    # split would lose chain edges at batch boundaries)
+    chains = hubs.repartition(1).map_batches(chains_all, batch_format="pandas", batch_size=None)
     return stars.union(chains)
 
 

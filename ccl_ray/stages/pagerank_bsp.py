@@ -54,10 +54,16 @@ def _as_list(out, P):
 
 @ray.remote
 def _outdeg_aligned(csr, vids):
+    """STATIC per-shard auxiliaries, computed once: reciprocal out-degree
+    (the per-iteration kernel multiplies, never divides) and the dangling
+    vertex index (mask allocation hoisted out of the loop)."""
     deg = np.zeros(len(vids), dtype=np.float64)
     if csr["srcs"].size:
         deg[np.searchsorted(vids, csr["srcs"])] = csr["outdeg"].astype(np.float64)
-    return deg
+    inv = np.zeros_like(deg)
+    nz = deg > 0.0
+    inv[nz] = 1.0 / deg[nz]
+    return {"inv": inv, "didx": np.nonzero(~nz)[0].astype(np.int32)}
 
 
 @ray.remote
@@ -66,28 +72,22 @@ def _init_scores(vids, n):
 
 
 @ray.remote
-def _pr_scatter_g(plan, scores, outdeg, P):
+def _pr_scatter_g(plan, scores, aux, P):
     """One grouped object: (list of P value pieces, this shard's dangling).
 
     Dangling mass rides the exchange instead of a driver round-trip: every
     combine task sees all scatter outputs in grouped mode, so the global
     dangling sum is computed task-side — the iteration has NO driver sync."""
-    dangling = float(scores[outdeg == 0.0].sum())
-    inv = np.zeros_like(outdeg)
-    nz = outdeg > 0.0
-    inv[nz] = 1.0 / outdeg[nz]
-    per_edge = (scores * inv)[plan["edge_src_idx"]]
+    dangling = float(scores[aux["didx"]].sum())
+    per_edge = (scores * aux["inv"])[plan["edge_src_idx"]]
     return reduce_routed(plan, per_edge, np.add), dangling
 
 
 @ray.remote
-def _pr_scatter_f(plan, scores, outdeg, P):
+def _pr_scatter_f(plan, scores, aux, P):
     """Fanout: num_returns=P+1 — P pieces + dangling scalar."""
-    dangling = float(scores[outdeg == 0.0].sum())
-    inv = np.zeros_like(outdeg)
-    nz = outdeg > 0.0
-    inv[nz] = 1.0 / outdeg[nz]
-    per_edge = (scores * inv)[plan["edge_src_idx"]]
+    dangling = float(scores[aux["didx"]].sum())
+    per_edge = (scores * aux["inv"])[plan["edge_src_idx"]]
     pieces = reduce_routed(plan, per_edge, np.add)
     return (*pieces, dangling)
 

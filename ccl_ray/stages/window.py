@@ -103,34 +103,82 @@ def sessionize(
     """
     gap = np.timedelta64(gap_minutes * 60 * 1_000_000, "us")
 
-    def per_key(df: pd.DataFrame) -> pa.Table:
-        df = df.sort_values([ts_col, id_col])
-        ts = df[ts_col].values
-        brk = np.ones(len(df), dtype=np.int64)
-        if len(df) > 1:
-            brk[1:] = (np.diff(ts) > gap).astype(np.int64)
-        sess = np.cumsum(brk)
-        g = pd.DataFrame({key: df[key].values, "session_idx": sess, ts_col: ts}).groupby(
-            [key, "session_idx"], sort=False
-        )
-        out = g.agg(n_events=(ts_col, "size"), t_start=(ts_col, "min"), t_end=(ts_col, "max"))
-        out = out.reset_index()
-        # Explicit Arrow schema: the driver's value-hash does NOT normalize
-        # dtypes, so emit exactly what the SQL oracle emits — int64 counters
-        # and timestamp[us] (from_pandas would default to timestamp[ns]).
-        # Infer the key type from ONE REAL ROW (map_groups groups are never
-        # empty): a zero-row object column would infer the null type and
-        # make the cast below crash for string keys.
-        key_type = pa.Table.from_pandas(df[[key]].head(1), preserve_index=False).schema.field(key).type
-        schema = pa.schema(
-            [
-                (key, key_type),
-                ("session_idx", pa.int64()),
-                ("n_events", pa.int64()),
-                ("t_start", pa.timestamp("us")),
-                ("t_end", pa.timestamp("us")),
-            ]
-        )
-        return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
+    # Partition-grouped: keys route by hash(key) % P and one vectorized
+    # lexsort pass per partition sessionizes ALL its keys (a per-key
+    # map_groups pays a Python round-trip per user — 100k+ at sf0.1).
+    from ccl_ray.functions.hashing import hash_strings_np, stable_hash64_np
 
-    return events.groupby(key).map_groups(per_key, batch_format="pandas")
+    P = 16
+    in_schema = events.schema()
+    key_type = dict(zip(in_schema.names, in_schema.types))[key]
+    out_schema = pa.schema(
+        [
+            (key, key_type),
+            ("session_idx", pa.int64()),
+            ("n_events", pa.int64()),
+            ("t_start", pa.timestamp("us")),
+            ("t_end", pa.timestamp("us")),
+        ]
+    )
+
+    def route(batch: pa.Table) -> pa.Table:
+        kcol = batch.column(key)
+        if pa.types.is_string(key_type) or pa.types.is_large_string(key_type):
+            h = hash_strings_np(kcol.to_numpy(zero_copy_only=False))
+        else:
+            h = stable_hash64_np(
+                kcol.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+            )
+        part = (h % np.uint64(P)).astype(np.int64)
+        return pa.table(
+            {
+                key: kcol,
+                ts_col: batch.column(ts_col),
+                id_col: batch.column(id_col),
+                "part": pa.array(part),
+            }
+        )
+
+    def sess_part(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return out_schema.empty_table()
+        keys = df[key].values
+        ts = df[ts_col].values.astype("datetime64[us]")
+        ids = df[id_col].values
+        # factorize keys for lexsort regardless of dtype
+        kcodes, _ = pd.factorize(keys, sort=True)
+        order = np.lexsort((ids, ts.astype(np.int64), kcodes))
+        keys, ts, kcodes = keys[order], ts[order], kcodes[order]
+        n = len(keys)
+        brk = np.ones(n, dtype=np.int64)
+        same_key = kcodes[1:] == kcodes[:-1]
+        brk[1:] = (~same_key | (np.diff(ts) > gap)).astype(np.int64)
+        # per-key session index: global break-cumsum rebased per key run
+        csum = np.cumsum(brk)
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = ~same_key
+        key_start = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+        sess = csum - (csum[key_start] - 1)
+        # session boundaries: rows where brk == 1
+        starts = np.nonzero(brk)[0]
+        ends = np.concatenate([starts[1:], [n]])
+        out = pd.DataFrame(
+            {
+                key: keys[starts],
+                "session_idx": sess[starts],
+                "n_events": (ends - starts).astype(np.int64),
+                "t_start": ts[starts],
+                "t_end": ts[ends - 1],
+            }
+        )
+        # Explicit Arrow schema: the driver's value-hash does NOT normalize
+        # dtypes — emit exactly what the SQL oracle emits (int64 counters,
+        # timestamp[us])
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    return (
+        events.map_batches(route, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sess_part, batch_format="pandas")
+    )
