@@ -130,18 +130,22 @@ def range_count_join(
     window_hours: int = 1,
     out_col: str = "n_in_window",
     id_col: str = "event_id",
-    num_partitions: int = 8,
+    num_partitions: int = 16,
 ) -> "rd.Dataset":
     """Per left row: count of right rows with same key and ts in
     [left_ts - window, left_ts).
 
-    Bucketed replication: probe rows go to their own window-sized time
-    bucket; build rows replicate to their bucket and the NEXT one, so every
-    (probe, build) candidate meets exactly once in the probe's bucket.
-    Per-(key, bucket) counting is two searchsorteds over the sorted build
-    timestamps.
+    Bucketed replication + partition-grouped counting: probe rows go to
+    their window-sized time bucket, build rows replicate forward one
+    bucket (every candidate pair meets exactly once in the probe's
+    bucket); buckets route by hash(key, bucket) % P and each partition
+    counts ALL its buckets in ONE pass — a merged lexsort where each probe
+    contributes two sentinel rows (at ts and ts-window) and the count is
+    the difference of build-cumsums, rebased per (key, bucket) segment.
+    No per-bucket Python round-trip and no per-bucket loop.
     """
     win_us = window_hours * _US_PER_HOUR
+    P = num_partitions
 
     def prep(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -176,24 +180,78 @@ def range_count_join(
 
         return fn
 
-    both = left.map_batches(prep(0), batch_format="pyarrow").union(
-        right.map_batches(prep(1), batch_format="pyarrow")
+    def route(batch: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        from ccl_ray.functions.hashing import hash_strings_np
+
+        keys = batch.column(key).to_numpy(zero_copy_only=False)
+        bucket = batch.column("bucket").to_numpy(zero_copy_only=False)
+        if keys.dtype == object:
+            kh = hash_strings_np(keys)
+        else:
+            kh = stable_hash64_np(keys.astype(np.int64).view(np.uint64))
+        with np.errstate(over="ignore"):
+            part = (
+                stable_hash64_np(kh * np.uint64(1099511628211) + bucket.view(np.uint64))
+                % np.uint64(P)
+            ).astype(np.int64)
+        return batch.append_column("part", pa.array(part))
+
+    both = (
+        left.map_batches(prep(0), batch_format="pyarrow")
+        .union(right.map_batches(prep(1), batch_format="pyarrow"))
+        .map_batches(route, batch_format="pyarrow")
     )
 
-    def count(group: pd.DataFrame) -> pa.Table:
-        probes = group[group["probe"]]
-        if not len(probes):
-            return pa.table({id_col: pa.array([], pa.int64()), out_col: pa.array([], pa.int64())})
-        builds = np.sort(group.loc[~group["probe"], "ts_us"].values.astype(np.int64))
-        pts = probes["ts_us"].values.astype(np.int64)
-        cnt = np.searchsorted(builds, pts, side="left") - np.searchsorted(
-            builds, pts - win_us, side="left"
+    def count_part(df: pd.DataFrame) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()), out_col: pa.array([], pa.int64())})
+        if not len(df):
+            return empty
+        keys = df[key].values
+        kcodes, _ = pd.factorize(keys, sort=True)
+        bucket = df["bucket"].values.astype(np.int64)
+        ts = df["ts_us"].values.astype(np.int64)
+        pid = df["pid"].values.astype(np.int64)
+        probe = df["probe"].values.astype(bool)
+        # explode: builds once; probes → two sentinel rows (hi at ts,
+        # lo at ts - win). Sentinels sort BEFORE builds at equal ts (the
+        # window is [ts-win, ts): equal-ts builds count at the lo bound and
+        # not at the hi bound — both achieved by the same tie order).
+        b_sel = ~probe
+        p_sel = probe
+        k2 = np.concatenate([kcodes[b_sel], kcodes[p_sel], kcodes[p_sel]])
+        bk2 = np.concatenate([bucket[b_sel], bucket[p_sel], bucket[p_sel]])
+        ts2 = np.concatenate([ts[b_sel], ts[p_sel], ts[p_sel] - win_us])
+        n_b, n_p = int(b_sel.sum()), int(p_sel.sum())
+        if n_p == 0:
+            return empty
+        is_build = np.concatenate([np.ones(n_b, np.int64), np.zeros(2 * n_p, np.int64)])
+        # sentinel id: 0..n_p-1 = hi rows, n_p..2n_p-1 = lo rows
+        sent = np.concatenate(
+            [np.full(n_b, -1, np.int64), np.arange(n_p), np.arange(n_p) + n_p]
         )
+        order = np.lexsort((is_build, ts2, bk2, k2))
+        kb, bb, ib, sb = k2[order], bk2[order], is_build[order], sent[order]
+        n = len(kb)
+        cum = np.concatenate([[0], np.cumsum(ib)])  # builds before row i = cum[i]
+        seg_new = np.empty(n, bool)
+        seg_new[0] = True
+        seg_new[1:] = (kb[1:] != kb[:-1]) | (bb[1:] != bb[:-1])
+        seg_start = np.maximum.accumulate(np.where(seg_new, np.arange(n), 0))
+        builds_before = cum[np.arange(n)] - cum[seg_start]
+        hi = np.zeros(n_p, np.int64)
+        lo = np.zeros(n_p, np.int64)
+        is_hi = (sb >= 0) & (sb < n_p)
+        is_lo = sb >= n_p
+        hi[sb[is_hi]] = builds_before[is_hi]
+        lo[sb[is_lo] - n_p] = builds_before[is_lo]
+        cnt = hi - lo
         return pa.table(
             {
-                id_col: pa.array(probes["pid"].values.astype(np.int64)),
-                out_col: pa.array(cnt.astype(np.int64)),
+                id_col: pa.array(pid[p_sel]),
+                out_col: pa.array(cnt),
             }
         )
 
-    return both.groupby([key, "bucket"]).map_groups(count, batch_format="pandas")
+    return both.groupby("part").map_groups(count_part, batch_format="pandas")
