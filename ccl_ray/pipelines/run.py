@@ -23,7 +23,13 @@ def main(argv=None) -> int:
     ap.add_argument("--input", default="/root/testdata/sf0.001", help="sf dir (events graph)")
     ap.add_argument("--transcripts", default=None, help="transcripts parquet dir instead of events")
     ap.add_argument("--out", required=True)
-    ap.add_argument("--pipeline", default="flagship", choices=["flagship", "cc", "pagerank"])
+    ap.add_argument(
+        "--pipeline",
+        default="flagship",
+        choices=["flagship", "cc", "pagerank", "labelprop", "triangles"],
+    )
+    ap.add_argument("--seed-type", default="signup",
+                    help="labelprop: events of this event_type seed their own id")
     ap.add_argument("--partitions", type=int, default=16)
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
@@ -108,6 +114,40 @@ def main(argv=None) -> int:
             "iterations": pr.iterations,
             "metrics": pr.metrics[-3:],
         }
+
+    if args.pipeline == "labelprop":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        import ray.data as rd
+
+        from ccl_ray.stages.labelprop import min_label_propagation
+
+        ev = rd.read_parquet(
+            f"{args.input}/events.parquet", columns=["event_id", "event_type"]
+        )
+
+        def seed(batch: pa.Table) -> pa.Table:
+            sub = batch.filter(pc.equal(batch.column("event_type"), args.seed_type))
+            return pa.table({"vid": sub.column("event_id"), "seed": sub.column("event_id")})
+
+        out = min_label_propagation(
+            edges, ev.map_batches(seed, batch_format="pyarrow"), vertices=verts, cfg=cfg
+        )
+        path = os.path.join(args.out, "seed_labels")
+        out.write_parquet(path)
+        manifest["tables"]["seed_labels"] = {"path": path, "rows": out.count()}
+    if args.pipeline == "triangles":
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from ccl_ray.stages.triangles import triangle_counts_per_vertex
+
+        tri = triangle_counts_per_vertex(edges, cfg=cfg)
+        path = os.path.join(args.out, "triangles")
+        tri.write_parquet(path)
+        manifest["tables"]["triangles"] = {"path": path, "rows": tri.count()}
 
     manifest["wall_s"] = round(time.perf_counter() - t0, 3)
     tmp = os.path.join(args.out, ".manifest.tmp")
