@@ -156,6 +156,26 @@ def q_pagerank(sf_dir: str):
     return res.scores.rename_columns({"vid": "event_id"})
 
 
+def q_pagerank_fixed(sf_dir: str):
+    """PageRank for EXACTLY 20 iterations (tol=0) — the SQL-oracle twin of
+    the converged `pagerank` query. Fixed iteration count makes the engine
+    and a recursive-CTE oracle compute the identical linear-operator power,
+    so values match to float64 (measured max gap ~1e-19; rounded to 10).
+    The events graph has no dangling vertices (asserted by the degree
+    oracle), so the SQL needs no dangling-mass term."""
+    edges = build_event_edges(sf_dir)
+    cfg = EngineConfig(num_partitions=8, pr_tol=0.0, pr_max_iters=20)
+    res = pagerank_bsp(edges, vertices=event_vertices(sf_dir), cfg=cfg, symmetrize=True)
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        s = batch.column("score").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"event_id": batch.column("vid"), "score": pa.array(np.round(s, 10))}
+        )
+
+    return res.scores.map_batches(rnd, batch_format="pyarrow")
+
+
 def q_relabel_compose(sf_dir: str):
     nation = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
     region = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
@@ -348,6 +368,16 @@ def q_media_meta(sf_dir: str):
     return media_meta(docs_to_media(docs), fake=True)
 
 
+def q_media_dims(sf_dir: str):
+    """Decode-stage dims through the REAL actor-pool plumbing, value-checked:
+    the fake payload header bakes (16 + n_chars%32, 8 + n_chars%16), so the
+    decoded dimensions have an exact SQL twin. Pixel mean/checksum stay
+    pytest-verified (seeded bytes have no SQL representation)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"])
+    out = media_meta(docs_to_media(docs), fake=True)
+    return out.select_columns(["media_id", "width", "height"])
+
+
 def q_frame_sample(sf_dir: str):
     from ccl_ray.stages.multimodal import docs_to_videos, frame_sample
 
@@ -372,6 +402,7 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "triangles_per_vertex": q_triangles_per_vertex,
     "pagerank": q_pagerank,
+    "pagerank_fixed": q_pagerank_fixed,
     "relabel_compose": q_relabel_compose,
     "q1_agg": q_q1_agg,
     "events_hourly": q_events_hourly,
@@ -387,6 +418,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "media_meta": q_media_meta,
     "frame_sample": q_frame_sample,
+    "media_dims": q_media_dims,
     "embedding_dedup": q_embedding_dedup,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
@@ -558,6 +590,18 @@ ORACLE_SQL = {
         SELECT v AS vid, count(*) AS n_triangles
         FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
         GROUP BY v""",
+    "pagerank_fixed": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        dire AS (SELECT src AS u, dst AS v FROM edg UNION ALL SELECT dst, src FROM edg),
+        deg AS (SELECT u, count(*) AS dg FROM dire GROUP BY 1),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM events),
+        pr(it, v, score) AS (
+          SELECT 0, event_id, 1.0/(SELECT n FROM nn) FROM events
+          UNION ALL
+          SELECT it+1, dire.v, (SELECT 0.15/n FROM nn) + 0.85 * sum(pr.score / deg.dg)
+          FROM pr JOIN dire ON dire.u = pr.v JOIN deg ON deg.u = pr.v
+          WHERE it < 20 GROUP BY 1, 2)
+        SELECT v AS event_id, round(score, 10) AS score FROM pr WHERE it = 20""",
     "relabel_compose": """
         SELECT c_custkey, r_name
         FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -618,6 +662,11 @@ ORACLE_SQL = {
         SELECT user_id, session_idx, count(*) AS n_events,
                min(ts) AS t_start, max(ts) AS t_end
         FROM s GROUP BY 1, 2""",
+    "media_dims": """
+        SELECT doc_id AS media_id,
+               (16 + n_chars % 32)::INTEGER AS width,
+               (8 + n_chars % 16)::INTEGER AS height
+        FROM documents""",
     "frame_sample": """
         SELECT doc_id AS media_id,
                unnest(range(0, 4 + n_chars % 8, 2))::INTEGER AS frame_idx
