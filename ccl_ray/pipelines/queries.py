@@ -373,9 +373,7 @@ def q_media_dims(sf_dir: str):
     the fake payload header bakes (16 + n_chars%32, 8 + n_chars%16), so the
     decoded dimensions have an exact SQL twin. Pixel mean/checksum stay
     pytest-verified (seeded bytes have no SQL representation)."""
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"])
-    out = media_meta(docs_to_media(docs), fake=True)
-    return out.select_columns(["media_id", "width", "height"])
+    return q_media_meta(sf_dir).select_columns(["media_id", "width", "height"])
 
 
 def q_frame_sample(sf_dir: str):

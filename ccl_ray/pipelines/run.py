@@ -34,6 +34,13 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args(argv)
+    if args.pipeline == "labelprop" and args.transcripts:
+        ap.error(
+            "--pipeline labelprop seeds from the events table "
+            "({input}/events.parquet) and cannot run on --transcripts: "
+            "event seeds would match no transcript vid and every "
+            "seed_label would be null"
+        )
 
     import ray
 
@@ -83,12 +90,15 @@ def main(argv=None) -> int:
         col = "score" if name == "scores" else "label"
         return ShardCheckpoint(os.path.join(args.checkpoint_dir, name), col=col)
 
-    # one shard bundle for all requested algorithms; materialize edges so
-    # the lazy build pipeline is not re-executed per shard exchange
-    from ccl_ray.state.shards import build_graph_shards
+    edges = edges.materialize()  # lazy build must not re-execute per consumer
+    if args.pipeline in ("flagship", "cc", "pagerank"):
+        # one shard bundle shared by cc+pagerank; labelprop/triangles build
+        # their own (different dedupe/orientation requirements)
+        from ccl_ray.state.shards import build_graph_shards
 
-    edges = edges.materialize()
-    shards = build_graph_shards(edges, args.partitions, vertices_ds=verts, symmetrize=True)
+        shards = build_graph_shards(
+            edges, args.partitions, vertices_ds=verts, symmetrize=True
+        )
 
     if args.pipeline in ("flagship", "cc"):
         from ccl_ray.stages.cc_bsp import connected_components_bsp
@@ -138,10 +148,6 @@ def main(argv=None) -> int:
         out.write_parquet(path)
         manifest["tables"]["seed_labels"] = {"path": path, "rows": out.count()}
     if args.pipeline == "triangles":
-        import pyarrow as pa
-
-        import ray.data as rd
-
         from ccl_ray.stages.triangles import triangle_counts_per_vertex
 
         tri = triangle_counts_per_vertex(edges, cfg=cfg)

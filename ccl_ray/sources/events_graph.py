@@ -43,12 +43,14 @@ def read_events(sf_dir: str) -> "rd.Dataset":
     )
 
 
-# partition count for the vectorized per-partition passes below: groups are
-# processed many-per-task (one lexsort pass), never one Python call per key
+# default partition count for the vectorized per-partition passes below:
+# groups are processed many-per-task (one lexsort pass), never one Python
+# call per key. Raise with data size so one partition fits a task's heap
+# (callers pass num_partitions; this is only the default).
 _ADJ_PARTS = 16
 
 
-def adjacency_edges(events: "rd.Dataset") -> "rd.Dataset":
+def adjacency_edges(events: "rd.Dataset", *, num_partitions: int = _ADJ_PARTS) -> "rd.Dataset":
     """(src,dst) = consecutive events per user by (ts, event_id); src<dst canonical.
 
     Partition-grouped: users route by hash(user_id) % P and each partition
@@ -60,7 +62,7 @@ def adjacency_edges(events: "rd.Dataset") -> "rd.Dataset":
 
     def route(batch: pa.Table) -> pa.Table:
         u = batch.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        part = (stable_hash64_np(u.view(np.uint64)) % np.uint64(_ADJ_PARTS)).astype(np.int64)
+        part = (stable_hash64_np(u.view(np.uint64)) % np.uint64(num_partitions)).astype(np.int64)
         return pa.table(
             {
                 "event_id": batch.column("event_id"),
@@ -97,7 +99,7 @@ def adjacency_edges(events: "rd.Dataset") -> "rd.Dataset":
 EVENT_SALTS = 8
 
 
-def cooccurrence_edges(events: "rd.Dataset") -> "rd.Dataset":
+def cooccurrence_edges(events: "rd.Dataset", *, num_partitions: int = _ADJ_PARTS) -> "rd.Dataset":
     """Salted star edges within (event_type, hour(ts), salt) + salt-hub chain.
 
     Both passes are partition-grouped (hash of the group key % P, one
@@ -117,7 +119,7 @@ def cooccurrence_edges(events: "rd.Dataset") -> "rd.Dataset":
             gkey = hash_strings_np(et.to_numpy(zero_copy_only=False)) * np.uint64(
                 1099511628211
             ) + hr_us.view(np.uint64)
-        part = (stable_hash64_np(gkey) % np.uint64(_ADJ_PARTS)).astype(np.int64)
+        part = (stable_hash64_np(gkey) % np.uint64(num_partitions)).astype(np.int64)
         return pa.table(
             {
                 "event_id": eid,

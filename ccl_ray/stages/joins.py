@@ -181,8 +181,6 @@ def range_count_join(
         return fn
 
     def route(batch: pa.Table) -> pa.Table:
-        import pandas as _pd
-
         from ccl_ray.functions.hashing import hash_strings_np
 
         keys = batch.column(key).to_numpy(zero_copy_only=False)
