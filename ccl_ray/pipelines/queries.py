@@ -161,9 +161,36 @@ def q_pagerank_fixed(sf_dir: str):
     the converged `pagerank` query. Fixed iteration count makes the engine
     and a recursive-CTE oracle compute the identical linear-operator power,
     so values match to float64 (measured max gap ~1e-19; rounded to 10).
-    The events graph has no dangling vertices (asserted by the degree
-    oracle), so the SQL needs no dangling-mass term."""
-    edges = build_event_edges(sf_dir)
+    The SQL oracle propagates mass only through edges, so a vertex with no
+    edges would drop out of the oracle after iteration 0 — the no-dangling
+    assumption is a corpus property, not enforced by the SQL. Assert it
+    explicitly here (distinct edge endpoints == vertex count) so a corpus
+    violating it fails loudly instead of as a puzzling row-count gap."""
+    edges = build_event_edges(sf_dir).materialize()
+    n_vertices = event_vertices(sf_dir).count()
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": pa.chunked_array(
+                    [batch.column("src"), batch.column("dst")]
+                ).combine_chunks()
+            }
+        )
+
+    n_touched = (
+        partial_sum_agg(
+            edges.map_batches(endpoints, batch_format="pyarrow"), ["vid"], {}, count_as="_n"
+        )
+        .select_columns(["vid"])
+        .count()
+    )
+    if n_touched != n_vertices:
+        raise AssertionError(
+            f"pagerank_fixed oracle precondition violated: {n_vertices - n_touched} "
+            "vertices have no edges; the recursive-CTE oracle drops them after "
+            "iteration 0 and cannot model the engine's dangling-mass term"
+        )
     cfg = EngineConfig(num_partitions=8, pr_tol=0.0, pr_max_iters=20)
     res = pagerank_bsp(edges, vertices=event_vertices(sf_dir), cfg=cfg, symmetrize=True)
 

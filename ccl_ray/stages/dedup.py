@@ -80,6 +80,10 @@ class MinHashSig:
 # duplicate groups are ~10^1 docs). 256 bounds a hot bucket at ~32k pairs.
 _ALLPAIR_CAP = 256
 
+# SimHash bit accumulation processes at most this many tokens at once
+# (the expanded ±1 matrix is 512 B/token → ≤ 32 MB peak per actor).
+_SIMHASH_CHUNK = 1 << 16
+
 
 def _emit_bucket_pairs(ids: np.ndarray, bucket_key_cols: list[np.ndarray], cap: int):
     """Vectorized pair emission for pre-lexsorted bucket rows.
@@ -461,12 +465,13 @@ class SimHashSig:
     per-document or per-bit Python loop.
     """
 
-    def __init__(self):
+    def __init__(self, chunk: int = _SIMHASH_CHUNK):
         import re
 
         self.tok = re.compile(r"[A-Za-z0-9]+")
         self.bits = np.arange(64, dtype=np.uint64)
         self.pow2 = np.uint64(1) << self.bits
+        self.chunk = chunk
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         import hashlib
@@ -489,19 +494,36 @@ class SimHashSig:
                 count=len(uniq),
             )
             h = uh[inv]
-            pm = (((h[:, None] >> self.bits[None, :]) & np.uint64(1)).astype(np.int64) * 2) - 1
-            # per-doc sums via reduceat on nonzero-doc token boundaries — no
-            # full-batch prefix-sum copy (halves peak memory on wide batches)
-            nz = lens > 0
-            starts = (np.cumsum(lens) - lens)[nz]
+            # Bit accumulation in fixed-size token chunks: the ±1 matrix is
+            # 512 B/token, so materializing it for a whole batch of long
+            # documents would peak at hundreds of MB per actor. Each chunk
+            # expands ≤ _SIMHASH_CHUNK tokens (≤ 32 MB), reduceat-sums its
+            # contiguous per-doc runs, and adds them into the running sums
+            # (run doc-ids are unique within a chunk, so += is exact).
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
             sums = np.zeros((n, 64), dtype=np.int64)
-            sums[nz] = np.add.reduceat(pm, starts, axis=0)
+            for start in range(0, total, self.chunk):
+                end = min(start + self.chunk, total)
+                pm = (
+                    ((h[start:end, None] >> self.bits[None, :]) & np.uint64(1)).astype(np.int64)
+                    * 2
+                ) - 1
+                d = doc_idx[start:end]
+                run_starts = np.concatenate(
+                    [[0], np.nonzero(d[1:] != d[:-1])[0] + 1]
+                ).astype(np.int64)
+                sums[d[run_starts]] += np.add.reduceat(pm, run_starts, axis=0)
             sig = ((sums > 0).astype(np.uint64) * self.pow2[None, :]).sum(axis=1)
         return pd.DataFrame({"doc_id": df["doc_id"].values, "simhash": sig.view(np.int64)})
 
 
-def simhash_signatures(docs: "rd.Dataset") -> "rd.Dataset":
-    return docs.map_batches(SimHashSig, batch_format="pandas", concurrency=(1, 8))
+def simhash_signatures(docs: "rd.Dataset", *, chunk: int = _SIMHASH_CHUNK) -> "rd.Dataset":
+    return docs.map_batches(
+        SimHashSig,
+        batch_format="pandas",
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"chunk": chunk},
+    )
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:

@@ -50,18 +50,42 @@ def asof_join(
     Right must be UNIQUE per (key, ts) — pre-aggregate first (a duplicate
     (key, ts) would make "the" matched row ambiguous; DuckDB's ASOF has the
     same requirement for deterministic output). Unmatched left rows keep
-    null right values. Output: all left columns + right_vals.
+    null right values. Output: all left columns + right_vals. Join keys may
+    be integer or string (strings route via hash_strings_np and compare via
+    per-group factorized codes — no int cast).
     """
     P = num_partitions
+
+    def _key_parts(col: pa.ChunkedArray) -> np.ndarray:
+        t = col.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            from ccl_ray.functions.hashing import hash_strings_np
+
+            h = hash_strings_np(col.to_numpy(zero_copy_only=False))
+        else:
+            k = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            h = stable_hash64_np(k.view(np.uint64))
+        return (h % np.uint64(P)).astype(np.int32)
+
+    def _key_codes(lcol: pa.ChunkedArray, rcol: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+        """int64 codes comparable across the two sides (exact, no hashing)."""
+        if pa.types.is_string(lcol.type) or pa.types.is_large_string(lcol.type):
+            lk = lcol.to_numpy(zero_copy_only=False)
+            rk = rcol.to_numpy(zero_copy_only=False)
+            codes, _ = pd.factorize(np.concatenate([rk, lk]))
+            return codes[len(rk):].astype(np.int64), codes[: len(rk)].astype(np.int64)
+        return (
+            lcol.cast(pa.int64()).to_numpy(zero_copy_only=False),
+            rcol.cast(pa.int64()).to_numpy(zero_copy_only=False),
+        )
     lsch = pa.schema([pa.field(n, t) for n, t in zip(left.schema().names, left.schema().types)])
     rsch = pa.schema([pa.field(n, t) for n, t in zip(right.schema().names, right.schema().types)])
     l_names = list(lsch.names)
 
     def tag(side: int, key_col: str, names: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
-            k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-            part = (stable_hash64_np(k.view(np.uint64)) % np.uint64(P)).astype(np.int32)
-            cols = {"__part": pa.array(part), "__side": pa.array(np.full(len(k), side, np.int8))}
+            part = _key_parts(batch.column(key_col))
+            cols = {"__part": pa.array(part), "__side": pa.array(np.full(batch.num_rows, side, np.int8))}
             for n in l_names:
                 cols[n] = batch.column(n) if n in batch.column_names else pa.nulls(
                     batch.num_rows, lsch.field(n).type
@@ -86,9 +110,8 @@ def asof_join(
         rt = group.filter(pa.array(side == 1))
         if lt.num_rows == 0:
             return pa.table({n: pa.nulls(0, (lsch.field(n) if n in l_names else rsch.field(n)).type) for n in out_names})
-        lk = lt.column(left_key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lk, rk = _key_codes(lt.column(left_key), rt.column(right_key))
         lts = lt.column(left_ts).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        rk = rt.column(right_key).cast(pa.int64()).to_numpy(zero_copy_only=False)
         rts = rt.column(right_ts).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
         nl, nr = len(lk), len(rk)
         keys = np.concatenate([rk, lk])

@@ -199,7 +199,16 @@ def embedding_dedup_pairs(
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             if not len(df):
-                return pd.DataFrame({"cluster": [], "vec_id": [], "embedding": []})
+                # explicit dtypes: a default-constructed empty frame would be
+                # float64/object, and Ray 2.49 crashes when blocks of one
+                # dataset disagree on schema
+                return pd.DataFrame(
+                    {
+                        "cluster": pd.Series([], dtype=np.int64),
+                        "vec_id": pd.Series([], dtype=np.int64),
+                        "embedding": pd.Series([], dtype=object),
+                    }
+                )
             cm = _normalize(_to_matrix(df["embedding"]))
             ids = df["vec_id"].values.astype(np.int64)
             t = min(assign_top, len(self.cents))

@@ -159,16 +159,23 @@ class ShardCheckpoint:
                 f"num_partitions={expected_parts}; ignoring checkpoint"
             )
             return None
-        if (
-            expected_vid_fp is not None
-            and manifest.get("vid_fp") is not None
-            and manifest["vid_fp"] != expected_vid_fp
-        ):
-            warnings.warn(
-                f"checkpoint {d}: vid-shard fingerprint mismatch "
-                "(different input graph / hash layout); ignoring checkpoint"
-            )
-            return None
+        if expected_vid_fp is not None:
+            # A manifest WITHOUT a vid_fp (written before fingerprinting, or
+            # under the pre-dense int64 domain) cannot prove alignment with
+            # the rebuilt vid shards — refuse it rather than risk loading
+            # positionally-misaligned value arrays against dense int32 vids.
+            if manifest.get("vid_fp") is None:
+                warnings.warn(
+                    f"checkpoint {d}: manifest has no vid-shard fingerprint "
+                    "(pre-fingerprint format); refusing to resume from it"
+                )
+                return None
+            if manifest["vid_fp"] != expected_vid_fp:
+                warnings.warn(
+                    f"checkpoint {d}: vid-shard fingerprint mismatch "
+                    "(different input graph / hash layout); ignoring checkpoint"
+                )
+                return None
         refs = [
             _read_shard.remote(os.path.join(d, f"part-{p:03d}.parquet"), self.col)
             for p in range(manifest["parts"])

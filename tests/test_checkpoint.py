@@ -86,6 +86,22 @@ def test_resume_refuses_mismatched_checkpoint(tmp_path):
     # matching layout → accepted (resume path)
     assert ck.latest_shards(expected_parts=4) is not None
 
+    # a pre-fingerprint manifest (no 'vid_fp' key) cannot prove alignment:
+    # refused whenever the caller expects a fingerprint
+    import json
+
+    mpath = os.path.join(ck._iter_dir(2), "manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    vid_fp = manifest.pop("vid_fp")
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    with pytest.warns(UserWarning, match="no vid-shard fingerprint"):
+        assert ck.latest_shards(expected_parts=4, expected_vid_fp=vid_fp) is None
+    manifest["vid_fp"] = vid_fp
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+
     # end-to-end: resuming under a different P starts fresh and is still exact
     want = _labels_sorted(connected_components_bsp(_edges(), cfg=EngineConfig(num_partitions=3)))
     got = _labels_sorted(

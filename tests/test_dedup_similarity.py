@@ -55,6 +55,16 @@ def test_simhash_exact_dups_equal_near_dups_close():
     assert ham <= 12  # near dup is close in hamming space
 
 
+def test_simhash_chunked_accumulation_identical():
+    """Signatures are invariant to the bit-accumulation chunk size (the
+    chunking is a pure memory bound — runs crossing chunk boundaries must
+    sum exactly)."""
+    want = simhash_signatures(_docs_with_dups()).to_pandas().sort_values("doc_id")
+    # chunk=7 forces many mid-document boundary crossings
+    got = simhash_signatures(_docs_with_dups(), chunk=7).to_pandas().sort_values("doc_id")
+    assert got["simhash"].tolist() == want["simhash"].tolist()
+
+
 def _embeddings(n=300, d=16, seed=5):
     rng = np.random.RandomState(seed)
     m = rng.randn(n, d)

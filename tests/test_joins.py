@@ -58,6 +58,34 @@ def test_asof_basic_equal_and_between():
     assert pd.isna(out["v"].tolist()[3])
 
 
+def test_asof_string_keys():
+    """String join keys route via hash_strings_np + factorized codes (no
+    int cast) and match exactly like integer keys."""
+    l = rd.from_arrow(
+        pa.table(
+            {
+                "lid": pa.array([0, 1, 2, 3], pa.int64()),
+                "k": pa.array(["a", "a", "b", "c"], pa.string()),
+                "ts": pa.array(_ts([5, 10, 7, 4]), pa.timestamp("us")),
+            }
+        )
+    )
+    r = rd.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array(["a", "a", "b"], pa.string()),
+                "rts": pa.array(_ts([5, 8, 9]), pa.timestamp("us")),
+                "v": pa.array([50, 80, 90], pa.int64()),
+            }
+        )
+    )
+    out = _run_asof(l, r)
+    assert out["v"].tolist()[0] == 50  # equal ts
+    assert out["v"].tolist()[1] == 80  # newest earlier
+    assert pd.isna(out["v"].tolist()[2])  # right row is later
+    assert pd.isna(out["v"].tolist()[3])  # key absent on right
+
+
 def test_asof_empty_right_and_unknown_keys():
     l = _left([1, 2], [1, 2])
     r = _right([], [], [])
