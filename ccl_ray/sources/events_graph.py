@@ -43,14 +43,7 @@ def read_events(sf_dir: str) -> "rd.Dataset":
     )
 
 
-# default partition count for the vectorized per-partition passes below:
-# groups are processed many-per-task (one lexsort pass), never one Python
-# call per key. Raise with data size so one partition fits a task's heap
-# (callers pass num_partitions; this is only the default).
-_ADJ_PARTS = 16
-
-
-def adjacency_edges(events: "rd.Dataset", *, num_partitions: int = _ADJ_PARTS) -> "rd.Dataset":
+def adjacency_edges(events: "rd.Dataset", *, num_partitions: int | None = None) -> "rd.Dataset":
     """(src,dst) = consecutive events per user by (ts, event_id); src<dst canonical.
 
     Partition-grouped: users route by hash(user_id) % P and each partition
@@ -58,11 +51,14 @@ def adjacency_edges(events: "rd.Dataset", *, num_partitions: int = _ADJ_PARTS) -
     pay a Python round-trip per user (100k+ groups at sf0.1; billions at
     10^12-turn scale).
     """
+    from ccl_ray.config import resolve_partitions
     from ccl_ray.functions.hashing import stable_hash64_np
+
+    P = resolve_partitions(num_partitions)
 
     def route(batch: pa.Table) -> pa.Table:
         u = batch.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        part = (stable_hash64_np(u.view(np.uint64)) % np.uint64(num_partitions)).astype(np.int64)
+        part = (stable_hash64_np(u.view(np.uint64)) % np.uint64(P)).astype(np.int64)
         return pa.table(
             {
                 "event_id": batch.column("event_id"),
@@ -99,14 +95,17 @@ def adjacency_edges(events: "rd.Dataset", *, num_partitions: int = _ADJ_PARTS) -
 EVENT_SALTS = 8
 
 
-def cooccurrence_edges(events: "rd.Dataset", *, num_partitions: int = _ADJ_PARTS) -> "rd.Dataset":
+def cooccurrence_edges(events: "rd.Dataset", *, num_partitions: int | None = None) -> "rd.Dataset":
     """Salted star edges within (event_type, hour(ts), salt) + salt-hub chain.
 
     Both passes are partition-grouped (hash of the group key % P, one
     vectorized lexsort pass per partition) — a per-bucket map_groups costs
     a Python round-trip per (type, hour, salt) bucket (~30k at sf0.1).
     """
+    from ccl_ray.config import resolve_partitions
     from ccl_ray.functions.hashing import stable_hash64_np
+
+    P = resolve_partitions(num_partitions)
 
     def key(batch: pa.Table) -> pa.Table:
         hr = pc.floor_temporal(batch.column("ts"), unit="hour")
@@ -119,7 +118,7 @@ def cooccurrence_edges(events: "rd.Dataset", *, num_partitions: int = _ADJ_PARTS
             gkey = hash_strings_np(et.to_numpy(zero_copy_only=False)) * np.uint64(
                 1099511628211
             ) + hr_us.view(np.uint64)
-        part = (stable_hash64_np(gkey) % np.uint64(num_partitions)).astype(np.int64)
+        part = (stable_hash64_np(gkey) % np.uint64(P)).astype(np.int64)
         return pa.table(
             {
                 "event_id": eid,

@@ -138,6 +138,7 @@ def minhash_candidates(
     num_perms: int = 64,
     bands: int = 16,
     shingle_k: int = 8,
+    num_partitions: int | None = None,
 ) -> "rd.Dataset":
     """LSH candidate pairs (a < b) from banded MinHash signatures."""
     rows = bands
@@ -168,7 +169,9 @@ def minhash_candidates(
     # rows by hash(band, bh) into P partitions and process each partition's
     # buckets with ONE vectorized pass (lexsort + per-size-class batch
     # emission) — identical output, O(P) groups.
-    P = 16
+    from ccl_ray.config import resolve_partitions
+
+    P = resolve_partitions(num_partitions)
 
     def route(batch: pa.Table) -> pa.Table:
         bh = batch.column("bh").to_numpy(zero_copy_only=False)
@@ -239,7 +242,7 @@ def ngram_jaccard_pairs(
     *,
     shingle_k: int = 8,
     threshold: float = 0.5,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     broadcast_ids_limit: int = 65536,
 ) -> "rd.Dataset":
     """Exact Jaccard verification of candidate pairs.
@@ -448,10 +451,12 @@ def _jaccard_broadcast(docs: "rd.Dataset", pairs: "rd.Dataset", shingle_k: int,
     return rd.from_arrow_refs([out_ref])
 
 
-def minhash_dedup_pairs(docs: "rd.Dataset", *, threshold: float = 0.5) -> "rd.Dataset":
+def minhash_dedup_pairs(
+    docs: "rd.Dataset", *, threshold: float = 0.5, num_partitions: int | None = None
+) -> "rd.Dataset":
     """MinHash-LSH candidates → exact-Jaccard verified near-dup pairs."""
-    cand = minhash_candidates(docs)
-    return ngram_jaccard_pairs(docs, cand, threshold=threshold)
+    cand = minhash_candidates(docs, num_partitions=num_partitions)
+    return ngram_jaccard_pairs(docs, cand, threshold=threshold, num_partitions=num_partitions)
 
 
 class SimHashSig:
@@ -531,7 +536,9 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8)).reshape(len(x), 8 * 8).sum(axis=1).astype(np.int64)
 
 
-def simhash_pairs(docs: "rd.Dataset", *, k: int = 3) -> "rd.Dataset":
+def simhash_pairs(
+    docs: "rd.Dataset", *, k: int = 3, num_partitions: int | None = None
+) -> "rd.Dataset":
     """Near-dup pairs (a < b, hamming ≤ k) via banded SimHash LSH.
 
     Pigeonhole: split the 64-bit signature into k+1 disjoint bands — any
@@ -569,7 +576,9 @@ def simhash_pairs(docs: "rd.Dataset", *, k: int = 3) -> "rd.Dataset":
 
     # Partition-grouped pair emission (same rationale as minhash_candidates:
     # most buckets are singletons; never pay a Python round-trip per bucket)
-    P = 16
+    from ccl_ray.config import resolve_partitions
+
+    P = resolve_partitions(num_partitions)
 
     def route(batch: pa.Table) -> pa.Table:
         bv = batch.column("bv").to_numpy(zero_copy_only=False)

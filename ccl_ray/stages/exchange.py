@@ -65,7 +65,7 @@ def hash_join(
     left_on: str,
     right_on: str,
     how: str = "inner",
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> "rd.Dataset":
     """Hash-partitioned equi-join; ``how`` in {"inner", "left outer"}.
 
@@ -79,7 +79,9 @@ def hash_join(
     if overlap:
         raise ValueError(f"join sides share column names {overlap}; rename first")
     combined = pa.schema(list(ls) + list(rs))
-    P = num_partitions
+    from ccl_ray.config import resolve_partitions
+
+    P = resolve_partitions(num_partitions)
 
     tagged = _tagged(left, left_on, P, 0, combined).union(_tagged(right, right_on, P, 1, combined))
 

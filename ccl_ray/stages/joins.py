@@ -43,7 +43,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_vals: list[str],
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> "rd.Dataset":
     """Left as-of join: newest right row per key with right_ts <= left_ts.
 
@@ -54,7 +54,9 @@ def asof_join(
     be integer or string (strings route via hash_strings_np and compare via
     per-group factorized codes — no int cast).
     """
-    P = num_partitions
+    from ccl_ray.config import resolve_partitions
+
+    P = resolve_partitions(num_partitions)
 
     def _key_parts(col: pa.ChunkedArray) -> np.ndarray:
         t = col.type
@@ -153,7 +155,7 @@ def range_count_join(
     window_hours: int = 1,
     out_col: str = "n_in_window",
     id_col: str = "event_id",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> "rd.Dataset":
     """Per left row: count of right rows with same key and ts in
     [left_ts - window, left_ts).
@@ -168,7 +170,9 @@ def range_count_join(
     No per-bucket Python round-trip and no per-bucket loop.
     """
     win_us = window_hours * _US_PER_HOUR
-    P = num_partitions
+    from ccl_ray.config import resolve_partitions
+
+    P = resolve_partitions(num_partitions)
 
     def prep(side: int):
         def fn(batch: pa.Table) -> pa.Table:

@@ -126,7 +126,7 @@ def redact(docs: "rd.Dataset") -> "rd.Dataset":
     return docs.map_batches(Redact, batch_format="pandas", concurrency=(1, 8))
 
 
-def tfidf_top_terms(docs: "rd.Dataset", k: int = 5, *, num_partitions: int = 8) -> "rd.Dataset":
+def tfidf_top_terms(docs: "rd.Dataset", k: int = 5, *, num_partitions: int | None = None) -> "rd.Dataset":
     """(doc_id, term, score, rank): top-k tokens per document by tf·idf.
 
     Distributed shape: per-batch (doc_id, term, tf) partials → term df via
@@ -188,10 +188,10 @@ def tfidf_top_terms(docs: "rd.Dataset", k: int = 5, *, num_partitions: int = 8) 
     )
     n_docs = docs.count()
 
-    joined = hash_join(tf, df_tbl, left_on="term", right_on="dterm",
-                       num_partitions=num_partitions)
+    from ccl_ray.config import resolve_partitions
 
-    P = num_partitions
+    P = resolve_partitions(num_partitions)
+    joined = hash_join(tf, df_tbl, left_on="term", right_on="dterm", num_partitions=P)
 
     def score_route(batch: pa.Table) -> pa.Table:
         tfv = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)

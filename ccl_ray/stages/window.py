@@ -94,7 +94,7 @@ def sessionize(
     ts_col: str = "ts",
     id_col: str = "event_id",
     gap_minutes: int = 30,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> "rd.Dataset":
     """Gap-based session windows per key.
 
@@ -109,7 +109,9 @@ def sessionize(
     # map_groups pays a Python round-trip per user — 100k+ at sf0.1).
     from ccl_ray.functions.hashing import hash_strings_np, stable_hash64_np
 
-    P = num_partitions  # each partition holds ~1/P of the rows in one task
+    from ccl_ray.config import resolve_partitions
+
+    P = resolve_partitions(num_partitions)  # ~1/P of the rows per task
     in_schema = events.schema()
     key_type = dict(zip(in_schema.names, in_schema.types))[key]
     out_schema = pa.schema(
