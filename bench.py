@@ -45,12 +45,25 @@ def _transcripts_path() -> str:
 def run_bench() -> dict:
     import ray
 
+    def _quiet_data_logs():
+        """Worker-side: drop ray.data's benign warnings (schema-hash
+        "unhashable type: 'dict'" from groupby paths; ray.air's
+        date32→timestamp precision note from the orders table) so bench
+        stderr shows only real problems. Defined as a closure so cloudpickle
+        ships it BY VALUE — a module-level function would serialize by
+        reference and die in workers that cannot import `bench`."""
+        import logging
+
+        logging.getLogger("ray.data").setLevel(logging.ERROR)
+        logging.getLogger("ray.air").setLevel(logging.ERROR)
+
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        runtime_env={"worker_process_setup_hook": _quiet_data_logs},
     )
     from ray.data import DataContext
 
@@ -222,6 +235,16 @@ def run_bench() -> dict:
 
     tfidf_top_terms(docs, k=5).count()
     queries["tfidf_top_terms"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.stages.text import lang_id, quality_score
+
+    quality_score(docs).count()
+    queries["quality_score"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    lang_id(docs).count()
+    queries["lang_id"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     from ccl_ray.pipelines.queries import q_asof_join, q_range_prev_hour

@@ -156,9 +156,11 @@ def cooccurrence_edges(events: "rd.Dataset", *, num_partitions: int | None = Non
     # chain the salt-hub minima per (event_type, hr): pre-reduced to one row
     # per (event_type, hr, salt) so the regroup is tiny (no skew
     # re-concentration); the per-(type,hr) chain pass is equally vectorized
-    from ray.data.aggregate import Min
+    from ccl_ray.stages.aggregates import partitioned_groupby_agg
 
-    hubs = keyed.groupby(["event_type", "hr", "salt"]).aggregate(Min("event_id", alias_name="mn"))
+    hubs = partitioned_groupby_agg(
+        keyed, ["event_type", "hr", "salt"], {"mn": ("event_id", "min")}
+    )
 
     def chains_all(df: pd.DataFrame) -> pa.Table:
         if len(df) < 2:

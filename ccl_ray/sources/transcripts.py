@@ -233,9 +233,9 @@ def shared_tool_edges(ds: "rd.Dataset", cfg: EngineConfig | None = None) -> "rd.
     # first (distributed Min aggregate) so the per-tool regroup sees a tiny
     # n_tools × n_salts table — never a hot tool's full membership (that
     # would undo the salting and re-concentrate the skew in one task).
-    from ray.data.aggregate import Min
+    from ccl_ray.stages.aggregates import partitioned_groupby_agg
 
-    hub_min = keyed_ds.groupby(["tool", "salt"]).aggregate(Min("vid", alias_name="vid"))
+    hub_min = partitioned_groupby_agg(keyed_ds, ["tool", "salt"], {"vid": ("vid", "min")})
 
     def subhubs(group: pd.DataFrame) -> pa.Table:
         hubs = np.sort(group["vid"].values.astype(np.int64))

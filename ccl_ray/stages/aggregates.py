@@ -12,13 +12,57 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Max, Min
 
 
 def to_arrow_blocks(ds: "rd.Dataset") -> "rd.Dataset":
     """Normalize block type to Arrow (groupby.aggregate emits pandas blocks;
     unioning those with Arrow blocks breaks Ray's sort sampling)."""
     return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def partitioned_groupby_agg(
+    ds: "rd.Dataset",
+    keys: list[str],
+    spec: dict[str, tuple[str, str]],
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """groupby(keys) as a partition-grouped vectorized reduce.
+
+    ``spec``: {out_col: (in_col, op)} with op in {"sum", "min", "max",
+    "count"}. Rows are routed by ``hash(keys) % P`` and each of the P
+    partitions runs ONE vectorized pandas groupby — Ray's native
+    ``groupby().aggregate()`` walks group boundaries in Python (measured
+    ~30k groups/s: 36 s for a 1M-component label space at 16 CPUs), so any
+    groupby whose key cardinality grows with the data must come through
+    here instead. Same shuffle shape as exchange.hash_join (proven ~1M
+    rows/s/CPU on the sort by the P-valued part column).
+    """
+    from ccl_ray.config import resolve_partitions
+
+    P = resolve_partitions(num_partitions)
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+        df = df.copy(deep=False)
+        df["__part"] = (h % np.uint64(P)).astype(np.int32)
+        return df
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(keys, sort=False, dropna=False)
+        cols = {}
+        for out, (col, op) in spec.items():
+            cols[out] = g.size() if op == "count" else g[col].agg(op)
+        out_df = pd.DataFrame(cols).reset_index()
+        # Arrow out: every stage feeding a shuffle emits Arrow blocks —
+        # mixing pandas and Arrow blocks breaks Ray's sort sampling
+        return pa.Table.from_pandas(out_df, preserve_index=False)
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(final, batch_format="pandas")
+    )
 
 
 def partial_sum_agg(
@@ -37,15 +81,13 @@ def partial_sum_agg(
         out = g[list(sums)].sum().rename(columns=sums)
         if count_as:
             out[count_as] = g.size()
-        # Arrow out: every stage feeding a shuffle emits Arrow blocks —
-        # mixing pandas and Arrow blocks breaks Ray's sort sampling
         return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    aggs = [Sum(out, alias_name=out) for out in sums.values()]
+    spec = {out: (out, "sum") for out in sums.values()}
     if count_as:
-        aggs.append(Sum(count_as, alias_name=count_as))
-    return partials.groupby(keys).aggregate(*aggs)
+        spec[count_as] = (count_as, "sum")
+    return partitioned_groupby_agg(partials, keys, spec)
 
 
 def component_sizes(labels: "rd.Dataset", min_size: int = 0) -> "rd.Dataset":
@@ -62,19 +104,59 @@ def component_sizes(labels: "rd.Dataset", min_size: int = 0) -> "rd.Dataset":
     return sizes
 
 
-def dust_filter(labels: "rd.Dataset", min_size: int) -> "rd.Dataset":
+# see relabel._LABEL_BROADCAST_LIMIT — same rationale: keep-sets up to this
+# many labels broadcast as a set; above it a distributed left-outer
+# semi-join runs so the driver never materializes the label space.
+_KEEP_BROADCAST_LIMIT = 2_000_000
+
+
+def dust_filter(
+    labels: "rd.Dataset", min_size: int, *, broadcast_limit: int = _KEEP_BROADCAST_LIMIT
+) -> "rd.Dataset":
     """Zero-out members of small components (reference semantics: label -> 0).
 
     Returns (vid, label) with dust labels rewritten to 0 — the reference's
     background value (ccl_marker_stack.py:918-926). Caveat: if vid 0 exists,
     its component's canonical label is also 0; callers needing an
     unambiguous sentinel should offset their vid space (transcript vids
-    always do).
+    always do). Keep-sets above ``broadcast_limit`` labels run as a
+    distributed left-outer semi-join instead of a driver-built set.
     """
     import ray
 
-    keep = component_sizes(labels, min_size).select_columns(["label"]).to_pandas()
-    ref = ray.put(set(keep["label"].tolist()))
+    keep_ds = to_arrow_blocks(
+        component_sizes(labels, min_size).select_columns(["label"])
+    ).materialize()
+
+    if keep_ds.count() > broadcast_limit:
+        from ccl_ray.stages.exchange import hash_join
+
+        marked = keep_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "__keep_lab": t.column("label").cast(pa.int64()),
+                    "__keep": pa.array(np.ones(t.num_rows, np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(labels, marked, left_on="label", right_on="__keep_lab",
+                           how="left outer")
+
+        def zero(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            lab = batch.column("label")
+            kept = pc.if_else(
+                pc.is_valid(batch.column("__keep")), lab, pa.scalar(0, lab.type)
+            )
+            cols = {n: batch.column(n) for n in batch.column_names if n != "__keep"}
+            cols["label"] = kept
+            return pa.table(cols)
+
+        return joined.map_batches(zero, batch_format="pyarrow")
+
+    ref = ray.put(set(keep_ds.to_pandas()["label"].tolist()))
 
     class Zero:
         def __init__(self):
@@ -150,10 +232,7 @@ def degrees(edges: "rd.Dataset", vertices: "rd.Dataset" | None = None) -> "rd.Da
             )
 
         zeros = vertices.select_columns(["vid"]).map_batches(zero, batch_format="pyarrow")
-        deg = (
-            to_arrow_blocks(deg)
-            .union(zeros)
-            .groupby("vid")
-            .aggregate(Sum("degree", alias_name="degree"))
+        deg = partitioned_groupby_agg(
+            to_arrow_blocks(deg).union(zeros), ["vid"], {"degree": ("degree", "sum")}
         )
     return deg

@@ -34,7 +34,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Min
 
 from ccl_ray.config import EngineConfig
 from ccl_ray.stages.exchange import hash_join
@@ -90,8 +89,9 @@ def init_labels(edges: "rd.Dataset", vertices: "rd.Dataset" | None, cfg: EngineC
     )
     if vertices is not None:
         ends = ends.union(vertices.select_columns(["vid"]))
-    distinct = ends.groupby("vid").aggregate(Min("vid", alias_name="label"))
-    return distinct
+    from ccl_ray.stages.aggregates import partitioned_groupby_agg
+
+    return partitioned_groupby_agg(ends, ["vid"], {"label": ("vid", "min")})
 
 
 def _propagate_round(
@@ -128,10 +128,11 @@ def _propagate_round(
     stream = joined.map_batches(msgs, batch_format="pyarrow").union(
         labels.map_batches(selfrows, batch_format="pyarrow")
     )
-    grouped = stream.groupby("vid").aggregate(
-        Min("cand", alias_name="label"), Min("old", alias_name="old")
+    from ccl_ray.stages.aggregates import partitioned_groupby_agg
+
+    return partitioned_groupby_agg(
+        stream, ["vid"], {"label": ("cand", "min"), "old": ("old", "min")}, num_partitions=P
     )
-    return grouped
 
 
 def _jump_round(labels3: "rd.Dataset", cfg: EngineConfig) -> "rd.Dataset":

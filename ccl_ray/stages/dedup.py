@@ -21,8 +21,6 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min, Sum
-
 from ccl_ray.functions.hashing import (
     hash_strings_np,
     minhash_signature,
@@ -46,12 +44,12 @@ def exact_dedup(docs: "rd.Dataset", text_col: str = "text", id_col: str = "doc_i
         out["n_copies"] = g.size().values
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    from ccl_ray.stages.aggregates import partitioned_groupby_agg
+
     partials = docs.map_batches(partial, batch_format="pandas")
-    return (
-        partials.groupby("h")
-        .aggregate(Min("doc_id", alias_name="doc_id"), Sum("n_copies", alias_name="n_copies"))
-        .select_columns(["doc_id", "n_copies"])
-    )
+    return partitioned_groupby_agg(
+        partials, ["h"], {"doc_id": ("doc_id", "min"), "n_copies": ("n_copies", "sum")}
+    ).select_columns(["doc_id", "n_copies"])
 
 
 class MinHashSig:
@@ -205,9 +203,11 @@ def minhash_candidates(
     )
     cand = buckets.groupby("part").map_groups(pairs_part, batch_format="pandas")
     # distinct pairs
-    from ray.data.aggregate import Count
+    from ccl_ray.stages.aggregates import partitioned_groupby_agg
 
-    return cand.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).select_columns(["a", "b"])
+    return partitioned_groupby_agg(cand, ["a", "b"], {"_n": ("a", "count")}).select_columns(
+        ["a", "b"]
+    )
 
 
 def _list_col_to_np(col) -> tuple[np.ndarray, np.ndarray]:
@@ -259,8 +259,6 @@ def ngram_jaccard_pairs(
       via hash_join; (4) per-batch vectorized Jaccard. Nothing bounded by
       driver or single-task memory.
     """
-    from ray.data.aggregate import Count
-
     from ccl_ray.stages.aggregates import to_arrow_blocks
     from ccl_ray.stages.exchange import hash_join
 
@@ -283,13 +281,15 @@ def ngram_jaccard_pairs(
         )
     if n_pairs * 2 <= broadcast_ids_limit:
         return _jaccard_broadcast(docs, pairs, shingle_k, threshold)
-    ids = (
-        pairs.select_columns(["a"]).rename_columns({"a": "need_id"})
-        .union(pairs.select_columns(["b"]).rename_columns({"b": "need_id"}))
-        .groupby("need_id")
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["need_id"])
-    )
+    from ccl_ray.stages.aggregates import partitioned_groupby_agg
+
+    ids = partitioned_groupby_agg(
+        pairs.select_columns(["a"]).rename_columns({"a": "need_id"}).union(
+            pairs.select_columns(["b"]).rename_columns({"b": "need_id"})
+        ),
+        ["need_id"],
+        {"_n": ("need_id", "count")},
+    ).select_columns(["need_id"])
 
     cand_docs = hash_join(
         docs.select_columns(["doc_id", "text"]),
@@ -405,7 +405,9 @@ def _jaccard_broadcast(docs: "rd.Dataset", pairs: "rd.Dataset", shingle_k: int,
                 "jaccard": pa.array([], pa.float64()),
             }
         )
-        nonempty = [t for t in sh_tbls if t.num_rows]
+        from ccl_ray.state.shards import as_arrow_block
+
+        nonempty = [t for t in (as_arrow_block(t) for t in sh_tbls) if t.num_rows]
         if not nonempty or not len(pair_a):
             return empty
         tbl = pa.concat_tables(nonempty)
@@ -623,12 +625,9 @@ def simhash_pairs(
         route, batch_format="pyarrow"
     )
     cand = buckets.groupby("part").map_groups(pairs_part, batch_format="pandas")
-    from ray.data.aggregate import Min
+    from ccl_ray.stages.aggregates import partitioned_groupby_agg
 
-    out = cand.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
-    from ccl_ray.stages.aggregates import to_arrow_blocks
-
-    return to_arrow_blocks(out)
+    return partitioned_groupby_agg(cand, ["a", "b"], {"hamming": ("hamming", "min")})
 
 
 def duplicate_clusters(docs: "rd.Dataset", *, threshold: float = 0.5, cfg=None) -> "rd.Dataset":

@@ -46,6 +46,9 @@ _I64MAX = np.int64(np.iinfo(np.int64).max)
 def _split_seed_pairs(block, P):
     import numpy as np
 
+    from ccl_ray.state.shards import as_arrow_block
+
+    block = as_arrow_block(block)
     if block.num_rows == 0 or "vid" not in block.column_names:
         empty = (np.empty(0, np.int64), np.empty(0, np.int64))
         return empty if P == 1 else tuple(empty for _ in range(P))
@@ -166,6 +169,9 @@ def _component_min_seed(labels_ds, seeds, cfg: EngineConfig):
 
     @ray.remote
     def _split_label_pairs(block, P):
+        from ccl_ray.state.shards import as_arrow_block
+
+        block = as_arrow_block(block)
         if block.num_rows == 0 or "vid" not in block.column_names:
             empty = (np.empty(0, np.int64), np.empty(0, np.int64))
             return empty if P == 1 else tuple(empty for _ in range(P))

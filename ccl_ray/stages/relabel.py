@@ -66,19 +66,82 @@ def apply_translation(
     return ds.map_batches(Apply, batch_format="pandas", concurrency=(1, 4))
 
 
-def densify_labels(ds: "rd.Dataset", col: str = "label", out_col: str = "dlabel") -> "rd.Dataset":
+# Label spaces up to this many DISTINCT labels are broadcast to workers
+# (a sorted int64 array: 2M labels = 16 MB — cheap and join-free). Above
+# it the distributed sort + rank-join path runs instead: the worst case
+# (near-all-isolated vertices → components ≈ vertices) must never
+# materialize the label space on the driver.
+_LABEL_BROADCAST_LIMIT = 2_000_000
+
+
+def _distinct_labels(ds: "rd.Dataset", col: str) -> "rd.Dataset":
+    from ccl_ray.stages.aggregates import partial_sum_agg
+
+    return partial_sum_agg(ds, [col], {}, count_as="_n").select_columns([col]).materialize()
+
+
+def _densify_distributed(
+    ds: "rd.Dataset", distinct: "rd.Dataset", col: str, out_col: str
+) -> "rd.Dataset":
+    """Distributed dense rank: sort the distinct labels, exclusive-scan the
+    per-block row counts (P scalars on the driver — never the labels), rank
+    each block in place, and hash-join the (label → rank) mapping back.
+    """
+    from ccl_ray.stages.exchange import hash_join
+
+    blocks = distinct.sort(col).to_arrow_refs()
+
+    from ccl_ray.state.shards import as_arrow_block as _as_arrow
+
+    @ray.remote
+    def _nrows(b) -> int:
+        return _as_arrow(b).num_rows
+
+    counts = ray.get([_nrows.remote(b) for b in blocks])
+    offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]
+
+    @ray.remote
+    def _rank_block(b, off: int):
+        b = _as_arrow(b)
+        if b.num_rows == 0 or col not in b.column_names:
+            return pa.table(
+                {"__dl_key": pa.array([], pa.int64()), out_col: pa.array([], pa.int64())}
+            )
+        lab = b.column(col).cast(pa.int64())
+        return pa.table(
+            {
+                "__dl_key": lab,
+                out_col: pa.array(off + np.arange(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    mapping = rd.from_arrow_refs(
+        [_rank_block.remote(b, int(o)) for b, o in zip(blocks, offsets)]
+    )
+    return hash_join(ds, mapping, left_on=col, right_on="__dl_key")
+
+
+def densify_labels(
+    ds: "rd.Dataset",
+    col: str = "label",
+    out_col: str = "dlabel",
+    *,
+    broadcast_limit: int = _LABEL_BROADCAST_LIMIT,
+) -> "rd.Dataset":
     """Renumber labels to a dense 0..k-1 range by ascending label order.
 
     Reference M6 (ccl2d.py:192-196, ccl_marker_stack.py:623-630): only
     needed when a consumer wants compact label ids; component identity is
-    already canonical (min-vid). Distinct labels (one per component) are
-    collected and broadcast — components ≪ vertices; for pathological
-    component counts use a sort + rank join instead.
+    already canonical (min-vid). Up to ``broadcast_limit`` distinct labels
+    the sorted label array is broadcast once (components ≪ vertices on
+    typical graphs); above it the distributed sort + rank-join path runs —
+    the driver only ever holds P per-block row counts.
     """
-    from ray.data.aggregate import Count
+    distinct = _distinct_labels(ds, col)
+    if distinct.count() > broadcast_limit:
+        return _densify_distributed(ds, distinct, col, out_col)
 
-    distinct = ds.groupby(col).aggregate(Count(alias_name="_n")).select_columns([col]).to_pandas()
-    order = np.sort(distinct[col].values.astype(np.int64))
+    order = np.sort(distinct.to_pandas()[col].values.astype(np.int64))
     ref = ray.put(order)
 
     class Rank:
@@ -115,12 +178,12 @@ def eol_labels(present: "rd.Dataset") -> "rd.Dataset":
             }
         )
 
-    from ray.data.aggregate import Sum
+    from ccl_ray.stages.aggregates import partitioned_groupby_agg
 
-    agg = (
-        present.map_batches(tag, batch_format="pyarrow")
-        .groupby(["label", "t"])
-        .aggregate(Sum("cur", alias_name="n_cur"), Sum("nxt", alias_name="n_nxt"))
+    agg = partitioned_groupby_agg(
+        present.map_batches(tag, batch_format="pyarrow"),
+        ["label", "t"],
+        {"n_cur": ("cur", "sum"), "n_nxt": ("nxt", "sum")},
     )
 
     def pick(batch: pa.Table) -> pa.Table:

@@ -237,9 +237,9 @@ def embedding_dedup_pairs(
 
     pairs = routed.groupby("cluster").map_groups(bucket_pairs, batch_format="pandas")
 
-    from ray.data.aggregate import Min
+    from ccl_ray.stages.aggregates import partitioned_groupby_agg
 
-    out = pairs.groupby(["a", "b"]).aggregate(Min("sim", alias_name="sim"))
+    out = partitioned_groupby_agg(pairs, ["a", "b"], {"sim": ("sim", "min")})
 
     def finish(df: pd.DataFrame) -> "pa.Table":
         sim = df["sim"].values.astype(np.float64)

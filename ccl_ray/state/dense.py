@@ -97,6 +97,9 @@ def _split_edges_by_range(block: pa.Table, src_col: str, dst_col: str,
 
     Symmetrization is DEFERRED to the final hash-routing step so the two
     renumber exchanges carry half the pairs."""
+    from ccl_ray.state.shards import as_arrow_block
+
+    block = as_arrow_block(block)
     if block.num_rows == 0 or src_col not in block.column_names:
         empty = (np.empty(0, np.int64), np.empty(0, np.int64))
         return empty if P == 1 else tuple(empty for _ in range(P))

@@ -33,9 +33,23 @@ def part_of(vids: np.ndarray, P: int) -> np.ndarray:
     )
 
 
+def as_arrow_block(b) -> pa.Table:
+    """Normalize one Dataset block to an Arrow table.
+
+    ``to_arrow_refs`` hands back raw blocks WITHOUT converting: at scale
+    Ray's sort/push-based shuffle emits pandas blocks even when every
+    upstream stage returned Arrow, so every remote block consumer must
+    tolerate both.
+    """
+    import pandas as pd
+
+    return pa.Table.from_pandas(b, preserve_index=False) if isinstance(b, pd.DataFrame) else b
+
+
 @ray.remote
 def _split_pairs(block: pa.Table, src_col: str, dst_col: str, P: int, symmetrize: bool):
     """Split one edge block into P (src,dst) pair tables routed by hash(src)."""
+    block = as_arrow_block(block)
     if block.num_rows == 0 or src_col not in block.column_names:
         # empty blocks from repartition have an empty schema
         empty = (np.empty(0, np.int64), np.empty(0, np.int64))
@@ -55,6 +69,7 @@ def _split_pairs(block: pa.Table, src_col: str, dst_col: str, P: int, symmetrize
 @ray.remote
 def _split_vids(block: pa.Table, cols: list, P: int):
     """Split vertex-id columns of one block into P arrays routed by hash(v)."""
+    block = as_arrow_block(block)
     if block.num_rows == 0 or any(c not in block.column_names for c in cols):
         empty = np.empty(0, np.int64)
         return empty if P == 1 else tuple(empty for _ in range(P))
