@@ -203,6 +203,39 @@ def q_pagerank_fixed(sf_dir: str):
     return res.scores.map_batches(rnd, batch_format="pyarrow")
 
 
+def q_pagerank_close(sf_dir: str):
+    """Driver-visible cross-check for the CONVERGED `pagerank` query (the
+    one legitimately non-SQL row): rerun it, then compare against the dense
+    numpy power-iteration oracle (identical damping/tol/dangling semantics)
+    and report (n_vertices, n_exceed_tol, max_abs_gap rounded to 4). The
+    constant-0 SQL oracle turns the gate row red if the engine ever drifts
+    beyond tol. Gate-only query: pulls the sf0.01-scale scores/edges to the
+    driver by design (10k vertices) — not a pipeline op."""
+    from ccl_ray.oracle.unionfind import pagerank_oracle
+
+    edges = build_event_edges(sf_dir).materialize()
+    cfg = _cfg()
+    res = pagerank_bsp(edges, vertices=event_vertices(sf_dir), cfg=cfg, symmetrize=True)
+    scores = res.scores.to_pandas()
+    e = edges.select_columns(["src", "dst"]).to_pandas()
+    src = np.concatenate([e["src"].values, e["dst"].values]).astype(np.int64)
+    dst = np.concatenate([e["dst"].values, e["src"].values]).astype(np.int64)
+    want = pagerank_oracle(
+        src, dst, scores["vid"].values.astype(np.int64),
+        damping=cfg.pr_damping, tol=cfg.pr_tol, max_iters=cfg.pr_max_iters,
+    )
+    gaps = np.abs(
+        scores["score"].values - np.array([want[int(v)] for v in scores["vid"].values])
+    )
+    return pa.table(
+        {
+            "n_vertices": pa.array([len(scores)], pa.int64()),
+            "n_exceed_tol": pa.array([int((gaps > cfg.pr_tol).sum())], pa.int64()),
+            "max_abs_gap_r4": pa.array([round(float(gaps.max()), 4)], pa.float64()),
+        }
+    )
+
+
 def q_relabel_compose(sf_dir: str):
     nation = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
     region = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
@@ -428,6 +461,7 @@ QUERIES = {
     "triangles_per_vertex": q_triangles_per_vertex,
     "pagerank": q_pagerank,
     "pagerank_fixed": q_pagerank_fixed,
+    "pagerank_close": q_pagerank_close,
     "relabel_compose": q_relabel_compose,
     "q1_agg": q_q1_agg,
     "events_hourly": q_events_hourly,
@@ -615,6 +649,12 @@ ORACLE_SQL = {
         SELECT v AS vid, count(*) AS n_triangles
         FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
         GROUP BY v""",
+    # the engine-vs-numpy comparison happens inside q_pagerank_close; the
+    # SQL pins the corpus-derived vertex count and the expected zeros
+    "pagerank_close": """
+        SELECT count(*)::BIGINT AS n_vertices, 0::BIGINT AS n_exceed_tol,
+               0.0::DOUBLE AS max_abs_gap_r4
+        FROM events""",
     "pagerank_fixed": f"""
         WITH RECURSIVE {_EDGES_CTE},
         dire AS (SELECT src AS u, dst AS v FROM edg UNION ALL SELECT dst, src FROM edg),

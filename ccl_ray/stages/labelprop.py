@@ -231,13 +231,68 @@ def _component_min_seed(labels_ds, seeds, cfg: EngineConfig):
 
     comp_min = [reduce_min.remote(*[routed[b][q] for b in range(len(routed))]) for q in range(P)]
 
-    # stage 3: resolve each vertex's label through the component-min map
+    # stage 3: request/resolve exchange (the cc_bsp jump-wave shape): each
+    # label block routes its UNIQUE labels to the hash(label) owners built
+    # in stage 2, each owner answers only the labels it was asked for, and
+    # the block applies its answers. No task ever holds the full
+    # (label -> min seed) map — traffic is O(sum of per-block distinct
+    # labels), replacing the old O(P * n_components) full-map fanout.
     @ray.remote
-    def resolve(block, *maps):
+    def request(block, P):
+        from ccl_ray.state.shards import as_arrow_block
+
+        block = as_arrow_block(block)
+        if block.num_rows == 0 or "label" not in block.column_names:
+            e = np.empty(0, np.int64)
+            return e if P == 1 else tuple(e for _ in range(P))
+        l = np.unique(block.column("label").to_numpy(zero_copy_only=False).astype(np.int64))
+        parts = part_of(l, P)
+        order = np.argsort(parts, kind="stable")
+        l, parts = l[order], parts[order]
+        bounds = np.searchsorted(parts, np.arange(P + 1))
+        out = tuple(l[bounds[p] : bounds[p + 1]] for p in range(P))
+        return out[0] if P == 1 else out
+
+    n_blocks = len(lab_blocks)
+    req_matrix = [_as_list(request.options(num_returns=P).remote(b, P), P) for b in lab_blocks]
+
+    @ray.remote
+    def answer(cm, n, *reqs):
+        lab, sd = cm
+        outs = []
+        for r in reqs:
+            if len(lab) == 0 or len(r) == 0:
+                outs.append((r, np.full(len(r), _I64MAX, dtype=np.int64)))
+                continue
+            pos = np.searchsorted(lab, r)
+            pos_c = np.minimum(pos, len(lab) - 1)
+            ok = (pos < len(lab)) & (lab[pos_c] == r)
+            outs.append((r, np.where(ok, sd[pos_c], _I64MAX).astype(np.int64)))
+        return outs[0] if n == 1 else tuple(outs)
+
+    ans_matrix = [
+        _as_list(
+            answer.options(num_returns=n_blocks).remote(
+                comp_min[q], n_blocks, *[req_matrix[b][q] for b in range(n_blocks)]
+            ),
+            n_blocks,
+        )
+        for q in range(P)
+    ]
+
+    @ray.remote
+    def apply_block(block, *answers):
+        from ccl_ray.state.shards import as_arrow_block
+
+        block = as_arrow_block(block)
+        if block.num_rows == 0 or "vid" not in block.column_names:
+            return pa.table(
+                {"vid": pa.array([], pa.int64()), "seed_label": pa.array([], pa.int64())}
+            )
         v = block.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
         l = block.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
-        all_lab = np.concatenate([m[0] for m in maps])
-        all_sd = np.concatenate([m[1] for m in maps])
+        all_lab = np.concatenate([a[0] for a in answers])
+        all_sd = np.concatenate([a[1] for a in answers])
         order = np.argsort(all_lab, kind="stable")
         all_lab, all_sd = all_lab[order], all_sd[order]
         sd = all_sd[np.searchsorted(all_lab, l)]
@@ -251,10 +306,8 @@ def _component_min_seed(labels_ds, seeds, cfg: EngineConfig):
             }
         )
 
-    # each block needs only the map pieces for labels it references; at this
-    # state size (labels per component, not per edge) shipping the P map
-    # pieces to each of P resolvers is O(P * n_components) — acceptable; a
-    # stricter two-phase request/resolve (as in cc_bsp jump waves) applies
-    # when component counts are huge.
-    out = [resolve.remote(b, *comp_min) for b in lab_blocks]
+    out = [
+        apply_block.remote(lab_blocks[b], *[ans_matrix[q][b] for q in range(P)])
+        for b in range(n_blocks)
+    ]
     return rd.from_arrow_refs(out)

@@ -5,6 +5,7 @@ holds P per-block counts, never the label space.
 """
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
@@ -69,3 +70,36 @@ def test_dust_filter_paths_agree():
         .reset_index(drop=True)
     )
     assert bc[["vid", "label"]].equals(dist[["vid", "label"]])
+
+
+def test_labelprop_converged_many_components():
+    """Stage-3 request/resolve exchange: 150k 2-vertex components (capped
+    only by suite time; the shape is component-count-linear). Every task in
+    the resolve exchange holds only the labels its own block references."""
+    from ccl_ray.config import EngineConfig
+    from ccl_ray.stages.labelprop import min_label_propagation
+
+    n = 150_000
+    src = np.arange(0, 2 * n, 2, dtype=np.int64)
+    dst = src + 1
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ).repartition(8)
+    # seed every 3rd component at its odd vertex
+    sv = dst[::3]
+    seeds = rd.from_arrow(
+        pa.table({"vid": pa.array(sv), "seed": pa.array(sv * 10)})
+    ).repartition(4)
+    out = (
+        min_label_propagation(edges, seeds, rounds=None, cfg=EngineConfig(num_partitions=8))
+        .to_pandas()
+        .sort_values("vid")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2 * n
+    got = out["seed_label"].values
+    # component of (2k, 2k+1): seeded iff k % 3 == 0, with seed (2k+1)*10
+    comp = out["vid"].values // 2
+    seeded = comp % 3 == 0
+    assert np.array_equal(got[seeded].astype(np.int64), (comp[seeded] * 2 + 1) * 10)
+    assert pd.isna(got[~seeded]).all()
