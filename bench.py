@@ -85,6 +85,7 @@ def run_bench() -> dict:
 
     cfg = EngineConfig(
         num_partitions=NUM_PARTITIONS,
+        exchange=os.environ.get("GRAFT_EXCHANGE", "grouped"),
         dense_ids=os.environ.get("GRAFT_DENSE", "1") == "1",
         extra={"tool_salts": int(os.environ.get("GRAFT_TOOL_SALTS", "256"))},
     )
