@@ -156,17 +156,11 @@ def q_pagerank(sf_dir: str):
     return res.scores.rename_columns({"vid": "event_id"})
 
 
-def q_pagerank_fixed(sf_dir: str):
-    """PageRank for EXACTLY 20 iterations (tol=0) — the SQL-oracle twin of
-    the converged `pagerank` query. Fixed iteration count makes the engine
-    and a recursive-CTE oracle compute the identical linear-operator power,
-    so values match to float64 (measured max gap ~1e-19; rounded to 10).
-    The SQL oracle propagates mass only through edges, so a vertex with no
-    edges would drop out of the oracle after iteration 0 — the no-dangling
-    assumption is a corpus property, not enforced by the SQL. Assert it
-    explicitly here (distinct edge endpoints == vertex count) so a corpus
-    violating it fails loudly instead of as a puzzling row-count gap."""
-    edges = build_event_edges(sf_dir).materialize()
+def _assert_no_dangling(sf_dir: str, edges, name: str) -> None:
+    """Distinct edge endpoints must equal the vertex count — the shared
+    corpus precondition of every recursive-CTE propagation oracle (they
+    drop edge-less vertices after iteration 0 and cannot model the
+    engine's dangling-mass / self-retention terms)."""
     n_vertices = event_vertices(sf_dir).count()
 
     def endpoints(batch: pa.Table) -> pa.Table:
@@ -187,10 +181,24 @@ def q_pagerank_fixed(sf_dir: str):
     )
     if n_touched != n_vertices:
         raise AssertionError(
-            f"pagerank_fixed oracle precondition violated: {n_vertices - n_touched} "
+            f"{name} oracle precondition violated: {n_vertices - n_touched} "
             "vertices have no edges; the recursive-CTE oracle drops them after "
-            "iteration 0 and cannot model the engine's dangling-mass term"
+            "iteration 0"
         )
+
+
+def q_pagerank_fixed(sf_dir: str):
+    """PageRank for EXACTLY 20 iterations (tol=0) — the SQL-oracle twin of
+    the converged `pagerank` query. Fixed iteration count makes the engine
+    and a recursive-CTE oracle compute the identical linear-operator power,
+    so values match to float64 (measured max gap ~1e-19; rounded to 10).
+    The SQL oracle propagates mass only through edges, so a vertex with no
+    edges would drop out of the oracle after iteration 0 — the no-dangling
+    assumption is a corpus property, not enforced by the SQL. Assert it
+    explicitly here (distinct edge endpoints == vertex count) so a corpus
+    violating it fails loudly instead of as a puzzling row-count gap."""
+    edges = build_event_edges(sf_dir).materialize()
+    _assert_no_dangling(sf_dir, edges, "pagerank_fixed")
     cfg = EngineConfig(num_partitions=8, pr_tol=0.0, pr_max_iters=20)
     res = pagerank_bsp(edges, vertices=event_vertices(sf_dir), cfg=cfg, symmetrize=True)
 
@@ -233,6 +241,98 @@ def q_pagerank_close(sf_dir: str):
             "n_exceed_tol": pa.array([int((gaps > cfg.pr_tol).sum())], pa.int64()),
             "max_abs_gap_r4": pa.array([round(float(gaps.max()), 4)], pa.float64()),
         }
+    )
+
+
+def _event_seeds(sf_dir: str):
+    """Deterministic SQL-expressible seed set: event_id % 97 == 0 (~1%)."""
+    seeds_src = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        e = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"vid": pa.array(e[e % 97 == 0], pa.int64())})
+
+    return seeds_src.map_batches(pick, batch_format="pyarrow")
+
+
+def q_ppr_fixed(sf_dir: str):
+    """Personalized PageRank for EXACTLY 20 iterations (tol=0), teleport set
+    = events with event_id % 97 == 0, uniform weights. The SQL twin is the
+    same recursive-CTE power iteration as pagerank_fixed with the restart
+    term swapped to the seed distribution (validated vs an independent
+    numpy PPR to 0.0 gap at sf0.001/sf0.01). Shares pagerank_fixed's
+    no-dangling corpus precondition: the SQL drops edge-less vertices after
+    iteration 0, so assert every vertex has an edge."""
+    edges = build_event_edges(sf_dir).materialize()
+    _assert_no_dangling(sf_dir, edges, "ppr_fixed")
+    cfg = EngineConfig(num_partitions=8, pr_tol=0.0, pr_max_iters=20)
+    res = pagerank_bsp(
+        edges, vertices=event_vertices(sf_dir), cfg=cfg, symmetrize=True,
+        personalization=_event_seeds(sf_dir),
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        s = batch.column("score").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"event_id": batch.column("vid"), "score": pa.array(np.round(s, 10))}
+        )
+
+    return res.scores.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_kcore(sf_dir: str):
+    """2-core membership (vertices of the maximal subgraph with min degree
+    ≥ 2). Oracle = recursive edge-peeling capped at 40 rounds, so assert
+    the engine's fixpoint arrived within the cap."""
+    from ccl_ray.stages.kcore import kcore_bsp
+
+    res = kcore_bsp(
+        build_event_edges(sf_dir), 2, vertices=event_vertices(sf_dir), cfg=_cfg()
+    )
+    if res.iterations > 40:
+        raise AssertionError(
+            f"kcore took {res.iterations} rounds; the SQL oracle peels for 40"
+        )
+
+    def members(batch: pa.Table) -> pa.Table:
+        keep = batch.column("in_core").to_numpy(zero_copy_only=False)
+        return pa.table({"vid": batch.column("vid").filter(pa.array(keep))})
+
+    return res.membership.map_batches(members, batch_format="pyarrow")
+
+
+def q_sssp_hops(sf_dir: str):
+    """Multi-source BFS hop distance to the nearest seed (event_id % 97
+    == 0). Oracle = 40 fixed rounds of min-plus propagation over the edge
+    list plus 0-weight self-loops; max_rounds=40 raises if the engine's
+    fixpoint is not reached within the oracle's cap (measured diameter: 26
+    at sf0.001, 8 at sf0.01 — shrinks with scale as hub chains densify)."""
+    from ccl_ray.stages.bfs import bfs_hops
+
+    res = bfs_hops(
+        build_event_edges(sf_dir), _event_seeds(sf_dir),
+        vertices=event_vertices(sf_dir), cfg=_cfg(), max_rounds=40,
+    )
+    return res.dists.rename_columns({"vid": "event_id"})
+
+
+def q_clustering_coeff(sf_dir: str):
+    from ccl_ray.stages.triangles import clustering_coefficient
+
+    return clustering_coefficient(
+        build_event_edges(sf_dir), vertices=event_vertices(sf_dir), cfg=_cfg()
+    )
+
+
+def q_common_neighbors(sf_dir: str):
+    """Top-50 non-adjacent pairs by shared-neighbor count, deterministic
+    (count DESC, a, b) ties. require_complete asserts no center was
+    degree-capped (max distinct-neighbor degree at sf0.01 is 6, far below
+    the 512 default) so the engine's enumeration equals the oracle's."""
+    from ccl_ray.stages.linkpred import common_neighbors_topk
+
+    return common_neighbors_topk(
+        build_event_edges(sf_dir), k=50, cfg=_cfg(), require_complete=True
     )
 
 
@@ -462,6 +562,11 @@ QUERIES = {
     "pagerank": q_pagerank,
     "pagerank_fixed": q_pagerank_fixed,
     "pagerank_close": q_pagerank_close,
+    "ppr_fixed": q_ppr_fixed,
+    "kcore": q_kcore,
+    "sssp_hops": q_sssp_hops,
+    "clustering_coeff": q_clustering_coeff,
+    "common_neighbors": q_common_neighbors,
     "relabel_compose": q_relabel_compose,
     "q1_agg": q_q1_agg,
     "events_hourly": q_events_hourly,
@@ -667,6 +772,89 @@ ORACLE_SQL = {
           FROM pr JOIN dire ON dire.u = pr.v JOIN deg ON deg.u = pr.v
           WHERE it < 20 GROUP BY 1, 2)
         SELECT v AS event_id, round(score, 10) AS score FROM pr WHERE it = 20""",
+    "ppr_fixed": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        dire AS (SELECT src AS u, dst AS v FROM edg UNION ALL SELECT dst, src FROM edg),
+        deg AS (SELECT u, count(*) AS dg FROM dire GROUP BY 1),
+        ns AS (SELECT count(*)::DOUBLE AS s FROM events WHERE event_id % 97 = 0),
+        ppr(it, v, score) AS (
+          SELECT 0, event_id,
+                 CASE WHEN event_id % 97 = 0 THEN 1.0/(SELECT s FROM ns) ELSE 0.0 END
+          FROM events
+          UNION ALL
+          SELECT it+1, dire.v,
+                 CASE WHEN dire.v % 97 = 0 THEN 0.15/(SELECT s FROM ns) ELSE 0.0 END
+                 + 0.85 * sum(ppr.score / deg.dg)
+          FROM ppr JOIN dire ON dire.u = ppr.v JOIN deg ON deg.u = ppr.v
+          WHERE it < 20 GROUP BY 1, 2)
+        SELECT v AS event_id, round(score, 10) AS score FROM ppr WHERE it = 20""",
+    # fixed-point edge peeling: both endpoint degrees (window over the
+    # previous iteration's surviving symmetric edge rows) must stay >= k;
+    # symmetric rows live and die together, so the row set stays an exact
+    # undirected subgraph every round. 40 rounds >> the peel depth.
+    "kcore": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        und AS (SELECT src AS u, dst AS v FROM edgu UNION SELECT dst, src FROM edgu),
+        kc(it, u, v) AS (
+          SELECT 0, u, v FROM und
+          UNION ALL
+          SELECT it+1, u, v FROM (
+            SELECT it, u, v,
+                   count(*) OVER (PARTITION BY u) AS du,
+                   count(*) OVER (PARTITION BY v) AS dv
+            FROM kc) x
+          WHERE it < 40 AND du >= 2 AND dv >= 2)
+        SELECT DISTINCT u AS vid FROM kc WHERE it = 40""",
+    # min-plus propagation with 0-weight self-loops (so each vertex's own
+    # distance survives the per-round GROUP BY min without referencing the
+    # recursive table twice); 999999 = unreachable sentinel -> NULL
+    "sssp_hops": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        dire AS (SELECT src AS u, dst AS v, 1 AS w FROM edgu
+                 UNION ALL SELECT dst, src, 1 FROM edgu
+                 UNION ALL SELECT event_id, event_id, 0 FROM events),
+        bfs(it, v, d) AS (
+          SELECT 0, event_id, CASE WHEN event_id % 97 = 0 THEN 0 ELSE 999999 END
+          FROM events
+          UNION ALL
+          SELECT it+1, e.v, min(least(bfs.d + e.w, 999999))
+          FROM bfs JOIN dire e ON e.u = bfs.v
+          WHERE it < 40 GROUP BY 1, 2)
+        SELECT v AS event_id,
+               CASE WHEN d >= 999999 THEN NULL ELSE d END AS dist
+        FROM bfs WHERE it = 40""",
+    "clustering_coeff": f"""
+        WITH {_EDGES_CTE},
+        tri AS (
+          SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+          FROM edgu e1 JOIN edgu e2 ON e2.src = e1.dst
+          JOIN edgu e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        tpv AS (
+          SELECT v AS vid, count(*) AS nt
+          FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+          GROUP BY v),
+        degq AS (
+          SELECT e.event_id AS vid, coalesce(d.degree, 0) AS degree
+          FROM events e LEFT JOIN (
+            SELECT v AS vid, count(*) AS degree
+            FROM (SELECT src AS v FROM edgu UNION ALL SELECT dst FROM edgu)
+            GROUP BY v) d ON d.vid = e.event_id)
+        SELECT dq.vid, dq.degree, coalesce(t.nt, 0) AS n_triangles,
+               round(CASE WHEN dq.degree >= 2
+                     THEN 2.0 * coalesce(t.nt, 0) / (dq.degree * (dq.degree - 1.0))
+                     ELSE 0.0 END, 6) AS lcc
+        FROM degq dq LEFT JOIN tpv t ON t.vid = dq.vid""",
+    "common_neighbors": f"""
+        WITH {_EDGES_CTE},
+        und AS (SELECT src AS u, dst AS v FROM edgu UNION SELECT dst, src FROM edgu),
+        cn AS (SELECT a.u AS x, b.u AS y, count(*) AS c
+               FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
+               GROUP BY 1, 2),
+        ne AS (SELECT cn.x, cn.y, cn.c
+               FROM cn LEFT JOIN edgu e ON e.src = cn.x AND e.dst = cn.y
+               WHERE e.src IS NULL)
+        SELECT x AS a, y AS b, c AS common_neighbors
+        FROM ne ORDER BY c DESC, x, y LIMIT 50""",
     "relabel_compose": """
         SELECT c_custkey, r_name
         FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -66,15 +66,34 @@ def hash_join(
     right_on: str,
     how: str = "inner",
     num_partitions: int | None = None,
+    left_schema: "pa.Schema | None" = None,
+    right_schema: "pa.Schema | None" = None,
 ) -> "rd.Dataset":
     """Hash-partitioned equi-join; ``how`` in {"inner", "left outer"}.
 
     Output columns: all left columns then all right columns except the right
     key (like pyarrow's join). Left/right column names must be disjoint.
+    ``left_schema``/``right_schema``: explicit Arrow schemas for sides that
+    may be ALL-empty — Ray 2.49 returns ``schema() is None`` for an empty
+    dataset downstream of map_batches, so a caller that can produce an
+    empty side must pass its statically-known schema.
     """
     assert how in ("inner", "left outer")
-    ls = pa.schema([pa.field(n, t) for n, t in zip(left.schema().names, left.schema().types)])
-    rs = pa.schema([pa.field(n, t) for n, t in zip(right.schema().names, right.schema().types)])
+
+    def _side_schema(ds, override, name):
+        if override is not None:
+            return pa.schema(override)
+        s = ds.schema()
+        if s is None:
+            raise ValueError(
+                f"hash_join: {name} side has no schema (all-empty dataset after "
+                "map_batches — Ray 2.49 quirk); pass "
+                f"{name}_schema= with the statically-known schema"
+            )
+        return pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
+
+    ls = _side_schema(left, left_schema, "left")
+    rs = _side_schema(right, right_schema, "right")
     overlap = set(ls.names) & set(rs.names)
     if overlap:
         raise ValueError(f"join sides share column names {overlap}; rename first")

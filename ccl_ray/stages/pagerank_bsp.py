@@ -93,7 +93,10 @@ def _pr_scatter_f(plan, scores, aux, P):
 
 
 @ray.remote(num_returns=2)
-def _pr_combine(q, grouped, cplan, scores, n, damping, *msg_objs):
+def _pr_combine(q, grouped, cplan, scores, n, damping, restart, *msg_objs):
+    """``restart``: None → uniform teleport 1/n (classic PageRank); else a
+    shard-aligned restart-probability vector (personalized PageRank —
+    teleport AND dangling mass both land on the restart distribution)."""
     if grouped:
         pieces = [m[0][q] for m in msg_objs]
         dangling_total = float(sum(m[1] for m in msg_objs))
@@ -108,7 +111,10 @@ def _pr_combine(q, grouped, cplan, scores, n, damping, *msg_objs):
     pos, red = apply_combine_plan(cplan, pieces, np.add)
     if pos.size:
         agg[pos] = red
-    new = (1.0 - damping) / n + damping * (agg + dangling_total / n)
+    if restart is None:
+        new = (1.0 - damping) / n + damping * (agg + dangling_total / n)
+    else:
+        new = (1.0 - damping) * restart + damping * (agg + dangling_total * restart)
     l1 = float(np.abs(new - scores).sum())
     return new, l1
 
@@ -125,6 +131,16 @@ def _plan_edges(plan):
     return plan["n_edges"]
 
 
+@ray.remote
+def _vec_sum(vec) -> float:
+    return float(np.asarray(vec).sum())
+
+
+@ray.remote
+def _vec_scale(vec, s: float):
+    return np.asarray(vec) * s
+
+
 def pagerank_bsp(
     edges,
     *,
@@ -133,11 +149,22 @@ def pagerank_bsp(
     checkpoint=None,
     symmetrize: bool = False,
     shards: dict | None = None,
+    personalization=None,
 ) -> PRResult:
     """PageRank on directed edges (src->dst). ``symmetrize=True`` treats the
     edge table as undirected (each edge contributes both directions).
     ``shards``: optional prebuilt bundle (state.shards.build_graph_shards)
-    with matching symmetrize — reused across algorithms on one graph."""
+    with matching symmetrize — reused across algorithms on one graph.
+
+    ``personalization``: optional Dataset (vid [, weight:float]) in the
+    ORIGINAL vid domain → personalized PageRank: the teleport distribution
+    (and the dangling-mass sink) becomes the normalized seed weights instead
+    of uniform 1/n, and iteration starts AT that distribution (so a
+    fixed-iteration run computes the exact same operator power as the
+    recursive-SQL oracle). Seeds are routed to owning shards by the same
+    exchange that built the vid shards (state.align) — never materialized
+    on the driver. Vids not in the graph are dropped; total weight must be
+    positive."""
     cfg = cfg or EngineConfig()
     P = cfg.num_partitions
     grouped = cfg.exchange == "grouped"
@@ -156,6 +183,20 @@ def pagerank_bsp(
     n = int(sum(counts))
     n_edges = int(sum(ray.get([_plan_edges.remote(p) for p in plans])))
 
+    restart_refs = [None] * P
+    if personalization is not None:
+        from ccl_ray.state.align import align_vertex_values
+
+        raw = align_vertex_values(
+            shards, personalization, value_col="weight", default=0.0, combine="add"
+        )
+        total = float(sum(ray.get([_vec_sum.remote(r) for r in raw])))
+        if total <= 0.0:
+            raise ValueError(
+                "personalization has no positive weight on any graph vertex"
+            )
+        restart_refs = [_vec_scale.remote(r, 1.0 / total) for r in raw]
+
     start_iter = 0
     score_refs = None
     if checkpoint is not None:
@@ -167,7 +208,10 @@ def pagerank_bsp(
         if resumed is not None:
             start_iter, score_refs = resumed
     if score_refs is None:
-        score_refs = [_init_scores.remote(v, n) for v in vid_refs]
+        if personalization is not None:
+            score_refs = list(restart_refs)
+        else:
+            score_refs = [_init_scores.remote(v, n) for v in vid_refs]
 
     metrics: list[dict] = []
     it = start_iter
@@ -185,7 +229,10 @@ def pagerank_bsp(
                     _pr_scatter_g.remote(plans[p], score_refs[p], outdeg[p], P) for p in range(P)
                 ]
                 comb = [
-                    _pr_combine.remote(q, True, cplans[q], score_refs[q], n, cfg.pr_damping, *outs)
+                    _pr_combine.remote(
+                        q, True, cplans[q], score_refs[q], n, cfg.pr_damping,
+                        restart_refs[q], *outs
+                    )
                     for q in range(P)
                 ]
             else:
@@ -205,6 +252,7 @@ def pagerank_bsp(
                         score_refs[q],
                         n,
                         cfg.pr_damping,
+                        restart_refs[q],
                         *[outs[p][q] for p in range(P)],
                         *[outs[p][P] for p in range(P)],
                     )

@@ -276,3 +276,48 @@ def triangle_counts_per_vertex(edges, *, cfg: EngineConfig | None = None):
     import ray.data as rd
 
     return rd.from_arrow_refs(tables)
+
+
+def clustering_coefficient(edges, *, vertices=None, cfg: EngineConfig | None = None):
+    """(vid, degree, n_triangles, lcc) — local clustering coefficient.
+
+    lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2, else 0.0; T from
+    triangle_counts_per_vertex (vertices in no triangle → 0), deg = distinct
+    neighbors (aggregates.degrees). One hash-partitioned left join; lcc is
+    rounded to 6 decimals (both factors are exact ints, so the rounding only
+    normalizes the float division for oracle comparison).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ccl_ray.stages.aggregates import degrees
+    from ccl_ray.stages.exchange import hash_join
+
+    cfg = cfg or EngineConfig()
+    deg = degrees(edges, vertices)
+    tri = triangle_counts_per_vertex(edges, cfg=cfg).rename_columns({"vid": "tvid"})
+    # right side is ALL-empty on triangle-free graphs (sf0.001 events), where
+    # Ray 2.49 loses the schema — pass it statically; hash_join's _tagged
+    # pass normalizes block types, so no to_arrow_blocks needed
+    joined = hash_join(
+        deg, tri,
+        left_on="vid", right_on="tvid", how="left outer",
+        num_partitions=cfg.num_partitions,
+        right_schema=[("tvid", pa.int64()), ("n_triangles", pa.int64())],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch.column("degree").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pc.fill_null(batch.column("n_triangles"), 0).to_numpy(zero_copy_only=False)
+        denom = d.astype(np.float64) * (d - 1)
+        lcc = np.where(d >= 2, 2.0 * t / np.where(denom == 0, 1.0, denom), 0.0)
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "degree": pa.array(d),
+                "n_triangles": pa.array(t.astype(np.int64)),
+                "lcc": pa.array(np.round(lcc, 6)),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

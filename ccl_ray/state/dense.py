@@ -235,7 +235,8 @@ def build_dense_graph_shards(edges_ds, P: int, *, vertices_ds=None,
         "cplans": cplans,
         "P": P,
         "symmetrize": symmetrize,
-        "dense": {"offsets": offsets, "range_vids": range_vids, "dtype": dtype},
+        "dense": {"offsets": offsets, "range_vids": range_vids, "dtype": dtype,
+                  "splitters": splitters},
     }
 
 

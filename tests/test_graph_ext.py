@@ -1,0 +1,257 @@
+"""BFS hops, k-core, link prediction, clustering coefficient, personalized
+PageRank — the round-3 link-graph extension stages vs serial numpy oracles.
+
+Oracles are O(V·E) serial reference implementations written here (no
+networkx in the container); engine runs use P>1 to exercise the routed
+exchange, and P=1 vs P=8 agreement pins partition invariance.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ccl_ray.config import EngineConfig
+from ccl_ray.stages.bfs import bfs_hops
+from ccl_ray.stages.kcore import kcore_bsp
+from ccl_ray.stages.linkpred import common_neighbors_topk
+from ccl_ray.stages.pagerank_bsp import pagerank_bsp
+
+
+def _edges_ds(src, dst, blocks=3):
+    return rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    ).repartition(blocks)
+
+
+def _vids_ds(vids):
+    return rd.from_arrow(pa.table({"vid": pa.array(vids, pa.int64())}))
+
+
+def _adj(src, dst, vids):
+    """dict vid -> set of distinct neighbors (undirected, loop-free)."""
+    nbr = {int(v): set() for v in vids}
+    for s, d in zip(src, dst):
+        s, d = int(s), int(d)
+        if s != d:
+            nbr[s].add(d)
+            nbr[d].add(s)
+    return nbr
+
+
+def _bfs_oracle(nbr, seeds):
+    from collections import deque
+
+    dist = {v: None for v in nbr}
+    q = deque()
+    for s in seeds:
+        if s in dist:
+            dist[s] = 0
+            q.append(s)
+    while q:
+        u = q.popleft()
+        for w in nbr[u]:
+            if dist[w] is None:
+                dist[w] = dist[u] + 1
+                q.append(w)
+    return dist
+
+
+def _kcore_oracle(nbr, k):
+    alive = {v: True for v in nbr}
+    changed = True
+    while changed:
+        changed = False
+        for v in nbr:
+            if alive[v] and sum(alive[w] for w in nbr[v]) < k:
+                alive[v] = False
+                changed = True
+    return alive
+
+
+def _random_graph(seed, n=120, m=400):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, n, m), rng.randint(0, n, m), np.arange(n)
+
+
+def test_bfs_hops_vs_oracle():
+    src, dst, vids = _random_graph(3)
+    seeds = [0, 17, 55]
+    nbr = _adj(src, dst, vids)
+    want = _bfs_oracle(nbr, seeds)
+    for P in (1, 8):
+        res = bfs_hops(
+            _edges_ds(src, dst), _vids_ds(seeds), vertices=_vids_ds(vids),
+            cfg=EngineConfig(num_partitions=P),
+        )
+        df = res.dists.to_pandas()
+        got = {
+            int(v): (None if d is None or (isinstance(d, float) and np.isnan(d)) else int(d))
+            for v, d in zip(df["vid"], df["dist"].astype(object))
+        }
+        assert got == want, f"P={P}"
+
+
+def test_bfs_unreachable_and_seed_dedup():
+    # two components; seeds only in the first, duplicated seed rows
+    src = [0, 1, 10, 11]
+    dst = [1, 2, 11, 12]
+    res = bfs_hops(
+        _edges_ds(src, dst), _vids_ds([0, 0, 2]),
+        vertices=_vids_ds(range(13)), cfg=EngineConfig(num_partitions=4),
+    )
+    df = res.dists.to_pandas().set_index("vid")["dist"]
+    assert df[0] == 0 and df[2] == 0 and df[1] == 1
+    for v in (10, 11, 12, 5):
+        assert df[v] is None or np.isnan(df[v])
+
+
+def test_bfs_max_rounds_raises():
+    src = list(range(0, 30))
+    dst = list(range(1, 31))
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        bfs_hops(
+            _edges_ds(src, dst), _vids_ds([0]), cfg=EngineConfig(num_partitions=2),
+            max_rounds=5,
+        )
+
+
+def test_kcore_vs_oracle():
+    src, dst, vids = _random_graph(11, n=100, m=260)
+    nbr = _adj(src, dst, vids)
+    for k in (2, 3):
+        want = _kcore_oracle(nbr, k)
+        for P in (1, 8):
+            res = kcore_bsp(
+                _edges_ds(src, dst), k, vertices=_vids_ds(vids),
+                cfg=EngineConfig(num_partitions=P),
+            )
+            df = res.membership.to_pandas()
+            got = dict(zip(df["vid"].astype(int), df["in_core"].astype(bool)))
+            assert got == want, f"k={k} P={P}"
+
+
+def test_kcore_triangle_plus_tail():
+    # triangle {0,1,2} is the 2-core; the tail 2-3-4 peels off layer by layer
+    src = [0, 1, 2, 2, 3]
+    dst = [1, 2, 0, 3, 4]
+    res = kcore_bsp(_edges_ds(src, dst), 2, cfg=EngineConfig(num_partitions=2))
+    df = res.membership.to_pandas()
+    got = dict(zip(df["vid"].astype(int), df["in_core"].astype(bool)))
+    assert got == {0: True, 1: True, 2: True, 3: False, 4: False}
+    assert res.iterations >= 2  # peeling takes a wave per layer
+
+
+def _cn_oracle(nbr, k):
+    rows = []
+    vs = sorted(nbr)
+    for i, a in enumerate(vs):
+        for b in vs[i + 1 :]:
+            if b in nbr[a]:
+                continue
+            c = len(nbr[a] & nbr[b])
+            if c > 0:
+                rows.append((a, b, c))
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return rows[:k]
+
+
+def test_common_neighbors_vs_oracle():
+    src, dst, vids = _random_graph(29, n=60, m=150)
+    nbr = _adj(src, dst, vids)
+    want = _cn_oracle(nbr, 20)
+    for P in (1, 4):
+        t = common_neighbors_topk(
+            _edges_ds(src, dst), k=20, cfg=EngineConfig(num_partitions=P),
+            require_complete=True,
+        )
+        got = list(zip(*(t.column(c).to_pylist() for c in ("a", "b", "common_neighbors"))))
+        assert got == want, f"P={P}"
+
+
+def test_common_neighbors_degree_cap():
+    # star center 0 with 10 leaves: every leaf pair shares neighbor 0
+    src = [0] * 10
+    dst = list(range(1, 11))
+    t = common_neighbors_topk(_edges_ds(src, dst), k=5, cfg=EngineConfig(num_partitions=2))
+    assert t.num_rows == 5
+    assert t.column("common_neighbors").to_pylist() == [1] * 5
+    # cap below the hub degree suppresses its wedges; require_complete raises
+    import pytest
+
+    with pytest.raises(AssertionError):
+        common_neighbors_topk(
+            _edges_ds(src, dst), k=5, cfg=EngineConfig(num_partitions=2),
+            max_center_degree=4, require_complete=True,
+        )
+
+
+def _ppr_oracle(src, dst, vids, seeds, damping=0.85, iters=60):
+    """Serial personalized PageRank: symmetric edges, restart at seeds."""
+    nbr = {int(v): [] for v in vids}
+    for s, d in zip(src, dst):
+        nbr[int(s)].append(int(d))
+        nbr[int(d)].append(int(s))
+    idx = {v: i for i, v in enumerate(sorted(nbr))}
+    n = len(idx)
+    r = np.zeros(n)
+    for s in seeds:
+        r[idx[s]] += 1.0
+    r /= r.sum()
+    x = r.copy()
+    deg = np.array([len(nbr[v]) for v in sorted(nbr)], dtype=float)
+    for _ in range(iters):
+        nx = np.zeros(n)
+        for v, i in idx.items():
+            if deg[i]:
+                share = x[i] / deg[i]
+                for w in nbr[v]:
+                    nx[idx[w]] += share
+        dangling = x[deg == 0].sum()
+        x = (1 - damping) * r + damping * (nx + dangling * r)
+    return {v: x[i] for v, i in idx.items()}
+
+
+def test_personalized_pagerank_vs_oracle():
+    src, dst, vids = _random_graph(41, n=80, m=200)
+    seeds = [0, 7, 31]
+    want = _ppr_oracle(src, dst, vids, seeds)
+    res = pagerank_bsp(
+        _edges_ds(src, dst), vertices=_vids_ds(vids),
+        cfg=EngineConfig(num_partitions=4, pr_tol=1e-12, pr_max_iters=200),
+        symmetrize=True, personalization=_vids_ds(seeds),
+    )
+    df = res.scores.to_pandas()
+    got = dict(zip(df["vid"].astype(int), df["score"]))
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_ppr_weighted_seeds_and_bad_seeds():
+    src = [0, 1, 2]
+    dst = [1, 2, 3]
+    seeds = rd.from_arrow(
+        pa.table({"vid": pa.array([0, 3], pa.int64()),
+                  "weight": pa.array([3.0, 1.0], pa.float64())})
+    )
+    res = pagerank_bsp(
+        _edges_ds(src, dst), cfg=EngineConfig(num_partitions=2, pr_tol=1e-10),
+        symmetrize=True, personalization=seeds,
+    )
+    df = res.scores.to_pandas()
+    got = dict(zip(df["vid"].astype(int), df["score"]))
+    # 3x restart weight at 0 vs 1 at 3 -> strictly more mass at 0
+    assert got[0] > got[3]
+    # seeds with no positive weight on graph vertices -> ValueError
+    import pytest
+
+    bad = rd.from_arrow(pa.table({"vid": pa.array([999], pa.int64())}))
+    with pytest.raises(ValueError):
+        pagerank_bsp(
+            _edges_ds(src, dst), cfg=EngineConfig(num_partitions=2),
+            symmetrize=True, personalization=bad,
+        )
