@@ -336,6 +336,37 @@ def q_common_neighbors(sf_dir: str):
     )
 
 
+def q_adamic_adar(sf_dir: str):
+    """Top-50 non-adjacent pairs by Adamic-Adar index (score DESC, a, b).
+    Ranked on round(score, 6) in BOTH engine and SQL so float-summation
+    order cannot flip ties; require_complete as in common_neighbors."""
+    from ccl_ray.stages.linkpred import adamic_adar_topk
+
+    return adamic_adar_topk(
+        build_event_edges(sf_dir), k=50, cfg=_cfg(), require_complete=True
+    )
+
+
+def q_degree_hist(sf_dir: str):
+    """Log2-bucketed degree histogram of the events graph: bucket =
+    floor(log2(degree)) for degree ≥ 1, −1 for isolated vertices."""
+    from ccl_ray.stages.aggregates import degrees, partial_sum_agg
+
+    deg = degrees(build_event_edges(sf_dir), event_vertices(sf_dir))
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        d = batch.column("degree").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.full(len(d), -1, np.int64)
+        nz = d >= 1
+        b[nz] = np.floor(np.log2(d[nz])).astype(np.int64)
+        return pa.table({"bucket": pa.array(b)})
+
+    return partial_sum_agg(
+        deg.map_batches(bucket, batch_format="pyarrow"), ["bucket"], {},
+        count_as="n_vertices",
+    )
+
+
 def q_relabel_compose(sf_dir: str):
     nation = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
     region = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
@@ -407,6 +438,20 @@ def q_quality_score(sf_dir: str):
 
 def q_fingerprint(sf_dir: str):
     return fingerprint(_docs(sf_dir))
+
+
+def q_repetition(sf_dir: str):
+    from ccl_ray.stages.text import repetition_score
+
+    return repetition_score(_docs(sf_dir))
+
+
+def q_contamination(sf_dir: str):
+    """Per non-benchmark document, #distinct 8-char shingles shared with
+    the benchmark set (doc_id % 101 == 0) — the decontamination check."""
+    from ccl_ray.stages.dedup import benchmark_contamination
+
+    return benchmark_contamination(_docs(sf_dir))
 
 
 def q_cosine_pairs(sf_dir: str):
@@ -567,6 +612,10 @@ QUERIES = {
     "sssp_hops": q_sssp_hops,
     "clustering_coeff": q_clustering_coeff,
     "common_neighbors": q_common_neighbors,
+    "adamic_adar": q_adamic_adar,
+    "degree_hist": q_degree_hist,
+    "repetition": q_repetition,
+    "contamination": q_contamination,
     "relabel_compose": q_relabel_compose,
     "q1_agg": q_q1_agg,
     "events_hourly": q_events_hourly,
@@ -855,6 +904,61 @@ ORACLE_SQL = {
                WHERE e.src IS NULL)
         SELECT x AS a, y AS b, c AS common_neighbors
         FROM ne ORDER BY c DESC, x, y LIMIT 50""",
+    # shared neighbor of a pair necessarily has degree >= 2, so ln(d) > 0
+    "adamic_adar": f"""
+        WITH {_EDGES_CTE},
+        und AS (SELECT src AS u, dst AS v FROM edgu UNION SELECT dst, src FROM edgu),
+        dg AS (SELECT u, count(*) AS d FROM und GROUP BY 1),
+        aa AS (SELECT a.u AS x, b.u AS y, sum(1.0 / ln(dg.d)) AS s
+               FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
+               JOIN dg ON dg.u = a.v
+               GROUP BY 1, 2),
+        ne AS (SELECT aa.x, aa.y, aa.s
+               FROM aa LEFT JOIN edgu e ON e.src = aa.x AND e.dst = aa.y
+               WHERE e.src IS NULL)
+        SELECT x AS a, y AS b, round(s, 6) AS aa_score
+        FROM ne ORDER BY round(s, 6) DESC, x, y LIMIT 50""",
+    "degree_hist": f"""
+        WITH {_EDGES_CTE},
+        und AS (SELECT src AS u, dst AS v FROM edgu UNION SELECT dst, src FROM edgu),
+        dq AS (SELECT e.event_id AS vid, coalesce(d.degree, 0) AS degree
+               FROM events e LEFT JOIN (
+                 SELECT u AS vid, count(*) AS degree FROM und GROUP BY u) d
+               ON d.vid = e.event_id)
+        SELECT CASE WHEN degree >= 1
+                    THEN CAST(floor(log2(degree)) AS BIGINT) ELSE -1 END AS bucket,
+               count(*) AS n_vertices
+        FROM dq GROUP BY 1""",
+    "repetition": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t,
+                 generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+          FROM documents),
+        tri AS (
+          SELECT doc_id,
+                 t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS g
+          FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        agg AS (
+          SELECT doc_id, count(*) AS n, count(DISTINCT g) AS d
+          FROM tri WHERE g IS NOT NULL GROUP BY 1)
+        SELECT d0.doc_id, coalesce(agg.n, 0) AS n_grams,
+               round(coalesce(1.0 - agg.d / agg.n::DOUBLE, 0.0), 6) AS dup_frac
+        FROM documents d0 LEFT JOIN agg USING (doc_id)""",
+    # engine counts rolling-hash shingle identities; exact-substring SQL
+    # equality holds under the same no-collision assumption as minhash_pairs
+    "contamination": """
+        WITH sh AS (
+          SELECT DISTINCT doc_id, substr(text, i, 8) AS g
+          FROM documents, unnest(range(1, greatest(length(text) - 6, 2))) AS u(i)
+          WHERE length(text) > 0),
+        bs AS (SELECT DISTINCT g FROM sh WHERE doc_id % 101 = 0),
+        hits AS (SELECT s.doc_id, count(*) AS n_shared
+                 FROM sh s JOIN bs USING (g)
+                 WHERE s.doc_id % 101 <> 0 GROUP BY 1)
+        SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 101 <> 0""",
     "relabel_compose": """
         SELECT c_custkey, r_name
         FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -656,3 +656,140 @@ def duplicate_clusters(docs: "rd.Dataset", *, threshold: float = 0.5, cfg=None) 
     verts = docs.select_columns(["doc_id"]).rename_columns({"doc_id": "vid"})
     res = connected_components_bsp(edges, vertices=verts, cfg=cfg)
     return res.labels.rename_columns({"vid": "doc_id", "label": "cluster"})
+
+
+# ------------------------------------------------------------ contamination
+
+
+def _shingle_rows(df: pd.DataFrame, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(row position repeated per shingle, shingle hashes) — per-doc UNIQUE."""
+    sh = [rolling_hash_shingles(t, k) for t in df["text"]]
+    lens = np.array([len(s) for s in sh], dtype=np.int64)
+    rows = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+    h = np.concatenate(sh) if sh else np.empty(0, np.uint64)
+    return rows, h.astype(np.int64)
+
+
+def benchmark_contamination(
+    docs: "rd.Dataset",
+    *,
+    mod: int = 101,
+    shingle_k: int = 8,
+    broadcast_limit: int = 4_000_000,
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """Decontamination check: per NON-benchmark document, the number of its
+    distinct ``shingle_k``-char shingles that appear in ANY benchmark
+    document (benchmark = ``doc_id % mod == 0``). (doc_id, n_shared);
+    n_shared > 0 flags the doc as contaminated by the held-out set.
+
+    Scale shape: a benchmark suite is a FIXED-size corpus, so its distinct
+    shingle-hash set is the classic broadcast small side (``ray.put`` once,
+    ``searchsorted`` membership per batch — no shuffle touches the 100 TB
+    doc side). If the set exceeds ``broadcast_limit`` hashes (32 MB at 4M),
+    the op switches to the distributed path: explode doc shingles, inner
+    hash-join against the distinct benchmark hashes, partition-grouped
+    count — the same exchange shape as ngram_jaccard's LARGE mode.
+
+    Shingle identity is the rolling 61-bit hash (functions.hashing): two
+    distinct substrings collide with p ~ n^2/2^61 — the same accepted
+    assumption as the minhash_pairs oracle (queries.py _JACCARD_CTE).
+    """
+    from ccl_ray.config import resolve_partitions
+
+    P = resolve_partitions(num_partitions)
+
+    def bench_hashes(df: pd.DataFrame) -> pa.Table:
+        sub = df[(df["doc_id"] % mod) == 0]
+        _, h = _shingle_rows(sub, shingle_k)
+        return pa.table({"h": pa.array(np.unique(h), pa.int64())})
+
+    bench_parts = docs.map_batches(bench_hashes, batch_format="pandas")
+    from ccl_ray.stages.aggregates import partial_sum_agg
+
+    bench_distinct = (
+        partial_sum_agg(bench_parts, ["h"], {}, count_as="_n")
+        .select_columns(["h"])
+        .materialize()  # consumed twice: size probe + (broadcast | join side)
+    )
+    n_bench = bench_distinct.count()
+
+    if n_bench <= broadcast_limit:
+        from ccl_ray.state.shards import as_arrow_block
+
+        blocks = [as_arrow_block(b) for b in ray.get(bench_distinct.to_arrow_refs())]
+        bset = np.sort(
+            np.concatenate(
+                [
+                    b.column("h").to_numpy(zero_copy_only=False)
+                    for b in blocks
+                    if "h" in b.column_names  # empty blocks carry no schema
+                ]
+                or [np.empty(0, np.int64)]
+            )
+        )
+        ref = ray.put(bset)
+
+        class Count:
+            def __init__(self):
+                self.bset = ray.get(ref)
+
+            def __call__(self, df: pd.DataFrame) -> pa.Table:
+                sub = df[(df["doc_id"] % mod) != 0]
+                rows, h = _shingle_rows(sub, shingle_k)
+                if len(self.bset):
+                    idx = np.searchsorted(self.bset, h)
+                    idx_c = np.minimum(idx, len(self.bset) - 1)
+                    hit = (self.bset[idx_c] == h).astype(np.int64)
+                else:
+                    hit = np.zeros(len(h), np.int64)
+                out_ids = sub["doc_id"].values.astype(np.int64)
+                n = np.zeros(len(sub), np.int64)
+                if len(rows):
+                    np.add.at(n, rows, hit)
+                return pa.table({"doc_id": pa.array(out_ids), "n_shared": pa.array(n)})
+
+        return docs.map_batches(Count, batch_format="pandas", concurrency=(1, 8))
+
+    # distributed path: explode -> join -> partition-grouped count -> left join
+    def doc_shingles(df: pd.DataFrame) -> pa.Table:
+        sub = df[(df["doc_id"] % mod) != 0]
+        rows, h = _shingle_rows(sub, shingle_k)
+        ids = sub["doc_id"].values.astype(np.int64)[rows] if len(rows) else np.empty(0, np.int64)
+        return pa.table({"doc_id": pa.array(ids), "dh": pa.array(h)})
+
+    from ccl_ray.stages.exchange import hash_join
+
+    doc_sh = docs.map_batches(doc_shingles, batch_format="pandas")
+    hits = hash_join(
+        doc_sh, bench_distinct, left_on="dh", right_on="h", how="inner",
+        num_partitions=P,
+        right_schema=[("h", pa.int64())],
+    )
+    # count per doc then re-attach zero-hit docs
+    per_doc = partial_sum_agg(
+        hits.select_columns(["doc_id"]), ["doc_id"], {}, count_as="n_hits"
+    ).rename_columns({"doc_id": "hit_doc"})
+
+    def nonbench_ids(df: pd.DataFrame) -> pa.Table:
+        sub = df[(df["doc_id"] % mod) != 0]
+        return pa.table({"doc_id": pa.array(sub["doc_id"].values.astype(np.int64))})
+
+    base = docs.map_batches(nonbench_ids, batch_format="pandas")
+    joined = hash_join(
+        base, per_doc, left_on="doc_id", right_on="hit_doc", how="left outer",
+        num_partitions=P,
+        right_schema=[("hit_doc", pa.int64()), ("n_hits", pa.int64())],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_shared": pc.fill_null(t.column("n_hits"), 0).cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -37,12 +37,41 @@ from ccl_ray.config import EngineConfig
 from ccl_ray.state.shards import part_of, shard_edges_csr
 
 
+def _pair_reduce(a, b, v, op):
+    """Collapse duplicate (a, b) rows with ``op`` — one lexsort + reduceat."""
+    order = np.lexsort((b, a))
+    a, b, v = a[order], b[order], v[order]
+    new = np.empty(len(a), dtype=bool)
+    new[0] = True
+    new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.nonzero(new)[0]
+    return a[starts], b[starts], op.reduceat(v, starts)
+
+
+def _route_by_a(a, b, v, P):
+    parts = part_of(a, P)
+    order = np.argsort(parts, kind="stable")
+    a, b, v, parts = a[order], b[order], v[order], parts[order]
+    bounds = np.searchsorted(parts, np.arange(P + 1))
+    return tuple(
+        (a[bounds[p] : bounds[p + 1]], b[bounds[p] : bounds[p + 1]],
+         v[bounds[p] : bounds[p + 1]])
+        for p in range(P)
+    )
+
+
 @ray.remote
-def _wedge_partials(csr, P, cap):
-    """(pieces routed by hash(a), n_skipped_centers) for one shard."""
+def _wedge_partials(csr, P, cap, aa=False):
+    """(pieces routed by hash(a), n_skipped_centers) for one shard.
+
+    ``aa=False``: wedge value 1 per pair → partial common-neighbor counts.
+    ``aa=True``: wedge value 1/ln(deg(center)) → partial Adamic-Adar sums
+    (centers with degree < 2 emit no wedges, so ln(deg) ≥ ln 2 > 0).
+    """
     dst, indptr, outdeg = csr["dst"], csr["indptr"], csr["outdeg"]
     n_e = len(dst)
-    empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
+    vdt = np.float64 if aa else np.int64
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, vdt))
     if n_e == 0:
         out = tuple(empty for _ in range(P))
         return (out[0] if P == 1 else out), 0
@@ -59,59 +88,85 @@ def _wedge_partials(csr, P, cap):
     within = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
     a = dst[first]
     b = dst[first + 1 + within]
-    # local partial count: one lexsort pass, then unique-pair reduceat
-    order = np.lexsort((b, a))
-    a, b = a[order], b[order]
-    new = np.empty(len(a), dtype=bool)
-    new[0] = True
-    new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-    starts = np.nonzero(new)[0]
-    cnt = np.diff(np.concatenate([starts, [len(a)]]))
-    a, b = a[starts], b[starts]
-    parts = part_of(a, P)
-    order = np.argsort(parts, kind="stable")
-    a, b, cnt, parts = a[order], b[order], cnt[order], parts[order]
-    bounds = np.searchsorted(parts, np.arange(P + 1))
-    out = tuple(
-        (a[bounds[p] : bounds[p + 1]], b[bounds[p] : bounds[p + 1]],
-         cnt[bounds[p] : bounds[p + 1]])
-        for p in range(P)
-    )
+    if aa:
+        # center degree per wedge: expand per-center 1/ln(deg) to edges, take
+        # at the wedge's first-edge position (both edges share the center)
+        w_center = np.zeros(len(outdeg), np.float64)
+        ok = outdeg >= 2
+        w_center[ok] = 1.0 / np.log(outdeg[ok])
+        v = np.repeat(w_center, outdeg)[first]
+        a2, b2, red = _pair_reduce(a, b, v, np.add)
+    else:
+        a2, b2, red = _pair_reduce(a, b, np.ones(len(a), np.int64), np.add)
+    out = _route_by_a(a2, b2, red, P)
     return (out[0] if P == 1 else out), skipped
 
 
 @ray.remote
-def _finalize_topk(q, csr, k, P, *piece_objs):
-    """Merge partial counts for partition q, anti-join edges, local top-k."""
+def _finalize_topk(q, csr, k, P, col, round_to, *piece_objs):
+    """Merge partial values for partition q, anti-join edges, local top-k.
+
+    ``round_to``: round scores before ranking (None = exact ints). Rounding
+    happens BEFORE the top-k lexsort so float-summation-order noise (~1e-15)
+    cannot flip ties vs a SQL oracle that ranks rounded values.
+    """
+    vdt = pa.int64() if round_to is None else pa.float64()
     pieces = [po[q] for po in piece_objs] if P > 1 else list(piece_objs)
     a = np.concatenate([p[0] for p in pieces]) if pieces else np.empty(0, np.int64)
     if a.size == 0:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "common_neighbors": pa.array([], pa.int64())})
+                         col: pa.array([], vdt)})
     b = np.concatenate([p[1] for p in pieces])
     c = np.concatenate([p[2] for p in pieces])
-    order = np.lexsort((b, a))
-    a, b, c = a[order], b[order], c[order]
-    new = np.empty(len(a), dtype=bool)
-    new[0] = True
-    new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-    starts = np.nonzero(new)[0]
-    cn = np.add.reduceat(c, starts)
-    a, b = a[starts], b[starts]
+    a, b, cn = _pair_reduce(a, b, c, np.add)
     # adjacency test is partition-local: this shard's CSR holds every (a,*)
     # edge for hash(a) == q; Arrow multi-key anti join keeps non-edges only
     es = np.repeat(csr["srcs"], csr["outdeg"])
-    cand = pa.table({"a": pa.array(a), "b": pa.array(b), "common_neighbors": pa.array(cn)})
+    cand = pa.table({"a": pa.array(a), "b": pa.array(b), col: pa.array(cn)})
     edges_t = pa.table({"a": pa.array(es), "b": pa.array(csr["dst"])})
     non_adj = cand.join(edges_t, keys=["a", "b"], join_type="left anti")
     a = non_adj.column("a").to_numpy(zero_copy_only=False)
     b = non_adj.column("b").to_numpy(zero_copy_only=False)
-    cn = non_adj.column("common_neighbors").to_numpy(zero_copy_only=False)
+    cn = non_adj.column(col).to_numpy(zero_copy_only=False)
+    if round_to is not None:
+        cn = np.round(cn, round_to)
     if len(a) > k:
         top = np.lexsort((b, a, -cn))[:k]
         a, b, cn = a[top], b[top], cn[top]
     return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
-                     "common_neighbors": pa.array(cn, pa.int64())})
+                     col: pa.array(cn, vdt)})
+
+
+def _pairs_topk(
+    edges, k, cfg, max_center_degree, require_complete, *, aa, col, round_to
+) -> pa.Table:
+    cfg = cfg or EngineConfig()
+    P = cfg.num_partitions
+    csr = shard_edges_csr(edges, P, symmetrize=True, dedupe=True, drop_self=True)
+    parts = [
+        _wedge_partials.options(num_returns=2).remote(c, P, max_center_degree, aa)
+        for c in csr
+    ]
+    piece_objs = [p[0] for p in parts]
+    skipped = sum(ray.get([p[1] for p in parts]))
+    if require_complete and skipped:
+        raise AssertionError(
+            f"{skipped} centers exceeded max_center_degree={max_center_degree}; "
+            "top-k would be incomplete vs a full-enumeration oracle"
+        )
+    tops = ray.get([
+        _finalize_topk.remote(q, csr[q], k, P, col, round_to, *piece_objs)
+        for q in range(P)
+    ])
+    merged = pa.concat_tables(tops)
+    a = merged.column("a").to_numpy(zero_copy_only=False)
+    b = merged.column("b").to_numpy(zero_copy_only=False)
+    cn = merged.column(col).to_numpy(zero_copy_only=False)
+    top = np.lexsort((b, a, -cn))[:k]
+    vdt = pa.int64() if round_to is None else pa.float64()
+    return pa.table({"a": pa.array(a[top], pa.int64()),
+                     "b": pa.array(b[top], pa.int64()),
+                     col: pa.array(cn[top], vdt)})
 
 
 def common_neighbors_topk(
@@ -128,26 +183,27 @@ def common_neighbors_topk(
     (common_neighbors DESC, a, b), ≤ k rows. ``require_complete=True``
     raises if any center exceeded ``max_center_degree`` (wedges from that
     center would be missing — oracle-parity callers need the assert)."""
-    cfg = cfg or EngineConfig()
-    P = cfg.num_partitions
-    csr = shard_edges_csr(edges, P, symmetrize=True, dedupe=True, drop_self=True)
-    parts = [_wedge_partials.options(num_returns=2).remote(c, P, max_center_degree)
-             for c in csr]
-    piece_objs = [p[0] for p in parts]
-    skipped = sum(ray.get([p[1] for p in parts]))
-    if require_complete and skipped:
-        raise AssertionError(
-            f"{skipped} centers exceeded max_center_degree={max_center_degree}; "
-            "top-k would be incomplete vs a full-enumeration oracle"
-        )
-    tops = ray.get([
-        _finalize_topk.remote(q, csr[q], k, P, *piece_objs) for q in range(P)
-    ])
-    merged = pa.concat_tables(tops)
-    a = merged.column("a").to_numpy(zero_copy_only=False)
-    b = merged.column("b").to_numpy(zero_copy_only=False)
-    cn = merged.column("common_neighbors").to_numpy(zero_copy_only=False)
-    top = np.lexsort((b, a, -cn))[:k]
-    return pa.table({"a": pa.array(a[top], pa.int64()),
-                     "b": pa.array(b[top], pa.int64()),
-                     "common_neighbors": pa.array(cn[top], pa.int64())})
+    return _pairs_topk(
+        edges, k, cfg, max_center_degree, require_complete,
+        aa=False, col="common_neighbors", round_to=None,
+    )
+
+
+def adamic_adar_topk(
+    edges,
+    k: int = 50,
+    *,
+    cfg: EngineConfig | None = None,
+    max_center_degree: int = 512,
+    require_complete: bool = False,
+) -> pa.Table:
+    """Top-k non-adjacent pairs by Adamic-Adar index Σ_{c∈N(a)∩N(b)} 1/ln(deg c).
+
+    Same wedge enumeration as common_neighbors_topk with the wedge valued at
+    1/ln(center degree); scores are rounded to 6 decimals BEFORE ranking so
+    the (score DESC, a, b) order is deterministic and matches a SQL oracle
+    that ranks rounded sums (float-order noise is ~1e-15 per pair)."""
+    return _pairs_topk(
+        edges, k, cfg, max_center_degree, require_complete,
+        aa=True, col="aa_score", round_to=6,
+    )

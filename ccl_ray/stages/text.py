@@ -114,6 +114,49 @@ class QualityScore:
         )
 
 
+class RepetitionScore:
+    """Duplicate-3-gram fraction per document (Gopher-style repetition
+    quality signal): with G = the doc's token 3-grams, dup_frac =
+    1 − |distinct G| / |G| (0.0 for docs with < 3 tokens). All-Rust polars
+    pass: tokenize once, group-aware shift builds the 3-gram strings,
+    group_by counts len + n_unique — no per-document Python loop."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        toks = _token_lists_pl(df["text"].values)
+        agg = (
+            toks.lazy()
+            .explode("tok", empty_as_null=True)
+            .with_columns(
+                g=pl.concat_str(
+                    [
+                        pl.col("tok"),
+                        pl.col("tok").shift(-1).over("i"),
+                        pl.col("tok").shift(-2).over("i"),
+                    ],
+                    separator=" ",
+                )
+            )
+            .drop_nulls("g")
+            .group_by("i")
+            .agg(
+                n=pl.len().cast(pl.Int64),
+                d=pl.col("g").n_unique().cast(pl.Int64),
+            )
+            .collect()
+        )
+        n_grams = np.zeros(len(df), dtype=np.int64)
+        dup = np.zeros(len(df), dtype=np.float64)
+        idx = agg["i"].to_numpy()
+        nn = agg["n"].to_numpy()
+        n_grams[idx] = nn
+        dup[idx] = np.round(1.0 - agg["d"].to_numpy() / nn, 6)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "n_grams": n_grams, "dup_frac": dup}
+        )
+
+
 class Fingerprint:
     """(doc_id, fp): md5 of lowercased text — exact-dup fingerprint with a
     SQL oracle. (Shingle-level rolling-hash fingerprints live in dedup.py.)"""
@@ -295,6 +338,10 @@ def quality_score(docs: "rd.Dataset") -> "rd.Dataset":
 
 def fingerprint(docs: "rd.Dataset") -> "rd.Dataset":
     return docs.map_batches(Fingerprint, batch_format="pandas", concurrency=(1, 8))
+
+
+def repetition_score(docs: "rd.Dataset") -> "rd.Dataset":
+    return docs.map_batches(RepetitionScore, batch_format="pandas", concurrency=(1, 8))
 
 
 def lang_id(docs: "rd.Dataset") -> "rd.Dataset":

@@ -235,3 +235,54 @@ def test_hot_bucket_star_cap_keeps_clusters_connected():
     assert (cand["a"] == 0).all()
     clusters = duplicate_clusters(docs, threshold=0.5).to_pandas()
     assert (clusters["cluster"] == 0).all()
+
+
+def test_contamination_broadcast_vs_distributed():
+    """Planted overlaps; the tiny-broadcast-limit run must equal the
+    broadcast run exactly (same counts, same rows)."""
+    from ccl_ray.stages.dedup import benchmark_contamination
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog",      # benchmark (0 % 5 == 0)
+        1: "the quick brown fox sat on a mat today",           # shares prefix shingles
+        2: "completely different text with no overlap at all",
+        5: "another benchmark document entirely here",          # benchmark
+        7: "zzz another benchmark document partly",             # shares "another benchmark.."
+        11: "xy",                                               # short doc, 1 padded shingle
+    }
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()))})
+    )
+    a = benchmark_contamination(docs, mod=5).to_pandas().sort_values("doc_id")
+    b = benchmark_contamination(docs, mod=5, broadcast_limit=0).to_pandas().sort_values("doc_id")
+    got_a = dict(zip(a["doc_id"].astype(int), a["n_shared"].astype(int)))
+    got_b = dict(zip(b["doc_id"].astype(int), b["n_shared"].astype(int)))
+    assert got_a == got_b
+    assert set(got_a) == {1, 2, 7, 11}  # non-benchmark docs only
+    assert got_a[1] > 0       # shares "he quick brown fox" shingles with doc 0
+    assert got_a[2] == 0
+    assert got_a[7] > 0       # shares "another benchmark" shingles with doc 5
+    assert got_a[11] == 0
+
+
+def test_repetition_score_planted():
+    from ccl_ray.stages.text import repetition_score
+
+    docs = rd.from_arrow(
+        pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "a b c a b c a b c",   # 7 trigrams, 3 distinct -> 4/7 dup
+                "one two three four",  # 2 trigrams, distinct -> 0.0
+                "tiny doc",            # <3 tokens -> 0 grams, 0.0
+                "",                    # empty
+            ]),
+        })
+    )
+    out = repetition_score(docs).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_grams"] == 7
+    assert abs(out.loc[0, "dup_frac"] - round(1 - 3 / 7, 6)) < 1e-12
+    assert out.loc[1, "n_grams"] == 2 and out.loc[1, "dup_frac"] == 0.0
+    assert out.loc[2, "n_grams"] == 0 and out.loc[2, "dup_frac"] == 0.0
+    assert out.loc[3, "n_grams"] == 0 and out.loc[3, "dup_frac"] == 0.0

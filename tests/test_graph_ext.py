@@ -255,3 +255,36 @@ def test_ppr_weighted_seeds_and_bad_seeds():
             _edges_ds(src, dst), cfg=EngineConfig(num_partitions=2),
             symmetrize=True, personalization=bad,
         )
+
+
+def _aa_oracle(nbr, k):
+    import math
+
+    rows = []
+    vs = sorted(nbr)
+    for i, a in enumerate(vs):
+        for b in vs[i + 1 :]:
+            if b in nbr[a]:
+                continue
+            shared = nbr[a] & nbr[b]
+            if shared:
+                s = sum(1.0 / math.log(len(nbr[c])) for c in shared)
+                rows.append((a, b, round(s, 6)))
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return rows[:k]
+
+
+def test_adamic_adar_vs_oracle():
+    from ccl_ray.stages.linkpred import adamic_adar_topk
+
+    src, dst, vids = _random_graph(53, n=60, m=150)
+    nbr = _adj(src, dst, vids)
+    want = _aa_oracle(nbr, 20)
+    for P in (1, 4):
+        t = adamic_adar_topk(
+            _edges_ds(src, dst), k=20, cfg=EngineConfig(num_partitions=P),
+            require_complete=True,
+        )
+        got = list(zip(t.column("a").to_pylist(), t.column("b").to_pylist(),
+                       t.column("aa_score").to_pylist()))
+        assert got == want, f"P={P}"
