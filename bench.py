@@ -51,11 +51,22 @@ def run_bench() -> dict:
         date32→timestamp precision note from the orders table) so bench
         stderr shows only real problems. Defined as a closure so cloudpickle
         ships it BY VALUE — a module-level function would serialize by
-        reference and die in workers that cannot import `bench`."""
+        reference and die in workers that cannot import `bench`.
+
+        `import ray.data` FIRST: its one-time logging config (dictConfig)
+        runs at import and would reset levels applied before it — the hook
+        must clamp AFTER that config, and also clamp the emitting submodule
+        directly in case the parent level is re-managed later."""
+        import ray.data  # noqa: F401  (forces ray.data's logging config now)
         import logging
 
-        logging.getLogger("ray.data").setLevel(logging.ERROR)
-        logging.getLogger("ray.air").setLevel(logging.ERROR)
+        for name in (
+            "ray.data",
+            "ray.air",
+            "ray.data._internal.arrow_ops.transform_pyarrow",
+            "ray.air.util.tensor_extensions.arrow",
+        ):
+            logging.getLogger(name).setLevel(logging.ERROR)
 
     ray.init(
         address="local",
@@ -193,6 +204,35 @@ def run_bench() -> dict:
             **extra,
         }
 
+    # --- round-3 graph extensions on the SAME transcript shards (the
+    # bundle is the expensive part; these measure pure iteration cost)
+    from ccl_ray.stages.bfs import bfs_hops
+    import pyarrow as pa
+
+    def pick_seeds(batch: "pa.Table") -> "pa.Table":
+        v = batch.column("vid").to_numpy(zero_copy_only=False)
+        return pa.table({"vid": pa.array(v[v % 9973 == 0])})
+
+    seeds = verts.map_batches(pick_seeds, batch_format="pyarrow")
+    t0 = time.perf_counter()
+    bres = bfs_hops(edges, seeds, cfg=cfg, shards=shards)
+    bres.dists.count()
+    queries["transcript_bfs"] = time.perf_counter() - t0
+    extra["bfs"] = {
+        "iterations": bres.iterations,
+        "iter_wall_s": sum(m["wall_s"] for m in bres.metrics),
+    }
+
+    t0 = time.perf_counter()
+    ppr = pagerank_bsp(edges, cfg=cfg, symmetrize=True, shards=shards,
+                       personalization=seeds)
+    ppr.scores.count()
+    queries["transcript_ppr"] = time.perf_counter() - t0
+    extra["ppr"] = {
+        "iterations": ppr.iterations,
+        "iter_wall_s": sum(m["wall_s"] for m in ppr.metrics),
+    }
+
     # --- events graph at $GRAFT_SF_DIR (correctness-scale pipelines)
     t0 = time.perf_counter()
     eedges = build_event_edges(SF_DIR).materialize()
@@ -207,6 +247,18 @@ def run_bench() -> dict:
     queries_triangles = triangle_count(eedges, cfg=cfg)
     queries["events_triangles"] = time.perf_counter() - t0
     extra["events_triangle_count"] = queries_triangles
+
+    t0 = time.perf_counter()
+    from ccl_ray.stages.kcore import kcore_bsp
+
+    kcore_bsp(eedges, 2, vertices=event_vertices(SF_DIR), cfg=cfg).membership.count()
+    queries["events_kcore"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.stages.linkpred import adamic_adar_topk
+
+    adamic_adar_topk(eedges, k=50, cfg=cfg)
+    queries["events_adamic_adar"] = time.perf_counter() - t0
 
     # --- training-data ops
     t0 = time.perf_counter()
@@ -246,6 +298,18 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     lang_id(docs).count()
     queries["lang_id"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.stages.text import repetition_score
+
+    repetition_score(docs).count()
+    queries["repetition"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.stages.dedup import benchmark_contamination
+
+    benchmark_contamination(docs).count()
+    queries["contamination"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     from ccl_ray.pipelines.queries import q_asof_join, q_range_prev_hour

@@ -454,6 +454,41 @@ def q_contamination(sf_dir: str):
     return benchmark_contamination(_docs(sf_dir))
 
 
+def q_source_stats(sf_dir: str):
+    """Per-source corpus stats — the partial-agg combiner shape."""
+    from ccl_ray.stages.aggregates import partial_sum_agg
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    return partial_sum_agg(
+        docs, ["source"], {"n_chars": "total_chars"}, count_as="n_docs"
+    ).select_columns(["source", "n_docs", "total_chars"])
+
+
+_QUANTILE_PS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_doclen_quantiles(sf_dir: str):
+    """Exact discrete quantiles of documents.n_chars via the value-histogram
+    method: partial-agg (value → count) shrinks the 100 TB scan to one tiny
+    table (cardinality = distinct lengths, bounded by the length domain, NOT
+    by corpus size), then a driver-side cumsum picks the order statistics.
+    quantile_disc semantics: the value at 1-indexed position ceil(p·n)."""
+    from ccl_ray.stages.aggregates import partial_sum_agg
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    hist = partial_sum_agg(docs, ["n_chars"], {}, count_as="c").to_pandas()
+    hist = hist.sort_values("n_chars").reset_index(drop=True)
+    v = hist["n_chars"].values.astype(np.int64)
+    cum = hist["c"].values.astype(np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out_p, out_v = [], []
+    for p in _QUANTILE_PS:
+        pos = int(np.ceil(p * n))
+        out_p.append(p)
+        out_v.append(int(v[np.searchsorted(cum, pos)]))
+    return pa.table({"p": pa.array(out_p, pa.float64()), "n_chars": pa.array(out_v, pa.int64())})
+
+
 def q_cosine_pairs(sf_dir: str):
     # 0.35: this synthetic embedding space tops out near cosine 0.5, so 0.35
     # selects a real (non-empty) near-neighbor set to verify against SQL
@@ -616,6 +651,8 @@ QUERIES = {
     "degree_hist": q_degree_hist,
     "repetition": q_repetition,
     "contamination": q_contamination,
+    "source_stats": q_source_stats,
+    "doclen_quantiles": q_doclen_quantiles,
     "relabel_compose": q_relabel_compose,
     "q1_agg": q_q1_agg,
     "events_hourly": q_events_hourly,
@@ -959,6 +996,18 @@ ORACLE_SQL = {
         SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared
         FROM documents d LEFT JOIN hits h USING (doc_id)
         WHERE d.doc_id % 101 <> 0""",
+    "source_stats": """
+        SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY source""",
+    "doclen_quantiles": """
+        WITH n AS (SELECT count(*) AS n FROM documents),
+        ps AS (SELECT * FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(p)),
+        ranked AS (
+          SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS r
+          FROM documents)
+        SELECT ps.p::DOUBLE AS p, ranked.n_chars
+        FROM ps JOIN n ON true
+        JOIN ranked ON ranked.r = CAST(ceil(ps.p * n.n) AS BIGINT)""",
     "relabel_compose": """
         SELECT c_custkey, r_name
         FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -29,11 +29,21 @@ import numpy as np
 import ray
 
 from ccl_ray.config import EngineConfig
-from ccl_ray.state.shards import apply_combine_plan, reduce_routed
+from ccl_ray.state.shards import (
+    apply_combine_plan,
+    apply_sparse_pieces,
+    reduce_routed,
+    reduce_routed_sparse,
+)
 
 # unreachable sentinel: far above any path length, far below int64 overflow
 # under the saturating +1
 _UNREACHED = np.int64(1) << np.int64(62)
+
+# below this changed-vertex fraction a round switches to the sparse
+# (frontier) exchange: only messages from changed vertices ship, so the
+# shrinking tail of a BFS costs O(frontier) instead of O(E) per wave
+_SPARSE_FRAC = 0.10
 
 
 @dataclass
@@ -56,16 +66,58 @@ def _bfs_scatter_f(plan, dist, P):
     return out[0] if P == 1 else tuple(out)
 
 
-@ray.remote(num_returns=2)
+@ray.remote(num_returns=3)
 def _bfs_combine(q, grouped, cplan, dist, *msg_objs):
     if dist.size == 0:
-        return dist, 0
+        return dist, 0, np.zeros(0, dtype=bool)
     pieces = [m[q] for m in msg_objs] if grouped else list(msg_objs)
     new = dist.copy()
     pos, red = apply_combine_plan(cplan, pieces, np.minimum)
     if pos.size:
         new[pos] = np.minimum(new[pos], red)
-    return new, int((new != dist).sum())
+    mask = new != dist
+    return new, int(mask.sum()), mask
+
+
+@ray.remote
+def _bfs_scatter_sparse_g(plan, dist, dirty, P):
+    out = reduce_routed_sparse(plan, dist, dirty, np.minimum, P)
+    # min(d)+1 == min(d+1): saturate+increment the tiny reduced pieces
+    return [(ids, np.minimum(v, _UNREACHED - 1) + 1) for ids, v in out]
+
+
+@ray.remote
+def _bfs_scatter_sparse_f(plan, dist, dirty, P):
+    out = reduce_routed_sparse(plan, dist, dirty, np.minimum, P)
+    out = [(ids, np.minimum(v, _UNREACHED - 1) + 1) for ids, v in out]
+    return out[0] if P == 1 else tuple(out)
+
+
+@ray.remote(num_returns=3)
+def _bfs_combine_sparse(q, grouped, vids, dist, *msg_objs):
+    if dist.size == 0:
+        return dist, 0, np.zeros(0, dtype=bool)
+    pieces = [m[q] for m in msg_objs] if grouped else list(msg_objs)
+    new, mask = apply_sparse_pieces(vids, dist, pieces, np.minimum)
+    return new, int(mask.sum()), mask
+
+
+@ray.remote
+def _vid_len(vids) -> int:
+    return len(vids)
+
+
+@ray.remote
+def _mask_count(mask) -> int:
+    return int(mask.sum())
+
+
+@ray.remote
+def _seed_dirty(dist):
+    """Round-1 frontier: exactly the seeds (everything else is +inf and its
+    messages saturate to no-ops, so skipping them is also an optimization
+    the dense path cannot make)."""
+    return dist < _UNREACHED
 
 
 @ray.remote
@@ -117,11 +169,42 @@ def bfs_hops(
         combine="min", dtype=np.int64,
     )
 
+    n = int(sum(ray.get([_vid_len.remote(v) for v in vid_refs])))
+    dirty = [_seed_dirty.remote(d) for d in dist]
+    changed_total = int(sum(ray.get([_mask_count.remote(m) for m in dirty])))
+
     metrics: list[dict] = []
     it = 0
     while True:
         t0 = time.perf_counter()
-        if grouped:
+        sparse = n > 0 and changed_total / n < _SPARSE_FRAC
+        if sparse:
+            if grouped:
+                outs = [
+                    _bfs_scatter_sparse_g.remote(plans[p], dist[p], dirty[p], P)
+                    for p in range(P)
+                ]
+                comb = [
+                    _bfs_combine_sparse.remote(q, True, vid_refs[q], dist[q], *outs)
+                    for q in range(P)
+                ]
+            else:
+                outs = [
+                    _pieces(
+                        _bfs_scatter_sparse_f.options(num_returns=P).remote(
+                            plans[p], dist[p], dirty[p], P
+                        ),
+                        P,
+                    )
+                    for p in range(P)
+                ]
+                comb = [
+                    _bfs_combine_sparse.remote(
+                        q, False, vid_refs[q], dist[q], *[outs[p][q] for p in range(P)]
+                    )
+                    for q in range(P)
+                ]
+        elif grouped:
             outs = [_bfs_scatter_g.remote(plans[p], dist[p], P) for p in range(P)]
             comb = [
                 _bfs_combine.remote(q, True, cplans[q], dist[q], *outs) for q in range(P)
@@ -138,11 +221,12 @@ def bfs_hops(
                 for q in range(P)
             ]
         dist = [c[0] for c in comb]
-        changed = int(sum(ray.get([c[1] for c in comb])))
+        dirty = [c[2] for c in comb]
+        changed_total = int(sum(ray.get([c[1] for c in comb])))
         it += 1
-        metrics.append({"iter": it, "changed": changed,
+        metrics.append({"iter": it, "changed": changed_total, "sparse": sparse,
                         "wall_s": time.perf_counter() - t0})
-        if changed == 0:
+        if changed_total == 0:
             break
         if max_rounds is not None and it >= max_rounds:
             raise RuntimeError(

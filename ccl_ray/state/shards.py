@@ -162,6 +162,9 @@ def _finalize_plan(csr, vids, P):
             "uniq_perm": np.empty(0, np.int64),
             "bounds": np.zeros(P + 1, np.int64),
             "n_edges": 0,
+            "uniq_dst": np.empty(0, np.int64),
+            "edge_uniq": np.empty(0, np.int32),
+            "uniq_part": np.empty(0, np.int32),
         }
     src_idx = np.searchsorted(vids, csr["srcs"])
     edge_src_idx = np.repeat(src_idx, csr["outdeg"])
@@ -172,6 +175,14 @@ def _finalize_plan(csr, vids, P):
     parts = part_of(uniq, P)
     uniq_perm = np.argsort(parts, kind="stable")
     bounds = np.searchsorted(parts[uniq_perm], np.arange(P + 1))
+    # sparse (frontier) exchange support: per-edge index into uniq (natural
+    # order) and each uniq dst's destination partition — lets a round ship
+    # only messages from vertices whose value changed (reduce_routed_sparse)
+    seg_len = np.diff(np.append(seg_starts, len(dst)))
+    edge_uniq = np.empty(len(dst), np.int32)
+    edge_uniq[dst_order] = np.repeat(
+        np.arange(len(uniq), dtype=np.int32), seg_len
+    )
     # int32 indices: per-shard row counts are far below 2^31, and the hot
     # path is random gathers through these arrays — half the index bytes is
     # materially less memory traffic per round
@@ -183,6 +194,9 @@ def _finalize_plan(csr, vids, P):
         "uniq_perm": uniq_perm.astype(np.int32),
         "bounds": bounds,
         "n_edges": int(len(dst)),
+        "uniq_dst": uniq,
+        "edge_uniq": edge_uniq,
+        "uniq_part": parts.astype(np.int32),
     }
 
 
@@ -205,6 +219,74 @@ def reduce_routed(plan, per_edge_vals: np.ndarray, op) -> list:
     red_routed = red[plan["uniq_perm"]]
     b = plan["bounds"]
     return [red_routed[b[p] : b[p + 1]] for p in range(len(b) - 1)]
+
+
+def reduce_routed_sparse(plan, vertex_msgs: np.ndarray, dirty: np.ndarray, op, P: int) -> list:
+    """Frontier variant of reduce_routed: ship only messages originating at
+    DIRTY vertices (``dirty``: bool mask over this shard's vid domain).
+
+    Correct whenever the combine is idempotent-monotone under ``op`` (min-
+    plus BFS, hash-to-min CC): a clean vertex's message was already applied
+    in the round it last changed and can never win again. Per-round cost is
+    O(E) for the mask gather plus O(f log f) for the frontier edges f —
+    instead of the dense path's full gather+reduceat — so late waves with
+    tiny frontiers are nearly free. Pieces carry (dst_ids, values) because
+    the static routed layout cannot describe a per-round subset.
+
+    ``vertex_msgs``: the per-vertex OUTGOING message value (e.g. dist+1,
+    label), indexed by shard-local position like the dense path's state.
+    """
+    empty = (np.empty(0, plan["uniq_dst"].dtype), np.empty(0, vertex_msgs.dtype))
+    if plan["n_edges"] == 0:
+        return [empty] * P
+    sel = np.flatnonzero(dirty[plan["edge_src_idx"]])
+    if sel.size == 0:
+        return [empty] * P
+    vals = vertex_msgs[plan["edge_src_idx"][sel]]
+    u = plan["edge_uniq"][sel]
+    order = np.argsort(u, kind="stable")
+    u, vals = u[order], vals[order]
+    newb = np.empty(len(u), dtype=bool)
+    newb[0] = True
+    newb[1:] = u[1:] != u[:-1]
+    starts = np.nonzero(newb)[0]
+    u_r = u[starts]
+    v_r = op.reduceat(vals, starts)
+    parts = plan["uniq_part"][u_r]
+    o2 = np.argsort(parts, kind="stable")
+    u_r, v_r, parts = u_r[o2], v_r[o2], parts[o2]
+    bounds = np.searchsorted(parts, np.arange(P + 1))
+    ids = plan["uniq_dst"][u_r]
+    return [
+        (ids[bounds[p] : bounds[p + 1]], v_r[bounds[p] : bounds[p + 1]])
+        for p in range(P)
+    ]
+
+
+def apply_sparse_pieces(vids_sorted: np.ndarray, cur: np.ndarray, pieces: list, op):
+    """(new, changed_mask) from sparse (dst_ids, values) pieces.
+
+    dst ids resolve to shard-local positions via searchsorted on the sorted
+    vid array (every shipped dst is owned here by routing); duplicate dsts
+    across pieces collapse with one sort + reduceat before the assignment.
+    """
+    ids = [p[0] for p in pieces if len(p[0])]
+    if not ids:
+        return cur, np.zeros(len(cur), dtype=bool)
+    d = np.concatenate(ids)
+    v = np.concatenate([p[1] for p in pieces if len(p[0])])
+    idx = np.searchsorted(vids_sorted, d)
+    order = np.argsort(idx, kind="stable")
+    idx, v = idx[order], v[order]
+    newb = np.empty(len(idx), dtype=bool)
+    newb[0] = True
+    newb[1:] = idx[1:] != idx[:-1]
+    starts = np.nonzero(newb)[0]
+    pos = idx[starts]
+    red = op.reduceat(v, starts)
+    new = cur.copy()
+    new[pos] = op(new[pos], red)
+    return new, new != cur
 
 
 @ray.remote

@@ -288,3 +288,29 @@ def test_adamic_adar_vs_oracle():
         got = list(zip(t.column("a").to_pylist(), t.column("b").to_pylist(),
                        t.column("aa_score").to_pylist()))
         assert got == want, f"P={P}"
+
+
+def test_bfs_sparse_dense_fanout_agree(monkeypatch):
+    """Force always-sparse and never-sparse; both must equal the oracle in
+    both exchange modes (the hybrid default sits between them)."""
+    import ccl_ray.stages.bfs as bfsmod
+
+    src, dst, vids = _random_graph(77, n=200, m=500)
+    seeds = [3, 50]
+    want = _bfs_oracle(_adj(src, dst, vids), seeds)
+
+    def run():
+        res = bfs_hops(
+            _edges_ds(src, dst), _vids_ds(seeds), vertices=_vids_ds(vids),
+            cfg=EngineConfig(num_partitions=4, exchange=mode),
+        )
+        df = res.dists.to_pandas()
+        return {
+            int(v): (None if d is None or (isinstance(d, float) and np.isnan(d)) else int(d))
+            for v, d in zip(df["vid"], df["dist"].astype(object))
+        }
+
+    for mode in ("grouped", "fanout"):
+        for frac in (0.0, 1.1):
+            monkeypatch.setattr(bfsmod, "_SPARSE_FRAC", frac)
+            assert run() == want, f"mode={mode} frac={frac}"
