@@ -34,13 +34,23 @@ import ray
 from ccl_ray.config import EngineConfig
 from ccl_ray.state.shards import (
     apply_combine_plan,
+    apply_sparse_pieces,
     combine_plans,
     part_of,
     reduce_routed,
+    reduce_routed_sparse,
     scatter_plans,
     shard_edges_csr,
     shard_vertices,
 )
+
+# below this changed-vertex fraction a propagate round switches to the
+# sparse (frontier) exchange: only messages from vertices whose label
+# changed since their last send ship. Hash-to-min is min-monotone, so a
+# clean vertex's message was already applied the round it last changed and
+# can never win again — the shrinking tail of a CC run costs O(frontier)
+# per round instead of O(E)
+_SPARSE_FRAC = 0.10
 
 
 @dataclass
@@ -67,20 +77,51 @@ def _scatter_fanout(plan, labels, P):
     return out[0] if P == 1 else tuple(out)
 
 
-@ray.remote(num_returns=2)
+@ray.remote(num_returns=3)
 def _combine(q, grouped, cplan, labels, *msg_objs):
-    """new_label[v] = min(old, candidates); returns (labels, n_changed).
+    """new_label[v] = min(old, candidates); returns (labels, n_changed, mask).
 
     Message pieces carry VALUES ONLY in the static routed layout; the
     combine plan holds the precomputed sort/segments/output positions."""
     if labels.size == 0:
-        return labels, 0
+        return labels, 0, np.zeros(0, dtype=bool)
     pieces = [m[q] for m in msg_objs] if grouped else list(msg_objs)
     new = labels.copy()
     pos, red = apply_combine_plan(cplan, pieces, np.minimum)
     if pos.size:
         new[pos] = np.minimum(new[pos], red)
-    return new, int((new != labels).sum())
+    mask = new != labels
+    return new, int(mask.sum()), mask
+
+
+@ray.remote
+def _scatter_sparse_g(plan, labels, dirty, P):
+    return reduce_routed_sparse(plan, labels, dirty, np.minimum, P)
+
+
+@ray.remote
+def _scatter_sparse_f(plan, labels, dirty, P):
+    out = reduce_routed_sparse(plan, labels, dirty, np.minimum, P)
+    return out[0] if P == 1 else tuple(out)
+
+
+@ray.remote(num_returns=3)
+def _combine_sparse(q, grouped, vids, labels, *msg_objs):
+    if labels.size == 0:
+        return labels, 0, np.zeros(0, dtype=bool)
+    pieces = [m[q] for m in msg_objs] if grouped else list(msg_objs)
+    new, mask = apply_sparse_pieces(vids, labels, pieces, np.minimum)
+    return new, int(mask.sum()), mask
+
+
+@ray.remote
+def _all_dirty(vids):
+    return np.ones(len(vids), dtype=bool)
+
+
+@ray.remote
+def _vid_len(vids) -> int:
+    return len(vids)
 
 
 def _route_unique(vals: np.ndarray, P: int) -> list:
@@ -114,15 +155,25 @@ def _jump_resolve_f(P, vids, labels, *req_pieces):
     return out[0] if P == 1 else tuple(out)
 
 
-@ray.remote(num_returns=2)
-def _jump_apply(q, grouped, labels, *resp_objs):
+@ray.remote(num_returns=3)
+def _jump_apply(q, grouped, labels, acc_mask, *resp_objs):
+    """Resolve labels through the jump map; accumulate the dirty mask.
+
+    ``acc_mask`` (may be None) is the running changed-since-last-send mask
+    for the sparse propagate; OR-ing the jump's changes into it here keeps
+    the frontier bookkeeping free of extra task waves."""
+    if labels.size == 0:
+        return labels, 0, np.zeros(0, dtype=bool)
     pieces = [r[q] for r in resp_objs] if grouped else list(resp_objs)
     queries = np.concatenate([p[0] for p in pieces])
     resolved = np.concatenate([p[1] for p in pieces])
     order = np.argsort(queries, kind="stable")
     queries, resolved = queries[order], resolved[order]
     new = resolved[np.searchsorted(queries, labels)]
-    return new, int((new != labels).sum())
+    mask = new != labels
+    if acc_mask is not None:
+        mask = mask | acc_mask
+    return new, int((new != labels).sum()), mask
 
 
 @ray.remote
@@ -144,8 +195,41 @@ def _plan_edges(plan):
 
 # ----------------------------------------------------------------- waves
 
-def propagate_wave(plans, cplans, label_refs, P, grouped):
-    if grouped:
+def propagate_wave(plans, cplans, label_refs, P, grouped, *, vid_refs=None, dirty_refs=None):
+    """One hash-to-min round → (labels, changed_refs, mask_refs).
+
+    ``dirty_refs`` not None selects the sparse (frontier) exchange: only
+    messages from dirty vertices ship, as (dst_ids, values) pieces resolved
+    against ``vid_refs`` (required then) instead of the static routed
+    layout. mask_refs is per-shard changed-this-round (bool), the next
+    round's frontier."""
+    if dirty_refs is not None:
+        if grouped:
+            outs = [
+                _scatter_sparse_g.remote(plans[p], label_refs[p], dirty_refs[p], P)
+                for p in range(P)
+            ]
+            comb = [
+                _combine_sparse.remote(q, True, vid_refs[q], label_refs[q], *outs)
+                for q in range(P)
+            ]
+        else:
+            outs = [
+                _as_list(
+                    _scatter_sparse_f.options(num_returns=P).remote(
+                        plans[p], label_refs[p], dirty_refs[p], P
+                    ),
+                    P,
+                )
+                for p in range(P)
+            ]
+            comb = [
+                _combine_sparse.remote(
+                    q, False, vid_refs[q], label_refs[q], *[outs[p][q] for p in range(P)]
+                )
+                for q in range(P)
+            ]
+    elif grouped:
         outs = [_scatter_grouped.remote(plans[p], label_refs[p], P) for p in range(P)]
         comb = [_combine.remote(q, True, cplans[q], label_refs[q], *outs) for q in range(P)]
     else:
@@ -157,14 +241,20 @@ def propagate_wave(plans, cplans, label_refs, P, grouped):
             _combine.remote(q, False, cplans[q], label_refs[q], *[outs[p][q] for p in range(P)])
             for q in range(P)
         ]
-    return [c[0] for c in comb], [c[1] for c in comb]
+    return [c[0] for c in comb], [c[1] for c in comb], [c[2] for c in comb]
 
 
-def jump_wave(vid_refs, label_refs, P, grouped):
+def jump_wave(vid_refs, label_refs, P, grouped, acc_masks=None):
+    """One pointer-jump round → (labels, changed_refs, mask_refs).
+
+    ``acc_masks`` (per-shard bool refs or None) is OR-ed into the returned
+    masks so a propagate-then-jump iteration hands the union frontier to
+    the next sparse propagate."""
+    acc = acc_masks if acc_masks is not None else [None] * P
     if grouped:
         reqs = [_jump_request_g.remote(label_refs[p], P) for p in range(P)]
         resolved = [_jump_resolve_g.remote(p, vid_refs[p], label_refs[p], *reqs) for p in range(P)]
-        out = [_jump_apply.remote(q, True, label_refs[q], *resolved) for q in range(P)]
+        out = [_jump_apply.remote(q, True, label_refs[q], acc[q], *resolved) for q in range(P)]
     else:
         reqs = [_as_list(_jump_request_f.options(num_returns=P).remote(label_refs[p], P), P) for p in range(P)]
         resolved = [
@@ -177,10 +267,10 @@ def jump_wave(vid_refs, label_refs, P, grouped):
             for p in range(P)
         ]
         out = [
-            _jump_apply.remote(q, False, label_refs[q], *[resolved[p][q] for p in range(P)])
+            _jump_apply.remote(q, False, label_refs[q], acc[q], *[resolved[p][q] for p in range(P)])
             for q in range(P)
         ]
-    return [o[0] for o in out], [o[1] for o in out]
+    return [o[0] for o in out], [o[1] for o in out], [o[2] for o in out]
 
 
 # ----------------------------------------------------------------- driver
@@ -229,22 +319,41 @@ def connected_components_bsp(
 
     metrics: list[dict] = []
     it = start_iter
+    # frontier bookkeeping for the sparse exchange: start all-dirty (every
+    # vertex's initial label is unsent; also the only safe state after a
+    # checkpoint resume, which does not persist masks)
+    n_total = int(sum(ray.get([_vid_len.remote(v) for v in vid_refs])))
+    dirty_refs = [_all_dirty.remote(v) for v in vid_refs]
+    last_changed = n_total
     # checkpointing wants per-iteration state; otherwise batch K iterations
     # per driver sync so the block pipelines as one task DAG
     K = 1 if checkpoint is not None else max(cfg.check_every, 1)
     while it < cfg.cc_max_iters:
         t0 = time.perf_counter()
         block: list = []  # (changed_refs, label_refs) per iteration
+        sparse_flags: list = []
         block_iters = min(K, cfg.cc_max_iters - it)
         for j in range(block_iters):
-            label_refs, changed_refs = propagate_wave(plans, cplans, label_refs, P, grouped)
+            # the changed count is synced once per block, so the dense→
+            # sparse switch can lag up to K-1 iterations — a heuristic lag
+            # only; both paths are exact
+            sparse = n_total > 0 and last_changed / n_total < _SPARSE_FRAC
+            label_refs, changed_refs, mask_refs = propagate_wave(
+                plans, cplans, label_refs, P, grouped,
+                vid_refs=vid_refs, dirty_refs=dirty_refs if sparse else None,
+            )
             all_changed = list(changed_refs)
             if (it + j + 1) % max(cfg.cc_jump_every, 1) == 0:
                 for _ in range(cfg.cc_jump_rounds):
-                    label_refs, jc = jump_wave(vid_refs, label_refs, P, grouped)
+                    label_refs, jc, mask_refs = jump_wave(
+                        vid_refs, label_refs, P, grouped, acc_masks=mask_refs
+                    )
                     all_changed.extend(jc)
+            dirty_refs = mask_refs
+            sparse_flags.append(sparse)
             block.append((all_changed, label_refs))
         changed_per_iter = [int(sum(ray.get(c))) for c, _ in block]
+        last_changed = changed_per_iter[-1]
         wall = time.perf_counter() - t0
         converged = False
         for j, changed in enumerate(changed_per_iter):
@@ -254,6 +363,7 @@ def connected_components_bsp(
                     "iter": it,
                     "changed": changed,
                     "edges": n_edges,
+                    "sparse": sparse_flags[j],
                     "wall_s": wall / block_iters,
                     "edges_per_sec": n_edges * block_iters / wall if wall > 0 else 0.0,
                 }

@@ -125,7 +125,7 @@ def min_label_propagation(
     ]
     grouped = cfg.exchange == "grouped"
     for _ in range(rounds):
-        label_refs, _changed = propagate_wave(plans, cplans, label_refs, P, grouped)
+        label_refs, _changed, _masks = propagate_wave(plans, cplans, label_refs, P, grouped)
 
     import ray.data as rd
 

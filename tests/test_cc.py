@@ -112,3 +112,30 @@ def test_dust_filter_zeroes_small_components():
     assert d[100] == d[101] == d[102] == d[103] == d[104] == 100
     sizes = component_sizes(res.labels, min_size=3).to_pandas()
     assert len(sizes) == 1 and int(sizes["n_vertices"].iloc[0]) == 5
+
+
+def test_cc_sparse_dense_fanout_agree(monkeypatch):
+    """Force always-sparse and never-sparse frontier exchange; both must
+    match the union-find oracle in both exchange modes (the hybrid default
+    sits between them). A long chain with jump compression on exercises the
+    jump-mask accumulation that feeds the sparse frontier."""
+    import ccl_ray.stages.cc_bsp as ccmod
+
+    rng = np.random.RandomState(7)
+    n, m = 300, 420
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    chain = list(range(1000, 1128))
+    src = np.concatenate([src, chain[:-1]])
+    dst = np.concatenate([dst, chain[1:]])
+    for frac in (0.0, 1.1):
+        monkeypatch.setattr(ccmod, "_SPARSE_FRAC", frac)
+        for mode in ("grouped", "fanout"):
+            for jump_every in (1, 3):
+                _check(
+                    src, dst,
+                    cfg=EngineConfig(
+                        num_partitions=4, exchange=mode,
+                        cc_jump_every=jump_every, cc_jump_rounds=2,
+                    ),
+                )
