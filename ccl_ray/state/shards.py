@@ -165,6 +165,8 @@ def _finalize_plan(csr, vids, P):
             "uniq_dst": np.empty(0, np.int64),
             "edge_uniq": np.empty(0, np.int32),
             "uniq_part": np.empty(0, np.int32),
+            "row_src_idx": np.empty(0, np.int32),
+            "row_indptr": np.zeros(1, np.int64),
         }
     src_idx = np.searchsorted(vids, csr["srcs"])
     edge_src_idx = np.repeat(src_idx, csr["outdeg"])
@@ -197,6 +199,13 @@ def _finalize_plan(csr, vids, P):
         "uniq_dst": uniq,
         "edge_uniq": edge_uniq,
         "uniq_part": parts.astype(np.int32),
+        # row-based frontier selection: CSR rows are unique sources with
+        # contiguous edge ranges, so a sparse round can find its frontier
+        # edges from O(rows) state instead of an O(E) per-edge mask gather
+        "row_src_idx": src_idx.astype(np.int32),
+        "row_indptr": np.concatenate(
+            ([0], np.cumsum(csr["outdeg"], dtype=np.int64))
+        ),
     }
 
 
@@ -228,10 +237,11 @@ def reduce_routed_sparse(plan, vertex_msgs: np.ndarray, dirty: np.ndarray, op, P
     Correct whenever the combine is idempotent-monotone under ``op`` (min-
     plus BFS, hash-to-min CC): a clean vertex's message was already applied
     in the round it last changed and can never win again. Per-round cost is
-    O(E) for the mask gather plus O(f log f) for the frontier edges f —
-    instead of the dense path's full gather+reduceat — so late waves with
-    tiny frontiers are nearly free. Pieces carry (dst_ids, values) because
-    the static routed layout cannot describe a per-round subset.
+    O(rows) to find dirty CSR rows plus O(f log f) for the frontier edges f
+    (each dirty row's edges are a contiguous range via row_indptr) — no
+    O(E) work at all, so late waves with tiny frontiers are nearly free.
+    Pieces carry (dst_ids, values) because the static routed layout cannot
+    describe a per-round subset.
 
     ``vertex_msgs``: the per-vertex OUTGOING message value (e.g. dist+1,
     label), indexed by shard-local position like the dense path's state.
@@ -239,10 +249,20 @@ def reduce_routed_sparse(plan, vertex_msgs: np.ndarray, dirty: np.ndarray, op, P
     empty = (np.empty(0, plan["uniq_dst"].dtype), np.empty(0, vertex_msgs.dtype))
     if plan["n_edges"] == 0:
         return [empty] * P
-    sel = np.flatnonzero(dirty[plan["edge_src_idx"]])
-    if sel.size == 0:
+    rows = np.flatnonzero(dirty[plan["row_src_idx"]])
+    if rows.size == 0:
         return [empty] * P
-    vals = vertex_msgs[plan["edge_src_idx"][sel]]
+    indptr = plan["row_indptr"]
+    starts = indptr[rows]
+    counts = indptr[rows + 1] - starts
+    ends = np.cumsum(counts)
+    total = int(ends[-1])
+    if total == 0:
+        return [empty] * P
+    # ranges -> flat edge indices: block i covers out positions
+    # ends[i-1]..ends[i]-1 with values starts[i] + 0..counts[i]-1
+    sel = np.repeat(starts - (ends - counts), counts) + np.arange(total)
+    vals = vertex_msgs[np.repeat(plan["row_src_idx"][rows], counts)]
     u = plan["edge_uniq"][sel]
     order = np.argsort(u, kind="stable")
     u, vals = u[order], vals[order]
