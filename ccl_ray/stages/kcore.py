@@ -6,17 +6,26 @@ vertex has degree ≥ k. Computed as a fixpoint of synchronous peeling:
     alive ← 1 for every vertex
     repeat: alive[v] ← alive[v] AND (Σ_{u∈N(v)} alive[u] ≥ k)   until stable
 
-Each round reuses the SAME precomputed scatter/combine plans as CC and
+Round 1 reuses the SAME precomputed scatter/combine plans as CC and
 PageRank (state.shards): scatter gathers the alive indicator per edge and
 partial-sums by destination inside the task (int32 — the count is bounded
 by degree), the exchange ships value-only pieces in the static routed
-layout, and the combine applies the ≥ k threshold. Convergence is P
-change-count scalars per round; rounds needed = number of peeling layers,
-≤ the degeneracy ordering depth (typically ≪ log-diameter bounds).
+layout, and the combine applies the ≥ k threshold, keeping the resulting
+alive-neighbor COUNT as per-shard state.
+
+Every later round is DELTA-BASED: only vertices that died in the previous
+round send, each shipping a −1 decrement to its neighbors through the
+sparse frontier exchange (reduce_routed_sparse with op=add). This is exact
+— a vertex dies exactly once, so each neighbor receives exactly one
+decrement per dead neighbor and the running counts always equal the
+alive-subgraph degrees — and strictly cheaper than recounting: a peeling
+round costs O(edges incident to the newly dead), so deep peelings with
+small layers are nearly free. Convergence is P change-count scalars per
+round; rounds needed = number of peeling layers.
 
 At scale this is the standard distributed k-core shape (Montresor et al.,
 "Distributed k-Core Decomposition", 2011 — simplified to fixed k
-membership): no driver-side data path, O(E/P) work per task per round.
+membership): no driver-side data path.
 
 Reference parity note: the reference (michaelleerilee/CCL) has no k-core
 operator; this is part of the link-graph extension suite alongside
@@ -33,7 +42,12 @@ import numpy as np
 import ray
 
 from ccl_ray.config import EngineConfig
-from ccl_ray.state.shards import apply_combine_plan, reduce_routed
+from ccl_ray.state.shards import (
+    apply_combine_plan,
+    apply_sparse_pieces,
+    reduce_routed,
+    reduce_routed_sparse,
+)
 
 
 @dataclass
@@ -54,21 +68,51 @@ def _kc_scatter_f(plan, alive, P):
     return out[0] if P == 1 else tuple(out)
 
 
-@ray.remote(num_returns=2)
+@ray.remote(num_returns=4)
 def _kc_combine(q, grouped, cplan, alive, k, *msg_objs):
-    """alive-neighbor count per vertex → threshold; returns (alive, changed).
+    """Round 1: full alive-neighbor count → threshold.
 
-    Vertices receiving no messages (no alive in-neighbors) count 0 and die
-    for any k ≥ 1 — including isolated explicit vertices."""
+    Returns (alive, cnt, n_changed, dead_mask); cnt becomes the running
+    per-shard state the delta rounds decrement. Vertices receiving no
+    messages (no alive in-neighbors) count 0 and die for any k ≥ 1 —
+    including isolated explicit vertices."""
     if alive.size == 0:
-        return alive, 0
+        return alive, np.zeros(0, np.int32), 0, np.zeros(0, dtype=bool)
     pieces = [m[q] for m in msg_objs] if grouped else list(msg_objs)
     cnt = np.zeros(len(alive), dtype=np.int32)
     pos, red = apply_combine_plan(cplan, pieces, np.add)
     if pos.size:
         cnt[pos] = red
     new = ((alive > 0) & (cnt >= k)).astype(np.int32)
-    return new, int((new != alive).sum())
+    mask = new != alive
+    return new, cnt, int(mask.sum()), mask
+
+
+@ray.remote
+def _kc_scatter_delta_g(plan, dead, P):
+    neg = np.full(len(dead), -1, np.int32)
+    return reduce_routed_sparse(plan, neg, dead, np.add, P)
+
+
+@ray.remote
+def _kc_scatter_delta_f(plan, dead, P):
+    neg = np.full(len(dead), -1, np.int32)
+    out = reduce_routed_sparse(plan, neg, dead, np.add, P)
+    return out[0] if P == 1 else tuple(out)
+
+
+@ray.remote(num_returns=4)
+def _kc_combine_delta(q, grouped, vids, alive, cnt, k, *msg_objs):
+    """Delta round: apply −1-per-dead-neighbor decrements to the running
+    counts, then re-threshold. Exact because every vertex dies exactly once
+    and therefore decrements each neighbor exactly once."""
+    if alive.size == 0:
+        return alive, cnt, 0, np.zeros(0, dtype=bool)
+    pieces = [m[q] for m in msg_objs] if grouped else list(msg_objs)
+    new_cnt, _ = apply_sparse_pieces(vids, cnt, pieces, np.add)
+    new = ((alive > 0) & (new_cnt >= k)).astype(np.int32)
+    mask = new != alive
+    return new, new_cnt, int(mask.sum()), mask
 
 
 @ray.remote
@@ -130,29 +174,55 @@ def kcore_bsp(
     vid_refs, plans, cplans = shards["vids"], shards["plans"], shards["cplans"]
 
     alive = [_kc_init.remote(v) for v in vid_refs]
+    cnts = [None] * P
+    dead = [None] * P  # newly-dead mask from the previous round
     metrics: list[dict] = []
     it = 0
     while True:
         t0 = time.perf_counter()
-        if grouped:
-            outs = [_kc_scatter_g.remote(plans[p], alive[p], P) for p in range(P)]
-            comb = [
-                _kc_combine.remote(q, True, cplans[q], alive[q], k, *outs)
-                for q in range(P)
-            ]
+        if it == 0:
+            if grouped:
+                outs = [_kc_scatter_g.remote(plans[p], alive[p], P) for p in range(P)]
+                comb = [
+                    _kc_combine.remote(q, True, cplans[q], alive[q], k, *outs)
+                    for q in range(P)
+                ]
+            else:
+                outs = [
+                    _as_pieces(_kc_scatter_f.options(num_returns=P).remote(plans[p], alive[p], P), P)
+                    for p in range(P)
+                ]
+                comb = [
+                    _kc_combine.remote(
+                        q, False, cplans[q], alive[q], k, *[outs[p][q] for p in range(P)]
+                    )
+                    for q in range(P)
+                ]
         else:
-            outs = [
-                _as_pieces(_kc_scatter_f.options(num_returns=P).remote(plans[p], alive[p], P), P)
-                for p in range(P)
-            ]
-            comb = [
-                _kc_combine.remote(
-                    q, False, cplans[q], alive[q], k, *[outs[p][q] for p in range(P)]
-                )
-                for q in range(P)
-            ]
+            if grouped:
+                outs = [_kc_scatter_delta_g.remote(plans[p], dead[p], P) for p in range(P)]
+                comb = [
+                    _kc_combine_delta.remote(q, True, vid_refs[q], alive[q], cnts[q], k, *outs)
+                    for q in range(P)
+                ]
+            else:
+                outs = [
+                    _as_pieces(
+                        _kc_scatter_delta_f.options(num_returns=P).remote(plans[p], dead[p], P), P
+                    )
+                    for p in range(P)
+                ]
+                comb = [
+                    _kc_combine_delta.remote(
+                        q, False, vid_refs[q], alive[q], cnts[q], k,
+                        *[outs[p][q] for p in range(P)]
+                    )
+                    for q in range(P)
+                ]
         alive = [c[0] for c in comb]
-        changed = int(sum(ray.get([c[1] for c in comb])))
+        cnts = [c[1] for c in comb]
+        dead = [c[3] for c in comb]
+        changed = int(sum(ray.get([c[2] for c in comb])))
         it += 1
         metrics.append({"iter": it, "changed": changed,
                         "wall_s": time.perf_counter() - t0})

@@ -73,6 +73,23 @@ def _init_seed_labels(vids, *seed_pieces):
 
 
 @ray.remote
+def _seeded_dirty(labels):
+    """Round-1 frontier: exactly the seeded vertices — every other vertex
+    holds the +inf sentinel, whose messages are no-ops under min."""
+    return labels != _I64MAX
+
+
+@ray.remote
+def _count_true(mask) -> int:
+    return int(mask.sum())
+
+
+@ray.remote
+def _arr_len(arr) -> int:
+    return len(arr)
+
+
+@ray.remote
 def _seed_table(vids, labels):
     import pyarrow as pa
 
@@ -124,8 +141,25 @@ def min_label_propagation(
         _init_seed_labels.remote(vid_refs[p], *[row[p] for row in matrix]) for p in range(P)
     ]
     grouped = cfg.exchange == "grouped"
+    # hybrid dense/sparse rounds, frontier-seeded: with few seeds the early
+    # hops touch only the seeds' neighborhoods, so k-hop propagation costs
+    # O(frontier) per round instead of O(E). Min-monotone, so skipping
+    # clean/sentinel senders is exact (see cc_bsp._SPARSE_FRAC).
+    import ccl_ray.stages.cc_bsp as _ccmod
+
+    n_total = int(sum(ray.get([_arr_len.remote(v) for v in vid_refs])))
+    dirty_refs = [_seeded_dirty.remote(l) for l in label_refs]
+    changed_total = int(sum(ray.get([_count_true.remote(m) for m in dirty_refs])))
     for _ in range(rounds):
-        label_refs, _changed, _masks = propagate_wave(plans, cplans, label_refs, P, grouped)
+        sparse = n_total > 0 and changed_total / n_total < _ccmod._SPARSE_FRAC
+        label_refs, changed_refs, mask_refs = propagate_wave(
+            plans, cplans, label_refs, P, grouped,
+            vid_refs=vid_refs, dirty_refs=dirty_refs if sparse else None,
+        )
+        dirty_refs = mask_refs
+        changed_total = int(sum(ray.get(changed_refs)))
+        if changed_total == 0:
+            break  # fixpoint: the remaining rounds cannot change anything
 
     import ray.data as rd
 

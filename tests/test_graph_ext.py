@@ -314,3 +314,21 @@ def test_bfs_sparse_dense_fanout_agree(monkeypatch):
         for frac in (0.0, 1.1):
             monkeypatch.setattr(bfsmod, "_SPARSE_FRAC", frac)
             assert run() == want, f"mode={mode} frac={frac}"
+
+
+def test_kcore_delta_fanout_deep_peel():
+    """A long path peels one layer per round from both ends (many delta
+    rounds); both exchange modes must match the oracle."""
+    n = 40
+    src = list(range(n - 1))
+    dst = list(range(1, n))
+    nbr = _adj(np.array(src), np.array(dst), np.arange(n))
+    want = _kcore_oracle(nbr, 2)
+    for mode in ("grouped", "fanout"):
+        res = kcore_bsp(
+            _edges_ds(src, dst), 2, cfg=EngineConfig(num_partitions=4, exchange=mode)
+        )
+        df = res.membership.to_pandas()
+        got = dict(zip(df["vid"].astype(int), df["in_core"].astype(bool)))
+        assert got == want, mode
+        assert res.iterations >= n // 2 - 2  # one layer per round from each end

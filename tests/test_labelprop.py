@@ -65,3 +65,35 @@ def test_bounded_rounds_no_seeds_all_null():
         )
     )
     assert got == {0: None, 1: None, 2: None}
+
+
+def test_khop_sparse_dense_agree(monkeypatch):
+    """Forced-sparse and forced-dense k-hop propagation agree for every k;
+    with 2 seeds out of 400 vertices the default is sparse from round 1."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    import ccl_ray.stages.cc_bsp as ccmod
+    from ccl_ray.config import EngineConfig
+    from ccl_ray.stages.labelprop import min_label_propagation
+
+    rng = np.random.RandomState(3)
+    n, m = 400, 700
+    src, dst = rng.randint(0, n, m), rng.randint(0, n, m)
+    edges = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                    "dst": pa.array(dst, pa.int64())}))
+    seeds = rd.from_arrow(pa.table({"vid": pa.array([7, 250], pa.int64()),
+                                    "seed": pa.array([70, 2500], pa.int64())}))
+    for k in (1, 2, 4):
+        base = None
+        for frac in (0.0, 1.1):
+            monkeypatch.setattr(ccmod, "_SPARSE_FRAC", frac)
+            out = min_label_propagation(
+                edges, seeds, rounds=k, cfg=EngineConfig(num_partitions=4)
+            ).to_pandas().sort_values("vid").reset_index(drop=True)
+            if base is None:
+                base = out
+            else:
+                assert out.equals(base), f"k={k} frac={frac}"
