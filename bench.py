@@ -312,6 +312,23 @@ def run_bench() -> dict:
     queries["contamination"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    from ccl_ray.stages.text import vocab_top_terms
+
+    vocab_top_terms(docs, k=100).count()
+    queries["vocab_top_terms"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.stages.sample import stratified_sample, top_n_per_group
+
+    stratified_sample(docs, default_rate=0.1, columns=["doc_id", "source"]).count()
+    queries["stratified_sample"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ev_topn = rd.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_id", "user_id", "ts"])
+    top_n_per_group(ev_topn, 3).count()
+    queries["top3_per_user"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     from ccl_ray.pipelines.queries import q_asof_join, q_range_prev_hour
 
     q_asof_join(SF_DIR).count()

@@ -489,6 +489,31 @@ def q_doclen_quantiles(sf_dir: str):
     return pa.table({"p": pa.array(out_p, pa.float64()), "n_chars": pa.array(out_v, pa.int64())})
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic md5-bucket sample, 50% for src0/src1, 10% elsewhere."""
+    from ccl_ray.stages.sample import stratified_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return stratified_sample(
+        docs, rates={"src0": 0.5, "src1": 0.5}, default_rate=0.1,
+        columns=["doc_id", "source"],
+    )
+
+
+def q_top3_per_user(sf_dir: str):
+    """Newest 3 events per user — the row_number() window shape."""
+    from ccl_ray.stages.sample import top_n_per_group
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    return top_n_per_group(ev, 3)
+
+
+def q_vocab_top_terms(sf_dir: str):
+    from ccl_ray.stages.text import vocab_top_terms
+
+    return vocab_top_terms(_docs(sf_dir), k=100)
+
+
 def q_cosine_pairs(sf_dir: str):
     # 0.35: this synthetic embedding space tops out near cosine 0.5, so 0.35
     # selects a real (non-empty) near-neighbor set to verify against SQL
@@ -653,6 +678,9 @@ QUERIES = {
     "contamination": q_contamination,
     "source_stats": q_source_stats,
     "doclen_quantiles": q_doclen_quantiles,
+    "stratified_sample": q_stratified_sample,
+    "top3_per_user": q_top3_per_user,
+    "vocab_top_terms": q_vocab_top_terms,
     "relabel_compose": q_relabel_compose,
     "q1_agg": q_q1_agg,
     "events_hourly": q_events_hourly,
@@ -999,6 +1027,21 @@ ORACLE_SQL = {
     "source_stats": """
         SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY source""",
+    "stratified_sample": """
+        SELECT doc_id, source FROM documents
+        WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 <
+              CASE WHEN source IN ('src0', 'src1') THEN 5000 ELSE 1000 END""",
+    "top3_per_user": """
+        SELECT user_id, event_id, ts, rn FROM (
+          SELECT user_id, event_id, ts,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+          FROM events) WHERE rn <= 3""",
+    "vocab_top_terms": """
+        WITH tok AS (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents),
+        c AS (SELECT term, count(*) AS n FROM tok GROUP BY 1)
+        SELECT term, n FROM c ORDER BY n DESC, term LIMIT 100""",
     "doclen_quantiles": """
         WITH n AS (SELECT count(*) AS n FROM documents),
         ps AS (SELECT * FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(p)),

@@ -328,6 +328,43 @@ def tfidf_top_terms(docs: "rd.Dataset", k: int = 5, *, num_partitions: int | Non
     )
 
 
+def vocab_top_terms(docs: "rd.Dataset", k: int = 100) -> "rd.Dataset":
+    """(term, n): the k most frequent corpus tokens — vocabulary building.
+
+    Per-batch token explode collapses to (term, count) partials immediately
+    (np.unique — the raw token stream never leaves the task), a partial-agg
+    groupby sums them, and only the aggregated vocabulary (cardinality =
+    distinct terms, not corpus size) is sorted for the top k. Tie order
+    (n desc, term asc) is a total order, so the cut is deterministic."""
+    import pyarrow as pa
+
+    from ccl_ray.stages.aggregates import partitioned_groupby_agg
+
+    class TermCounts:
+        def __init__(self):
+            import re
+
+            self.tok = re.compile(TOKEN_RE)
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            toks = [w for t in df["text"] for w in self.tok.findall(t.lower())]
+            if not toks:
+                return pa.table(
+                    {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+                )
+            terms, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+            return pa.table(
+                {"term": pa.array(terms, pa.string()), "n": pa.array(counts.astype(np.int64))}
+            )
+
+    agg = partitioned_groupby_agg(
+        docs.map_batches(TermCounts, batch_format="pandas", concurrency=(1, 8)),
+        ["term"],
+        {"n": ("n", "sum")},
+    )
+    return agg.sort(["n", "term"], descending=[True, False]).limit(k)
+
+
 def token_count(docs: "rd.Dataset") -> "rd.Dataset":
     return docs.map_batches(TokenCount, batch_format="pandas", concurrency=(1, 8))
 

@@ -1,0 +1,102 @@
+"""Deterministic sampling + per-group top-N (stages/sample.py, vocab)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ccl_ray.stages.sample import _md5_low64, stratified_sample, top_n_per_group
+
+
+def _docs_ds(n=200, blocks=3):
+    rng = np.random.RandomState(5)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "source": pa.array([f"s{i % 4}" for i in range(n)]),
+            "text": pa.array([f"w{rng.randint(0, 9)} common w{i % 7}" for i in range(n)]),
+        }
+    )
+    return rd.from_arrow(t).repartition(blocks)
+
+
+def test_stratified_sample_deterministic_and_partition_invariant():
+    want = None
+    for blocks in (1, 5):
+        out = stratified_sample(
+            _docs_ds(blocks=blocks), rates={"s0": 1.0, "s1": 0.0}, default_rate=0.3,
+            columns=["doc_id", "source"],
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        if want is None:
+            want = out
+        else:
+            assert out.equals(want)
+    # rate 1.0 keeps every s0 row, rate 0.0 drops every s1 row
+    assert (want[want["source"] == "s0"]["doc_id"].count()) == 50
+    assert (want["source"] != "s1").all()
+    # default stratum follows the md5 rule exactly
+    rest = want[~want["source"].isin(["s0", "s1"])]["doc_id"].values
+    all_rest = np.array([i for i in range(200) if i % 4 >= 2])
+    keep = all_rest[_md5_low64(all_rest) % np.uint64(10_000) < np.uint64(3000)]
+    assert sorted(rest) == sorted(keep)
+
+
+def test_top_n_per_group_vs_pandas():
+    rng = np.random.RandomState(9)
+    n = 500
+    ts = pd.Timestamp("2026-01-01").value // 1000 + rng.randint(0, 50, n) * 1_000_000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 40, n).astype(np.int64),
+            "ts": pd.to_datetime(ts, unit="us"),
+        }
+    )
+    # duplicate timestamps within users exist (50 distinct ts, ~12 rows/user):
+    # the id tie-break must decide deterministically
+    want = df.assign(
+        rn=df.sort_values(["ts", "event_id"], ascending=[False, True])
+        .groupby("user_id")
+        .cumcount()
+        + 1
+    )
+    want = want[want["rn"] <= 3].sort_values("event_id").reset_index(drop=True)
+    for P in (1, 4):
+        ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(3)
+        out = (
+            top_n_per_group(ds, 3, num_partitions=P)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)[want.columns.tolist()]
+        )
+        pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_top_n_larger_than_group():
+    df = pd.DataFrame(
+        {
+            "event_id": np.array([1, 2], dtype=np.int64),
+            "user_id": np.array([7, 7], dtype=np.int64),
+            "ts": pd.to_datetime([10, 20], unit="s"),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = top_n_per_group(ds, 5).to_pandas().sort_values("rn")
+    assert out["event_id"].tolist() == [2, 1] and out["rn"].tolist() == [1, 2]
+
+
+def test_vocab_top_terms_vs_counter():
+    from collections import Counter
+
+    from ccl_ray.stages.text import vocab_top_terms
+
+    ds = _docs_ds()
+    texts = ds.to_pandas()["text"]
+    import re
+
+    cnt = Counter(w for t in texts for w in re.findall("[a-z0-9]+", t.lower()))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    out = vocab_top_terms(ds, k=5).to_pandas()
+    got = sorted(zip(out["term"], out["n"].astype(int)), key=lambda kv: (-kv[1], kv[0]))
+    assert got == want
