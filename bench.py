@@ -45,6 +45,18 @@ def _transcripts_path() -> str:
 def run_bench() -> dict:
     import ray
 
+    # Ray Data read/map tasks carry their own runtime_env, bypassing
+    # worker_process_setup_hook, so the warning clamp below misses them.
+    # RAY_DATA_LOGGING_CONFIG is read at `import ray.data` in EVERY worker
+    # (plain env var, inherited from this process by the local raylet) —
+    # the yaml clamps the console handler to ERROR while full detail still
+    # reaches the per-session ray-data.log file.
+    os.environ.setdefault(
+        "RAY_DATA_LOGGING_CONFIG",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tools", "ray_data_logging.yaml"),
+    )
+
     def _quiet_data_logs():
         """Worker-side: drop ray.data's benign warnings (schema-hash
         "unhashable type: 'dict'" from groupby paths; ray.air's
