@@ -347,6 +347,25 @@ def q_adamic_adar(sf_dir: str):
     )
 
 
+def q_truss_support(sf_dir: str):
+    """Per-edge triangle support (the k-truss peeling invariant) over the
+    events graph; canonical (min, max) endpoints, edges in ≥1 triangle."""
+    from ccl_ray.stages.triangles import edge_triangle_support
+
+    return edge_triangle_support(build_event_edges(sf_dir), cfg=_cfg())
+
+
+def q_jaccard_link(sf_dir: str):
+    """Top-50 non-adjacent pairs by neighborhood Jaccard (score DESC, a, b).
+    Degrees resolve partition-locally via a second routed exchange — no
+    degree-map broadcast (linkpred.jaccard_topk)."""
+    from ccl_ray.stages.linkpred import jaccard_topk
+
+    return jaccard_topk(
+        build_event_edges(sf_dir), k=50, cfg=_cfg(), require_complete=True
+    )
+
+
 def q_degree_hist(sf_dir: str):
     """Log2-bucketed degree histogram of the events graph: bucket =
     floor(log2(degree)) for degree ≥ 1, −1 for isolated vertices."""
@@ -557,6 +576,19 @@ def q_sessionize(sf_dir: str):
     return sessionize(ev, gap_minutes=30)
 
 
+def q_running_window(sf_dir: str):
+    """Per-row window functions (ROW_NUMBER / cumulative fixed-point sum /
+    LAG time delta) per user in (ts, event_id) order — the SQL window
+    family the reference's sorted per-slice sweeps imply, distributed as a
+    hash-partitioned single-pass lexsort (window.py)."""
+    from ccl_ray.stages.window import running_window
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return running_window(ev)
+
+
 def q_asof_join(sf_dir: str):
     from ray.data.aggregate import Max
 
@@ -673,6 +705,8 @@ QUERIES = {
     "clustering_coeff": q_clustering_coeff,
     "common_neighbors": q_common_neighbors,
     "adamic_adar": q_adamic_adar,
+    "jaccard_link": q_jaccard_link,
+    "truss_support": q_truss_support,
     "degree_hist": q_degree_hist,
     "repetition": q_repetition,
     "contamination": q_contamination,
@@ -699,6 +733,7 @@ QUERIES = {
     "media_dims": q_media_dims,
     "embedding_dedup": q_embedding_dedup,
     "sessionize": q_sessionize,
+    "running_window": q_running_window,
     "asof_join": q_asof_join,
     "range_prev_hour": q_range_prev_hour,
     "redact": q_redact,
@@ -969,6 +1004,29 @@ ORACLE_SQL = {
                WHERE e.src IS NULL)
         SELECT x AS a, y AS b, c AS common_neighbors
         FROM ne ORDER BY c DESC, x, y LIMIT 50""",
+    "truss_support": f"""
+        WITH {_EDGES_CTE},
+        und AS (SELECT src AS u, dst AS v FROM edgu UNION SELECT dst, src FROM edgu)
+        SELECT e.src, e.dst, count(*) AS support
+        FROM edgu e
+        JOIN und n1 ON n1.u = e.src
+        JOIN und n2 ON n2.u = e.dst AND n2.v = n1.v
+        GROUP BY 1, 2""",
+    "jaccard_link": f"""
+        WITH {_EDGES_CTE},
+        und AS (SELECT src AS u, dst AS v FROM edgu UNION SELECT dst, src FROM edgu),
+        deg AS (SELECT u, count(*) AS d FROM und GROUP BY 1),
+        cn AS (SELECT a.u AS x, b.u AS y, count(*) AS c
+               FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
+               GROUP BY 1, 2),
+        ne AS (SELECT cn.x, cn.y, cn.c
+               FROM cn LEFT JOIN edgu e ON e.src = cn.x AND e.dst = cn.y
+               WHERE e.src IS NULL),
+        sc AS (SELECT x, y,
+                      round(c::DOUBLE / (da.d + db.d - c), 6) AS jaccard
+               FROM ne JOIN deg da ON da.u = ne.x JOIN deg db ON db.u = ne.y)
+        SELECT x AS a, y AS b, jaccard
+        FROM sc ORDER BY jaccard DESC, x, y LIMIT 50""",
     # shared neighbor of a pair necessarily has degree >= 2, so ln(d) > 0
     "adamic_adar": f"""
         WITH {_EDGES_CTE},
@@ -1111,6 +1169,15 @@ ORACLE_SQL = {
         SELECT user_id, session_idx, count(*) AS n_events,
                min(ts) AS t_start, max(ts) AS t_end
         FROM s GROUP BY 1, 2""",
+    "running_window": """
+        SELECT event_id, user_id,
+               row_number() OVER w AS running_count,
+               -- floor(v*100 + 0.5): identical half-up fixed-point on both
+               -- sides; the cumulative sum is exact int64 (HUGEINT cast)
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+                 ::BIGINT AS running_cents,
+               date_diff('microsecond', lag(ts) OVER w, ts)::BIGINT AS delta_us
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "media_dims": """
         SELECT doc_id AS media_id,
                (16 + n_chars % 32)::INTEGER AS width,

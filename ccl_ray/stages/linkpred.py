@@ -169,6 +169,108 @@ def _pairs_topk(
                      col: pa.array(cn[top], vdt)})
 
 
+@ray.remote
+def _jaccard_stage2(q, csr, P, *piece_objs):
+    """Partition q = hash(a): merge wedge partials, anti-join adjacency,
+    attach deg(a) from the LOCAL CSR, route survivors by hash(b).
+
+    deg(a) is the symmetrized/deduped/loop-free outdeg — the distinct-
+    neighbor degree. a is always present in this shard's srcs (it reached
+    us as some center's neighbor, so edge (a, center) lives here)."""
+    pieces = [po[q] for po in piece_objs] if P > 1 else list(piece_objs)
+    a = np.concatenate([p[0] for p in pieces]) if pieces else np.empty(0, np.int64)
+    empty = (np.empty(0, np.int64),) * 4
+    if a.size == 0:
+        out = tuple(empty for _ in range(P))
+        return out[0] if P == 1 else out
+    b = np.concatenate([p[1] for p in pieces])
+    c = np.concatenate([p[2] for p in pieces])
+    a, b, cn = _pair_reduce(a, b, c, np.add)
+    es = np.repeat(csr["srcs"], csr["outdeg"])
+    cand = pa.table({"a": pa.array(a), "b": pa.array(b), "c": pa.array(cn)})
+    edges_t = pa.table({"a": pa.array(es), "b": pa.array(csr["dst"])})
+    non_adj = cand.join(edges_t, keys=["a", "b"], join_type="left anti")
+    a = non_adj.column("a").to_numpy(zero_copy_only=False)
+    b = non_adj.column("b").to_numpy(zero_copy_only=False)
+    cn = non_adj.column("c").to_numpy(zero_copy_only=False)
+    deg_a = csr["outdeg"][np.searchsorted(csr["srcs"], a)]
+    parts = part_of(b, P)
+    order = np.argsort(parts, kind="stable")
+    a, b, cn, deg_a, parts = a[order], b[order], cn[order], deg_a[order], parts[order]
+    bounds = np.searchsorted(parts, np.arange(P + 1))
+    out = tuple(
+        (a[bounds[p] : bounds[p + 1]], b[bounds[p] : bounds[p + 1]],
+         cn[bounds[p] : bounds[p + 1]], deg_a[bounds[p] : bounds[p + 1]])
+        for p in range(P)
+    )
+    return out[0] if P == 1 else out
+
+
+@ray.remote
+def _jaccard_topk_at_b(r, csr, k, P, *stage2_objs):
+    """Partition r = hash(b): attach deg(b) locally, score, local top-k.
+    Each (a, b) pair arrives exactly once (reduced at its hash(a) owner)."""
+    pieces = [so[r] for so in stage2_objs] if P > 1 else list(stage2_objs)
+    a = np.concatenate([p[0] for p in pieces]) if pieces else np.empty(0, np.int64)
+    if a.size == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    b = np.concatenate([p[1] for p in pieces])
+    cn = np.concatenate([p[2] for p in pieces]).astype(np.float64)
+    deg_a = np.concatenate([p[3] for p in pieces]).astype(np.float64)
+    deg_b = csr["outdeg"][np.searchsorted(csr["srcs"], b)].astype(np.float64)
+    jac = np.round(cn / (deg_a + deg_b - cn), 6)
+    if len(a) > k:
+        top = np.lexsort((b, a, -jac))[:k]
+        a, b, jac = a[top], b[top], jac[top]
+    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
+                     "jaccard": pa.array(jac, pa.float64())})
+
+
+def jaccard_topk(
+    edges,
+    k: int = 50,
+    *,
+    cfg: EngineConfig | None = None,
+    max_center_degree: int = 512,
+    require_complete: bool = False,
+) -> pa.Table:
+    """Top-k non-adjacent pairs by neighborhood Jaccard
+    |N(a)∩N(b)| / |N(a)∪N(b)|, ties (score DESC, a, b).
+
+    Same wedge enumeration as common_neighbors_topk; the union size needs
+    both endpoint degrees, each of which is partition-local in a DIFFERENT
+    partition — so survivors take one extra routed exchange (hash(a) →
+    hash(b)) instead of any degree-map broadcast. Scores round to 6 before
+    ranking (same determinism contract as adamic_adar_topk)."""
+    cfg = cfg or EngineConfig()
+    P = cfg.num_partitions
+    csr = shard_edges_csr(edges, P, symmetrize=True, dedupe=True, drop_self=True)
+    parts = [
+        _wedge_partials.options(num_returns=2).remote(c, P, max_center_degree, False)
+        for c in csr
+    ]
+    piece_objs = [p[0] for p in parts]
+    skipped = sum(ray.get([p[1] for p in parts]))
+    if require_complete and skipped:
+        raise AssertionError(
+            f"{skipped} centers exceeded max_center_degree={max_center_degree}; "
+            "top-k would be incomplete vs a full-enumeration oracle"
+        )
+    stage2 = [_jaccard_stage2.remote(q, csr[q], P, *piece_objs) for q in range(P)]
+    tops = ray.get([
+        _jaccard_topk_at_b.remote(r, csr[r], k, P, *stage2) for r in range(P)
+    ])
+    merged = pa.concat_tables(tops)
+    a = merged.column("a").to_numpy(zero_copy_only=False)
+    b = merged.column("b").to_numpy(zero_copy_only=False)
+    jac = merged.column("jaccard").to_numpy(zero_copy_only=False)
+    top = np.lexsort((b, a, -jac))[:k]
+    return pa.table({"a": pa.array(a[top], pa.int64()),
+                     "b": pa.array(b[top], pa.int64()),
+                     "jaccard": pa.array(jac[top], pa.float64())})
+
+
 def common_neighbors_topk(
     edges,
     k: int = 50,

@@ -187,6 +187,115 @@ def _match_per_vertex(P, oriented, *wedge_pieces):
 
 
 @ray.remote
+def _match_per_edge(P, oriented, *wedge_pieces):
+    """Matched triangles -> per-EDGE increments routed by hash(min endpoint).
+
+    Each matched wedge (lo, hi, apex) is one triangle whose three edges
+    (apex,lo), (apex,hi), (lo,hi) each gain +1 support. Pairs are
+    canonicalized (min, max) — the oriented order is by (degree, vid), not
+    vid. Returns P ((a, b, counts)) pieces (num_returns=P)."""
+    import pandas as pd
+
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
+    lo, hi = oriented
+    wl = np.concatenate([w[0] for w in wedge_pieces]) if wedge_pieces else np.empty(0, np.int64)
+    if lo.size == 0 or wl.size == 0:
+        return empty if P == 1 else tuple(empty for _ in range(P))
+    wh = np.concatenate([w[1] for w in wedge_pieces])
+    wa = np.concatenate([w[2] for w in wedge_pieces])
+    edges = pd.DataFrame({"lo": lo, "hi": hi})
+    wedges = pd.DataFrame({"lo": wl, "hi": wh, "a": wa})
+    m = wedges.merge(edges, on=["lo", "hi"], how="inner")
+    if not len(m):
+        return empty if P == 1 else tuple(empty for _ in range(P))
+    ml, mh, ma = m["lo"].values, m["hi"].values, m["a"].values
+    u = np.concatenate([np.minimum(ma, ml), np.minimum(ma, mh), np.minimum(ml, mh)])
+    v = np.concatenate([np.maximum(ma, ml), np.maximum(ma, mh), np.maximum(ml, mh)])
+    # local pre-reduce before routing
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    new = np.empty(len(u), bool)
+    new[0] = True
+    new[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+    starts = np.nonzero(new)[0]
+    cnt = np.add.reduceat(np.ones(len(u), np.int64), starts)
+    u, v = u[starts], v[starts]
+    parts = part_of(u, P)
+    o = np.argsort(parts, kind="stable")
+    u, v, cnt, parts = u[o], v[o], cnt[o], parts[o]
+    b = np.searchsorted(parts, np.arange(P + 1))
+    out = tuple((u[b[p] : b[p + 1]], v[b[p] : b[p + 1]], cnt[b[p] : b[p + 1]])
+                for p in range(P))
+    return out[0] if P == 1 else out
+
+
+@ray.remote
+def _reduce_pair_counts(*pieces):
+    import pyarrow as pa
+
+    u = np.concatenate([p[0] for p in pieces])
+    v = np.concatenate([p[1] for p in pieces])
+    c = np.concatenate([p[2] for p in pieces])
+    if u.size == 0:
+        return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+                         "support": pa.array([], pa.int64())})
+    order = np.lexsort((v, u))
+    u, v, c = u[order], v[order], c[order]
+    new = np.empty(len(u), bool)
+    new[0] = True
+    new[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+    starts = np.nonzero(new)[0]
+    return pa.table({"src": pa.array(u[starts]), "dst": pa.array(v[starts]),
+                     "support": pa.array(np.add.reduceat(c, starts))})
+
+
+def edge_triangle_support(edges, *, cfg: EngineConfig | None = None):
+    """(src, dst, support) per canonical undirected edge in ≥1 triangle —
+    support = number of triangles through the edge (the k-truss invariant;
+    a k-truss keeps edges with support ≥ k−2).
+
+    Same four waves as triangle_count; matched wedges fan out +1 to each of
+    their triangle's three canonical edges, routed by hash(min endpoint)
+    and pair-reduced per partition — never a global edge materialization."""
+    import ray.data as rd
+
+    cfg = cfg or EngineConfig()
+    P = cfg.num_partitions
+    csr = shard_edges_csr(edges, P, symmetrize=True, dedupe=True, drop_self=True)
+    vid_refs = shard_vertices(edges, P)
+    deg = [_degrees.remote(csr[p], vid_refs[p]) for p in range(P)]
+    reqs = [_as_list(_deg_request.options(num_returns=P).remote(csr[p], P), P) for p in range(P)]
+    resolved = [
+        _as_list(
+            _deg_resolve.options(num_returns=P).remote(
+                vid_refs[p], deg[p], P, *[reqs[q][p] for q in range(P)]
+            ),
+            P,
+        )
+        for p in range(P)
+    ]
+    ow = [
+        list(
+            _orient_and_wedges.options(num_returns=P + 1).remote(
+                csr[p], vid_refs[p], deg[p], P, *[resolved[q][p] for q in range(P)]
+            )
+        )
+        for p in range(P)
+    ]
+    routed = [
+        _as_list(
+            _match_per_edge.options(num_returns=P).remote(
+                P, ow[q][P], *[ow[p][q] for p in range(P)]
+            ),
+            P,
+        )
+        for q in range(P)
+    ]
+    tables = [_reduce_pair_counts.remote(*[routed[q][r] for q in range(P)]) for r in range(P)]
+    return rd.from_arrow_refs(tables)
+
+
+@ray.remote
 def _reduce_counts(*pieces):
     import pyarrow as pa
 

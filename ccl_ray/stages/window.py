@@ -87,6 +87,105 @@ def hopping_window(
     return agg.map_batches(rnd, batch_format="pandas")
 
 
+def running_window(
+    events: "rd.Dataset",
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """Per-row window functions over a hash-partitioned, per-key ordered log
+    (the SQL ``OVER (PARTITION BY key ORDER BY ts, id)`` family):
+
+    - ``running_count`` — ROW_NUMBER per key
+    - ``running_cents`` — cumulative sum of ``floor(val*100 + 0.5)`` as
+      int64 (exact integer arithmetic: no float-summation-order hazard in
+      the value hash; both sides compute the same half-up fixed-point)
+    - ``delta_us`` — microseconds since the PREVIOUS row of the same key
+      (LAG delta; null on each key's first row)
+
+    Same shape as sessionize: rows route by hash(key) % P, then ONE
+    vectorized lexsort + segment-cumsum pass per partition handles all its
+    keys — no per-key Python round-trips, O(rows/P · log) per task.
+    """
+    from ccl_ray.config import resolve_partitions
+    from ccl_ray.functions.hashing import hash_strings_np, stable_hash64_np
+
+    P = resolve_partitions(num_partitions)
+    in_schema = events.schema()
+    key_type = dict(zip(in_schema.names, in_schema.types))[key]
+    id_type = dict(zip(in_schema.names, in_schema.types))[id_col]
+    out_schema = pa.schema(
+        [
+            (id_col, id_type),
+            (key, key_type),
+            ("running_count", pa.int64()),
+            ("running_cents", pa.int64()),
+            ("delta_us", pa.int64()),
+        ]
+    )
+
+    def route(batch: pa.Table) -> pa.Table:
+        kcol = batch.column(key)
+        if pa.types.is_string(key_type) or pa.types.is_large_string(key_type):
+            h = hash_strings_np(kcol.to_numpy(zero_copy_only=False))
+        else:
+            h = stable_hash64_np(
+                kcol.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+            )
+        part = (h % np.uint64(P)).astype(np.int64)
+        return pa.table(
+            {
+                key: kcol,
+                ts_col: batch.column(ts_col),
+                id_col: batch.column(id_col),
+                val_col: batch.column(val_col),
+                "part": pa.array(part),
+            }
+        )
+
+    def run_part(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return out_schema.empty_table()
+        ts = df[ts_col].values.astype("datetime64[us]").astype(np.int64)
+        ids = df[id_col].values
+        kcodes, _ = pd.factorize(df[key].values, sort=True)
+        order = np.lexsort((ids, ts, kcodes))
+        ts, ids, kcodes = ts[order], ids[order], kcodes[order]
+        vals = df[val_col].values[order]
+        n = len(ids)
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = kcodes[1:] != kcodes[:-1]
+        key_start = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+        idx = np.arange(n)
+        running_count = idx - key_start + 1
+        cents = np.floor(vals * 100.0 + 0.5).astype(np.int64)
+        csum = np.cumsum(cents)
+        seg_base = csum[key_start] - cents[key_start]
+        running_cents = csum - seg_base
+        delta = np.empty(n, np.int64)
+        delta[0] = 0
+        delta[1:] = ts[1:] - ts[:-1]
+        return pa.table(
+            {
+                id_col: pa.array(ids).cast(id_type),
+                key: pa.array(df[key].values[order], key_type),
+                "running_count": pa.array(running_count),
+                "running_cents": pa.array(running_cents),
+                "delta_us": pa.array(delta, pa.int64(), mask=new_key),
+            }
+        )
+
+    return (
+        events.map_batches(route, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(run_part, batch_format="pandas")
+    )
+
+
 def sessionize(
     events: "rd.Dataset",
     *,

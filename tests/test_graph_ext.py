@@ -332,3 +332,71 @@ def test_kcore_delta_fanout_deep_peel():
         got = dict(zip(df["vid"].astype(int), df["in_core"].astype(bool)))
         assert got == want, mode
         assert res.iterations >= n // 2 - 2  # one layer per round from each end
+
+
+def _jaccard_oracle(nbr, k):
+    rows = []
+    vs = sorted(nbr)
+    for i, a in enumerate(vs):
+        for b in vs[i + 1:]:
+            if b in nbr[a]:
+                continue
+            inter = len(nbr[a] & nbr[b])
+            if inter == 0:
+                continue
+            jac = round(inter / len(nbr[a] | nbr[b]), 6)
+            rows.append((a, b, jac))
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return rows[:k]
+
+
+def test_jaccard_topk_vs_oracle():
+    from ccl_ray.stages.linkpred import jaccard_topk
+
+    src, dst, vids = _random_graph(41, n=60, m=150)
+    nbr = _adj(src, dst, vids)
+    want = _jaccard_oracle(nbr, 20)
+    for P in (1, 4):
+        t = jaccard_topk(
+            _edges_ds(src, dst), k=20, cfg=EngineConfig(num_partitions=P),
+            require_complete=True,
+        )
+        got = list(zip(
+            t.column("a").to_pylist(), t.column("b").to_pylist(),
+            [round(x, 6) for x in t.column("jaccard").to_pylist()],
+        ))
+        assert got == want, f"P={P}"
+
+
+def _support_oracle(nbr):
+    out = {}
+    for a in sorted(nbr):
+        for b in nbr[a]:
+            if a < b:
+                s = len(nbr[a] & nbr[b])
+                if s:
+                    out[(a, b)] = s
+    return out
+
+
+def test_edge_triangle_support_vs_oracle():
+    from ccl_ray.stages.triangles import edge_triangle_support
+
+    src, dst, vids = _random_graph(43, n=50, m=260)
+    nbr = _adj(src, dst, vids)
+    want = _support_oracle(nbr)
+    for P in (1, 4):
+        df = edge_triangle_support(
+            _edges_ds(src, dst), cfg=EngineConfig(num_partitions=P)
+        ).to_pandas()
+        got = {
+            (int(a), int(b)): int(s)
+            for a, b, s in zip(df["src"], df["dst"], df["support"])
+        }
+        assert got == want, f"P={P}"
+        # cross-invariant: sum of supports = 3 * triangle count
+        from ccl_ray.stages.triangles import triangle_count
+
+        assert sum(got.values()) == 3 * triangle_count(
+            _edges_ds(src, dst), cfg=EngineConfig(num_partitions=P)
+        )

@@ -212,3 +212,45 @@ def test_asof_matches_pandas_merge_asof(lrows, rrows):
     wv = want["v"].values.astype(float)
     assert len(gv) == len(wv)
     assert ((np.isnan(gv) & np.isnan(wv)) | (gv == wv)).all(), (gv, wv)
+
+
+def test_running_window_vs_pandas():
+    """running_window vs pandas groupby window functions on random events,
+    string AND int keys, P=1 vs P=4 agreement."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ccl_ray.stages.window import running_window
+
+    rng = np.random.RandomState(7)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 40, n).astype(np.int64),
+            "ts": pd.to_datetime(rng.randint(0, 10**9, n), unit="s"),
+            "value": np.round(rng.uniform(-50, 50, n), 4),
+        }
+    )
+    g = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    g["running_count"] = g.groupby("user_id").cumcount() + 1
+    g["cents"] = np.floor(g["value"].values * 100 + 0.5).astype(np.int64)
+    g["running_cents"] = g.groupby("user_id")["cents"].cumsum()
+    g["delta_us"] = (
+        g.groupby("user_id")["ts"].diff().dt.total_seconds() * 1e6
+    )
+    want = g.set_index("event_id")[["running_count", "running_cents", "delta_us"]]
+
+    for P in (1, 4):
+        ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(3)
+        out = running_window(ds, num_partitions=P).to_pandas().set_index("event_id")
+        assert len(out) == n
+        out = out.loc[want.index]
+        assert (out["running_count"] == want["running_count"]).all()
+        assert (out["running_cents"] == want["running_cents"]).all()
+        wd = want["delta_us"]
+        od = out["delta_us"].astype("float64")
+        assert (od[wd.notna()] == wd[wd.notna()]).all()
+        assert od[wd.isna()].isna().all()
