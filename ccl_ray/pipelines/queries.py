@@ -316,6 +316,32 @@ def q_sssp_hops(sf_dir: str):
     return res.dists.rename_columns({"vid": "event_id"})
 
 
+def q_sssp_weighted(sf_dir: str):
+    """Weighted shortest paths (Bellman-Ford BSP, sssp.py) to the nearest
+    seed (event_id % 97 == 0) with deterministic integer-valued edge
+    weights w = 1 + (src+dst) % 7 — float64 sums of small ints are exact,
+    so engine and the 40-step unrolled relaxation oracle match bitwise."""
+    from ccl_ray.stages.sssp import sssp_weighted
+
+    def add_w(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "w": pa.array((1 + (s + d) % 7).astype(np.float64)),
+            }
+        )
+
+    edges = build_event_edges(sf_dir).map_batches(add_w, batch_format="pyarrow")
+    res = sssp_weighted(
+        edges, _event_seeds(sf_dir), vertices=event_vertices(sf_dir),
+        cfg=_cfg(), max_rounds=40,
+    )
+    return res.dists.rename_columns({"vid": "event_id"})
+
+
 def q_clustering_coeff(sf_dir: str):
     from ccl_ray.stages.triangles import clustering_coefficient
 
@@ -707,6 +733,7 @@ QUERIES = {
     "adamic_adar": q_adamic_adar,
     "jaccard_link": q_jaccard_link,
     "truss_support": q_truss_support,
+    "sssp_weighted": q_sssp_weighted,
     "degree_hist": q_degree_hist,
     "repetition": q_repetition,
     "contamination": q_contamination,
@@ -972,6 +999,23 @@ ORACLE_SQL = {
         SELECT v AS event_id,
                CASE WHEN d >= 999999 THEN NULL ELSE d END AS dist
         FROM bfs WHERE it = 40""",
+    "sssp_weighted": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        direw AS (SELECT src AS u, dst AS v, (1 + (src + dst) % 7)::DOUBLE AS w
+                  FROM edgu
+                  UNION ALL SELECT dst, src, (1 + (src + dst) % 7)::DOUBLE FROM edgu
+                  UNION ALL SELECT event_id, event_id, 0.0 FROM events),
+        sp(it, v, d) AS (
+          SELECT 0, event_id,
+                 CASE WHEN event_id % 97 = 0 THEN 0.0 ELSE 999999.0 END::DOUBLE
+          FROM events
+          UNION ALL
+          SELECT it+1, e.v, min(least(sp.d + e.w, 999999.0))
+          FROM sp JOIN direw e ON e.u = sp.v
+          WHERE it < 40 GROUP BY 1, 2)
+        SELECT v AS event_id,
+               CASE WHEN d >= 999999.0 THEN NULL ELSE d END AS dist
+        FROM sp WHERE it = 40""",
     "clustering_coeff": f"""
         WITH {_EDGES_CTE},
         tri AS (

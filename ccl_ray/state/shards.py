@@ -47,22 +47,45 @@ def as_arrow_block(b) -> pa.Table:
 
 
 @ray.remote
-def _split_pairs(block: pa.Table, src_col: str, dst_col: str, P: int, symmetrize: bool):
-    """Split one edge block into P (src,dst) pair tables routed by hash(src)."""
+def _split_pairs(block: pa.Table, src_col: str, dst_col: str, P: int, symmetrize: bool,
+                 weight_col: str | None = None):
+    """Split one edge block into P (src,dst[,w]) pair tables routed by
+    hash(src). With ``weight_col`` each piece carries a float64 weight array
+    (symmetrized edges keep the weight in both directions)."""
     block = as_arrow_block(block)
     if block.num_rows == 0 or src_col not in block.column_names:
         # empty blocks from repartition have an empty schema
         empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        if weight_col is not None:
+            empty = (*empty, np.empty(0, np.float64))
         return empty if P == 1 else tuple(empty for _ in range(P))
     s = block.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
     d = block.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    w = (
+        block.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        if weight_col is not None
+        else None
+    )
     if symmetrize:
         s, d = np.concatenate([s, d]), np.concatenate([d, s])
+        if w is not None:
+            w = np.concatenate([w, w])
     parts = part_of(s, P)
     order = np.argsort(parts, kind="stable")
     s, d, parts = s[order], d[order], parts[order]
+    if w is not None:
+        w = w[order]
     bounds = np.searchsorted(parts, np.arange(P + 1))
-    out = tuple((s[bounds[p] : bounds[p + 1]], d[bounds[p] : bounds[p + 1]]) for p in range(P))
+    if w is None:
+        out = tuple(
+            (s[bounds[p] : bounds[p + 1]], d[bounds[p] : bounds[p + 1]]) for p in range(P)
+        )
+    else:
+        out = tuple(
+            (s[bounds[p] : bounds[p + 1]], d[bounds[p] : bounds[p + 1]],
+             w[bounds[p] : bounds[p + 1]])
+            for p in range(P)
+        )
     return out[0] if P == 1 else out
 
 
@@ -94,22 +117,35 @@ def _build_csr(dedupe, drop_self, *pieces):
     """
     s = np.concatenate([p[0] for p in pieces]) if pieces else np.empty(0, np.int64)
     d = np.concatenate([p[1] for p in pieces]) if pieces else np.empty(0, np.int64)
+    weighted = bool(pieces) and len(pieces[0]) == 3
+    w = np.concatenate([p[2] for p in pieces]) if weighted else None
     if drop_self and s.size:
         keep = s != d
         s, d = s[keep], d[keep]
+        if w is not None:
+            w = w[keep]
     if dedupe and s.size:
-        order = np.lexsort((d, s))
+        # weighted: order by (s, d, w) so the kept first row per (s, d) is
+        # the MIN-weight parallel edge (shortest-path semantics)
+        order = np.lexsort((w, d, s)) if w is not None else np.lexsort((d, s))
         s, d = s[order], d[order]
+        if w is not None:
+            w = w[order]
         keep = np.empty(len(s), dtype=bool)
         keep[0] = True
         keep[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
         s, d = s[keep], d[keep]
+        if w is not None:
+            w = w[keep]
     order = np.argsort(s, kind="stable")
     s, d = s[order], d[order]
     srcs, start = np.unique(s, return_index=True)
     indptr = np.concatenate([start, [len(s)]]).astype(np.int64)
     outdeg = np.diff(indptr)
-    return {"srcs": srcs, "indptr": indptr, "dst": d, "outdeg": outdeg}
+    out = {"srcs": srcs, "indptr": indptr, "dst": d, "outdeg": outdeg}
+    if w is not None:
+        out["w"] = w[order]
+    return out
 
 
 @ray.remote
@@ -120,11 +156,14 @@ def _build_vids(*pieces):
 
 def shard_edges_csr(edges_ds, P: int, *, symmetrize: bool = False,
                     dedupe: bool = False, drop_self: bool = False,
-                    src_col: str = "src", dst_col: str = "dst"):
-    """Exchange a Ray Data edge table into P CSR shard refs (hash(src) -> p)."""
+                    src_col: str = "src", dst_col: str = "dst",
+                    weight_col: str | None = None):
+    """Exchange a Ray Data edge table into P CSR shard refs (hash(src) -> p).
+    ``weight_col``: carry a per-edge float64 weight through the exchange
+    (csr dict gains "w" aligned with "dst"; dedupe keeps min weight)."""
     block_refs = edges_ds.to_arrow_refs()
     split = _split_pairs.options(num_returns=P)
-    matrix = [split.remote(b, src_col, dst_col, P, symmetrize) for b in block_refs]
+    matrix = [split.remote(b, src_col, dst_col, P, symmetrize, weight_col) for b in block_refs]
     if P == 1:
         matrix = [[m] for m in matrix]
     return [_build_csr.remote(dedupe, drop_self, *[row[p] for row in matrix]) for p in range(P)]

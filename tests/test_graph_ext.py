@@ -400,3 +400,71 @@ def test_edge_triangle_support_vs_oracle():
         assert sum(got.values()) == 3 * triangle_count(
             _edges_ds(src, dst), cfg=EngineConfig(num_partitions=P)
         )
+
+
+def _dijkstra_oracle(src, dst, w, vids, seeds):
+    import heapq
+
+    adj = {int(v): [] for v in vids}
+    for s, d, ww in zip(src, dst, w):
+        s, d = int(s), int(d)
+        if s != d:
+            adj[s].append((d, float(ww)))
+            adj[d].append((s, float(ww)))
+    dist = {v: None for v in adj}
+    h = [(0.0, s) for s in seeds if s in adj]
+    for _, s in h:
+        dist[s] = 0.0
+    heapq.heapify(h)
+    while h:
+        dcur, u = heapq.heappop(h)
+        if dist[u] is not None and dcur > dist[u]:
+            continue
+        for v, ww in adj[u]:
+            nd = dcur + ww
+            if dist[v] is None or nd < dist[v]:
+                dist[v] = nd
+                heapq.heappush(h, (nd, v))
+    return dist
+
+
+def test_sssp_weighted_vs_dijkstra():
+    from ccl_ray.stages.sssp import sssp_weighted
+
+    rng = np.random.RandomState(13)
+    n, m = 80, 220
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    w = rng.randint(1, 9, m).astype(np.float64)
+    vids = np.arange(n)
+    seeds = [0, 31]
+    want = _dijkstra_oracle(src, dst, w, vids, seeds)
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64()),
+                  "w": pa.array(w, pa.float64())})
+    ).repartition(3)
+    for P, mode in ((1, "grouped"), (8, "grouped"), (4, "fanout")):
+        res = sssp_weighted(
+            edges, _vids_ds(seeds), vertices=_vids_ds(vids),
+            cfg=EngineConfig(num_partitions=P, exchange=mode),
+        )
+        df = res.dists.to_pandas()
+        got = {
+            int(v): (None if d is None or (isinstance(d, float) and np.isnan(d)) else float(d))
+            for v, d in zip(df["vid"], df["dist"].astype(object))
+        }
+        assert got == want, f"P={P} mode={mode}"
+
+
+def test_sssp_weighted_parallel_edges_take_min():
+    """Parallel (src,dst) edges with different weights: the CSR dedupe must
+    keep the MIN weight."""
+    from ccl_ray.stages.sssp import sssp_weighted
+
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array([0, 0], pa.int64()), "dst": pa.array([1, 1], pa.int64()),
+                  "w": pa.array([5.0, 2.0], pa.float64())})
+    )
+    res = sssp_weighted(edges, _vids_ds([0]), cfg=EngineConfig(num_partitions=2))
+    df = res.dists.to_pandas().set_index("vid")
+    assert float(df.loc[1, "dist"]) == 2.0
