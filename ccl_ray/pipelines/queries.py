@@ -316,6 +316,57 @@ def q_sssp_hops(sf_dir: str):
     return res.dists.rename_columns({"vid": "event_id"})
 
 
+def q_hits_fixed(sf_dir: str):
+    """HITS hubs/authorities for exactly 12 L1-normalized iterations on the
+    DIRECTED canonical event edges (edgu: min→max endpoint) — fixed count
+    makes the engine an exact twin of the unrolled SQL (the pagerank_fixed
+    precedent); scores rounded to 10."""
+    from ccl_ray.stages.hits import hits_fixed
+
+    out = hits_fixed(
+        build_event_edges(sf_dir).select_columns(["src", "dst"]),
+        iterations=12, vertices=event_vertices(sf_dir), cfg=_cfg(),
+    )
+    return out.rename_columns({"vid": "event_id"})
+
+
+def _hits_oracle_sql(k: int = 12) -> str:
+    """Unrolled HITS: each iteration is two join-aggregate steps plus a
+    scalar L1 normalizer — the same linear operator the engine applies."""
+    # MATERIALIZED: the unrolled plan references the vertex list 2k+1 times;
+    # without it every reference re-opens the parquet (fd exhaustion under a
+    # live Ray session's fd load)
+    parts = [
+        "evm AS MATERIALIZED (SELECT event_id FROM events)",
+        "edgm AS MATERIALIZED (SELECT src, dst FROM edgu)",
+        "h0 AS (SELECT event_id AS v, 1.0::DOUBLE AS s FROM evm)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"a{i}p AS MATERIALIZED (SELECT e.dst AS v, sum(h.s) AS s"
+            f" FROM edgm e JOIN h{i-1} h ON h.v = e.src GROUP BY 1)"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT ev.event_id AS v,"
+            f" coalesce(p.s, 0) / (SELECT sum(s) FROM a{i}p) AS s"
+            f" FROM evm ev LEFT JOIN a{i}p p ON p.v = ev.event_id)"
+        )
+        parts.append(
+            f"h{i}p AS MATERIALIZED (SELECT e.src AS v, sum(a.s) AS s"
+            f" FROM edgm e JOIN a{i} a ON a.v = e.dst GROUP BY 1)"
+        )
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT ev.event_id AS v,"
+            f" coalesce(p.s, 0) / (SELECT sum(s) FROM h{i}p) AS s"
+            f" FROM evm ev LEFT JOIN h{i}p p ON p.v = ev.event_id)"
+        )
+    return (
+        "WITH " + _EDGES_CTE + ",\n" + ",\n".join(parts) + f"""
+        SELECT a.v AS event_id, round(a.s, 10) AS auth, round(h.s, 10) AS hub
+        FROM a{k} a JOIN h{k} h ON h.v = a.v"""
+    )
+
+
 def q_sssp_weighted(sf_dir: str):
     """Weighted shortest paths (Bellman-Ford BSP, sssp.py) to the nearest
     seed (event_id % 97 == 0) with deterministic integer-valued edge
@@ -734,6 +785,7 @@ QUERIES = {
     "jaccard_link": q_jaccard_link,
     "truss_support": q_truss_support,
     "sssp_weighted": q_sssp_weighted,
+    "hits_fixed": q_hits_fixed,
     "degree_hist": q_degree_hist,
     "repetition": q_repetition,
     "contamination": q_contamination,
@@ -999,6 +1051,7 @@ ORACLE_SQL = {
         SELECT v AS event_id,
                CASE WHEN d >= 999999 THEN NULL ELSE d END AS dist
         FROM bfs WHERE it = 40""",
+    "hits_fixed": _hits_oracle_sql(12),
     "sssp_weighted": f"""
         WITH RECURSIVE {_EDGES_CTE},
         direw AS (SELECT src AS u, dst AS v, (1 + (src + dst) % 7)::DOUBLE AS w

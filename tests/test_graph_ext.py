@@ -468,3 +468,54 @@ def test_sssp_weighted_parallel_edges_take_min():
     res = sssp_weighted(edges, _vids_ds([0]), cfg=EngineConfig(num_partitions=2))
     df = res.dists.to_pandas().set_index("vid")
     assert float(df.loc[1, "dist"]) == 2.0
+
+
+def _hits_oracle_np(src, dst, n, iters):
+    """Dense numpy HITS on the deduped loop-free directed graph."""
+    A = np.zeros((n, n))
+    for s, d in zip(src, dst):
+        if s != d:
+            A[int(s), int(d)] = 1.0
+    hub = np.ones(n)
+    auth = np.ones(n)
+    for _ in range(iters):
+        auth = A.T @ hub
+        if auth.sum():
+            auth = auth / auth.sum()
+        hub = A @ auth
+        if hub.sum():
+            hub = hub / hub.sum()
+    return auth, hub
+
+
+def test_hits_fixed_vs_numpy():
+    from ccl_ray.stages.hits import hits_fixed
+
+    rng = np.random.RandomState(5)
+    n, m = 70, 300
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    want_a, want_h = _hits_oracle_np(src, dst, n, 12)
+    edges = _edges_ds(src, dst)
+    for P, mode in ((1, "grouped"), (4, "grouped"), (4, "fanout")):
+        df = hits_fixed(
+            edges, iterations=12, vertices=_vids_ds(np.arange(n)),
+            cfg=EngineConfig(num_partitions=P, exchange=mode), round_to=12,
+        ).to_pandas().set_index("vid").sort_index()
+        assert len(df) == n
+        assert np.allclose(df["auth"].values, want_a, atol=1e-9), f"P={P} {mode}"
+        assert np.allclose(df["hub"].values, want_h, atol=1e-9), f"P={P} {mode}"
+
+
+def test_hits_edgeless_graph_zero_scores():
+    from ccl_ray.stages.hits import hits_fixed
+
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    )
+    df = hits_fixed(
+        edges, iterations=3, vertices=_vids_ds([1, 2]),
+        cfg=EngineConfig(num_partitions=2),
+    ).to_pandas()
+    assert sorted(df["vid"]) == [1, 2]
+    assert (df["auth"] == 0).all() and (df["hub"] == 0).all()
