@@ -350,6 +350,58 @@ def run_bench() -> dict:
     q_range_prev_hour(SF_DIR).count()
     queries["range_prev_hour"] = time.perf_counter() - t0
 
+    # --- round-3 additions: window functions, link-graph extensions, text
+    t0 = time.perf_counter()
+    from ccl_ray.stages.window import collect_seq, running_window
+
+    ev_rw = rd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    running_window(ev_rw).count()
+    queries["running_window"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ev_cs = rd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    collect_seq(ev_cs).count()
+    queries["collect_seq"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.stages.hits import hits_fixed
+
+    hits_fixed(eedges.select_columns(["src", "dst"]), iterations=12,
+               vertices=event_vertices(SF_DIR), cfg=cfg).count()
+    queries["events_hits"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.pipelines.queries import q_sssp_weighted
+
+    q_sssp_weighted(SF_DIR).count()
+    queries["events_sssp_weighted"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.stages.linkpred import jaccard_topk, two_hop_neighborhood
+
+    jaccard_topk(eedges, k=50, cfg=cfg)
+    queries["events_jaccard"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    two_hop_neighborhood(eedges, vertices=event_vertices(SF_DIR), cfg=cfg).count()
+    queries["events_two_hop"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.stages.triangles import edge_triangle_support
+
+    edge_triangle_support(eedges, cfg=cfg).count()
+    queries["events_truss_support"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.stages.text import bigram_top_terms
+
+    bigram_top_terms(docs, k=100).count()
+    queries["bigram_top_terms"] = time.perf_counter() - t0
+
     total = time.perf_counter() - t_total
     ray.shutdown()
     return {

@@ -443,6 +443,18 @@ def q_jaccard_link(sf_dir: str):
     )
 
 
+def q_two_hop(sf_dir: str):
+    """Distinct vertices within ≤2 hops per event (friend-of-friend reach);
+    wedge-based, pair-deduped exchange (linkpred.two_hop_neighborhood)."""
+    from ccl_ray.stages.linkpred import two_hop_neighborhood
+
+    out = two_hop_neighborhood(
+        build_event_edges(sf_dir), vertices=event_vertices(sf_dir),
+        cfg=_cfg(), require_complete=True,
+    )
+    return out.rename_columns({"vid": "event_id"})
+
+
 def q_degree_hist(sf_dir: str):
     """Log2-bucketed degree histogram of the events graph: bucket =
     floor(log2(degree)) for degree ≥ 1, −1 for isolated vertices."""
@@ -518,6 +530,28 @@ def q_events_hourly(sf_dir: str):
         return df
 
     return agg.map_batches(rnd, batch_format="pandas")
+
+
+def q_hourly_anomaly(sf_dir: str):
+    """Per-(event_type, hour) volume z-scores: the anomaly-flagging pass
+    (aggregates.grouped_zscore) over the partial-agg hourly counts."""
+    from ccl_ray.stages.aggregates import grouped_zscore
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hr": pc.floor_temporal(batch.column("ts"), unit="hour"),
+            }
+        )
+
+    counts = partial_sum_agg(
+        ev.map_batches(key, batch_format="pyarrow"),
+        ["event_type", "hr"], {}, count_as="n_events",
+    )
+    return grouped_zscore(counts, group_col="event_type", val_col="n_events")
 
 
 def q_dedup_exact(sf_dir: str):
@@ -608,6 +642,22 @@ def q_vocab_top_terms(sf_dir: str):
     from ccl_ray.stages.text import vocab_top_terms
 
     return vocab_top_terms(_docs(sf_dir), k=100)
+
+
+def q_bigram_top_terms(sf_dir: str):
+    from ccl_ray.stages.text import bigram_top_terms
+
+    return bigram_top_terms(_docs(sf_dir), k=100)
+
+
+def q_collect_seq(sf_dir: str):
+    """Ordered per-user event-type journey (string_agg ORDER BY twin)."""
+    from ccl_ray.stages.window import collect_seq
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    return collect_seq(ev)
 
 
 def q_cosine_pairs(sf_dir: str):
@@ -786,6 +836,7 @@ QUERIES = {
     "truss_support": q_truss_support,
     "sssp_weighted": q_sssp_weighted,
     "hits_fixed": q_hits_fixed,
+    "two_hop": q_two_hop,
     "degree_hist": q_degree_hist,
     "repetition": q_repetition,
     "contamination": q_contamination,
@@ -794,9 +845,12 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "top3_per_user": q_top3_per_user,
     "vocab_top_terms": q_vocab_top_terms,
+    "bigram_top_terms": q_bigram_top_terms,
+    "collect_seq": q_collect_seq,
     "relabel_compose": q_relabel_compose,
     "q1_agg": q_q1_agg,
     "events_hourly": q_events_hourly,
+    "hourly_anomaly": q_hourly_anomaly,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -1052,6 +1106,16 @@ ORACLE_SQL = {
                CASE WHEN d >= 999999 THEN NULL ELSE d END AS dist
         FROM bfs WHERE it = 40""",
     "hits_fixed": _hits_oracle_sql(12),
+    "two_hop": f"""
+        WITH {_EDGES_CTE},
+        und AS (SELECT src AS u, dst AS v FROM edgu UNION SELECT dst, src FROM edgu),
+        two AS (
+          SELECT a.u, b.v FROM und a JOIN und b ON b.u = a.v AND b.v <> a.u
+          UNION
+          SELECT u, v FROM und)
+        SELECT e.event_id, coalesce(c.n, 0) AS n_within_2
+        FROM events e LEFT JOIN
+          (SELECT u, count(*) AS n FROM two GROUP BY u) c ON c.u = e.event_id""",
     "sssp_weighted": f"""
         WITH RECURSIVE {_EDGES_CTE},
         direw AS (SELECT src AS u, dst AS v, (1 + (src + dst) % 7)::DOUBLE AS w
@@ -1197,6 +1261,20 @@ ORACLE_SQL = {
           FROM documents),
         c AS (SELECT term, count(*) AS n FROM tok GROUP BY 1)
         SELECT term, n FROM c ORDER BY n DESC, term LIMIT 100""",
+    "bigram_top_terms": """
+        WITH tl AS (
+          SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM documents),
+        bg AS (
+          SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+          FROM tl, unnest(range(1, len(toks))) AS u(i)),
+        c AS (SELECT bigram, count(*) AS n FROM bg GROUP BY 1)
+        SELECT bigram, n FROM c ORDER BY n DESC, bigram LIMIT 100""",
+    "collect_seq": """
+        SELECT user_id,
+               string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+               count(*) AS n_events
+        FROM events GROUP BY user_id""",
     "doclen_quantiles": """
         WITH n AS (SELECT count(*) AS n FROM documents),
         ps AS (SELECT * FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(p)),
@@ -1220,6 +1298,16 @@ ORACLE_SQL = {
         SELECT event_type, date_trunc('hour', ts) AS hr,
                round(sum(value), 2) AS sum_value, count(*) AS n_events
         FROM events GROUP BY 1, 2""",
+    "hourly_anomaly": """
+        WITH hc AS (
+          SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        st AS (SELECT event_type, avg(n_events) AS m, stddev_pop(n_events) AS sd
+               FROM hc GROUP BY 1)
+        SELECT hc.event_type, hc.hr, hc.n_events,
+               round(CASE WHEN st.sd > 0 THEN (hc.n_events - st.m) / st.sd
+                          ELSE 0 END, 6) AS z
+        FROM hc JOIN st USING (event_type)""",
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY text""",

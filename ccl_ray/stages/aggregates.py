@@ -236,3 +236,57 @@ def degrees(edges: "rd.Dataset", vertices: "rd.Dataset" | None = None) -> "rd.Da
             to_arrow_blocks(deg).union(zeros), ["vid"], {"degree": ("degree", "sum")}
         )
     return deg
+
+
+def grouped_zscore(
+    ds: "rd.Dataset",
+    *,
+    group_col: str,
+    val_col: str,
+    out_col: str = "z",
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """Per-group z-score: z = (x − mean_g) / stddev_pop_g, rounded to 6
+    (0 where the group's deviation is 0) — the anomaly-flagging pass over
+    an already-aggregated table (e.g. per-(type, hour) counts).
+
+    Groups route by hash(group_col) % P; one vectorized pandas transform
+    per partition handles all its groups. Input rows pass through with the
+    z column appended."""
+    import pyarrow as pa
+
+    from ccl_ray.config import resolve_partitions
+    from ccl_ray.functions.hashing import hash_strings_np, stable_hash64_np
+
+    P = resolve_partitions(num_partitions)
+    in_schema = ds.schema()
+    gtype = dict(zip(in_schema.names, in_schema.types))[group_col]
+    out_fields = [(n, t) for n, t in zip(in_schema.names, in_schema.types)]
+    out_schema = pa.schema(out_fields + [(out_col, pa.float64())])
+
+    def route(batch: pa.Table) -> pa.Table:
+        gcol = batch.column(group_col)
+        if pa.types.is_string(gtype) or pa.types.is_large_string(gtype):
+            h = hash_strings_np(gcol.to_numpy(zero_copy_only=False))
+        else:
+            h = stable_hash64_np(
+                gcol.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+            )
+        return batch.append_column("part", pa.array((h % np.uint64(P)).astype(np.int64)))
+
+    def z_part(df: pd.DataFrame) -> pa.Table:
+        df = df.drop(columns=["part"])
+        if not len(df):
+            return out_schema.empty_table()
+        g = df.groupby(group_col)[val_col]
+        m = g.transform("mean")
+        sd = g.transform("std", ddof=0)
+        z = np.where(sd.values > 0, (df[val_col].values - m.values) / sd.values, 0.0)
+        df[out_col] = np.round(z, 6)
+        return pa.Table.from_pandas(df, schema=out_schema, preserve_index=False)
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(z_part, batch_format="pandas")
+    )

@@ -271,6 +271,87 @@ def jaccard_topk(
                      "jaccard": pa.array(jac[top], pa.float64())})
 
 
+@ray.remote
+def _twohop_route(q, csr, P, *piece_objs):
+    """Partition q = hash(a): wedge pairs (2-hop) + this shard's own edges
+    (1-hop), emitted as (x, partner) in BOTH orientations for the wedge
+    pairs (the (b, a) view must reach hash(b)); locally deduped then routed
+    by hash(x). The symmetric CSR already holds both edge orientations
+    across partitions, so local edges emit only (src, dst)."""
+    pieces = [po[q] for po in piece_objs] if P > 1 else list(piece_objs)
+    a = np.concatenate([p[0] for p in pieces]) if pieces else np.empty(0, np.int64)
+    b = np.concatenate([p[1] for p in pieces]) if pieces else np.empty(0, np.int64)
+    es = np.repeat(csr["srcs"], csr["outdeg"])
+    x = np.concatenate([a, b, es])
+    y = np.concatenate([b, a, csr["dst"]])
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if x.size == 0:
+        out = tuple(empty for _ in range(P))
+        return out[0] if P == 1 else out
+    x, y, _ = _pair_reduce(x, y, np.ones(len(x), np.int64), np.add)
+    parts = part_of(x, P)
+    o = np.argsort(parts, kind="stable")
+    x, y, parts = x[o], y[o], parts[o]
+    bounds = np.searchsorted(parts, np.arange(P + 1))
+    out = tuple((x[bounds[p] : bounds[p + 1]], y[bounds[p] : bounds[p + 1]])
+                for p in range(P))
+    return out[0] if P == 1 else out
+
+
+@ray.remote
+def _twohop_count(r, vids, P, *routed_objs):
+    """Partition r: distinct (x, partner) pairs -> per-x partner count;
+    vertices with no pairs report 0 (vids defines the domain)."""
+    pieces = [ro[r] for ro in routed_objs] if P > 1 else list(routed_objs)
+    x = np.concatenate([p[0] for p in pieces]) if pieces else np.empty(0, np.int64)
+    y = np.concatenate([p[1] for p in pieces]) if pieces else np.empty(0, np.int64)
+    n = np.zeros(len(vids), np.int64)
+    if x.size:
+        x, y, _ = _pair_reduce(x, y, np.ones(len(x), np.int64), np.add)
+        uniq, counts = np.unique(x, return_counts=True)
+        n[np.searchsorted(vids, uniq)] = counts
+    return pa.table({"vid": pa.array(vids), "n_within_2": pa.array(n)})
+
+
+def two_hop_neighborhood(
+    edges,
+    *,
+    vertices=None,
+    cfg: EngineConfig | None = None,
+    max_center_degree: int = 512,
+    require_complete: bool = False,
+):
+    """(vid, n_within_2): distinct vertices within ≤2 hops, excluding self —
+    the neighborhood-growth statistic (friend-of-friend reach).
+
+    Reuses the capped wedge enumeration (2-hop pairs through each center)
+    plus the 1-hop edges; distinct-partner counting happens at each
+    vertex's hash owner after a pair-deduped exchange, so no vertex's
+    2-hop set is ever materialized outside its owner task."""
+    import ray.data as rd
+
+    cfg = cfg or EngineConfig()
+    P = cfg.num_partitions
+    from ccl_ray.state.shards import shard_vertices
+
+    csr = shard_edges_csr(edges, P, symmetrize=True, dedupe=True, drop_self=True)
+    vid_refs = shard_vertices(edges, P, vertices_ds=vertices)
+    parts = [
+        _wedge_partials.options(num_returns=2).remote(c, P, max_center_degree, False)
+        for c in csr
+    ]
+    piece_objs = [p[0] for p in parts]
+    skipped = sum(ray.get([p[1] for p in parts]))
+    if require_complete and skipped:
+        raise AssertionError(
+            f"{skipped} centers exceeded max_center_degree={max_center_degree}; "
+            "2-hop sets through them would be incomplete"
+        )
+    routed = [_twohop_route.remote(q, csr[q], P, *piece_objs) for q in range(P)]
+    tables = [_twohop_count.remote(r, vid_refs[r], P, *routed) for r in range(P)]
+    return rd.from_arrow_refs(tables)
+
+
 def common_neighbors_topk(
     edges,
     k: int = 50,

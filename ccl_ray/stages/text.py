@@ -365,6 +365,48 @@ def vocab_top_terms(docs: "rd.Dataset", k: int = 100) -> "rd.Dataset":
     return agg.sort(["n", "term"], descending=[True, False]).limit(k)
 
 
+def bigram_top_terms(docs: "rd.Dataset", k: int = 100) -> "rd.Dataset":
+    """(bigram, n): the k most frequent adjacent-token pairs — the n-gram
+    sibling of vocab_top_terms (phrase mining / n-gram LM feeds).
+
+    Identical aggregation shape: per-batch partials collapse the bigram
+    stream to (bigram, count) before anything leaves the task, then one
+    partial-agg groupby over bigram cardinality and a deterministic
+    (n desc, bigram asc) top-k cut. Bigrams never cross document
+    boundaries."""
+    import pyarrow as pa
+
+    from ccl_ray.stages.aggregates import partitioned_groupby_agg
+
+    class BigramCounts:
+        def __init__(self):
+            import re
+
+            self.tok = re.compile(TOKEN_RE)
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            grams: list[str] = []
+            for t in df["text"]:
+                ws = self.tok.findall(t.lower())
+                grams.extend(map(" ".join, zip(ws, ws[1:])))
+            if not grams:
+                return pa.table(
+                    {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+                )
+            terms, counts = np.unique(np.array(grams, dtype=object), return_counts=True)
+            return pa.table(
+                {"bigram": pa.array(terms, pa.string()),
+                 "n": pa.array(counts.astype(np.int64))}
+            )
+
+    agg = partitioned_groupby_agg(
+        docs.map_batches(BigramCounts, batch_format="pandas", concurrency=(1, 8)),
+        ["bigram"],
+        {"n": ("n", "sum")},
+    )
+    return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
 def token_count(docs: "rd.Dataset") -> "rd.Dataset":
     return docs.map_batches(TokenCount, batch_format="pandas", concurrency=(1, 8))
 

@@ -186,6 +186,70 @@ def running_window(
     )
 
 
+def collect_seq(
+    events: "rd.Dataset",
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "event_type",
+    sep: str = ",",
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """Ordered collect/group-concat: per key, the ``sep``-joined sequence of
+    ``val_col`` in (ts, id) order plus the element count — the SQL
+    ``string_agg(x, sep ORDER BY ts, id)`` / collect_list pattern (e.g.
+    per-user event-type journeys, per-conversation role sequences).
+
+    Keys route by hash(key) % P; each partition sorts once and joins per
+    key (string building is inherently per-key; the sort and grouping are
+    vectorized). A key's full sequence lives in one task — same contract
+    as sessionize."""
+    from ccl_ray.config import resolve_partitions
+    from ccl_ray.functions.hashing import hash_strings_np, stable_hash64_np
+
+    P = resolve_partitions(num_partitions)
+    in_schema = events.schema()
+    key_type = dict(zip(in_schema.names, in_schema.types))[key]
+    out_schema = pa.schema(
+        [(key, key_type), ("seq", pa.string()), ("n_events", pa.int64())]
+    )
+
+    def route(batch: pa.Table) -> pa.Table:
+        kcol = batch.column(key)
+        if pa.types.is_string(key_type) or pa.types.is_large_string(key_type):
+            h = hash_strings_np(kcol.to_numpy(zero_copy_only=False))
+        else:
+            h = stable_hash64_np(
+                kcol.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+            )
+        return pa.table(
+            {
+                key: kcol,
+                ts_col: batch.column(ts_col),
+                id_col: batch.column(id_col),
+                val_col: batch.column(val_col),
+                "part": pa.array((h % np.uint64(P)).astype(np.int64)),
+            }
+        )
+
+    def concat_part(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return out_schema.empty_table()
+        df = df.sort_values([key, ts_col, id_col], kind="stable")
+        g = df.groupby(key, sort=True)[val_col]
+        out = pd.DataFrame(
+            {"seq": g.agg(sep.join), "n_events": g.size().astype(np.int64)}
+        ).reset_index()
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    return (
+        events.map_batches(route, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(concat_part, batch_format="pandas")
+    )
+
+
 def sessionize(
     events: "rd.Dataset",
     *,

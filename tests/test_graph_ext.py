@@ -519,3 +519,24 @@ def test_hits_edgeless_graph_zero_scores():
     ).to_pandas()
     assert sorted(df["vid"]) == [1, 2]
     assert (df["auth"] == 0).all() and (df["hub"] == 0).all()
+
+
+def test_two_hop_vs_oracle():
+    from ccl_ray.stages.linkpred import two_hop_neighborhood
+
+    src, dst, vids = _random_graph(17, n=60, m=140)
+    nbr = _adj(src, dst, vids)
+    want = {}
+    for v in nbr:
+        reach = set(nbr[v])
+        for w in nbr[v]:
+            reach |= nbr[w]
+        reach.discard(v)
+        want[v] = len(reach)
+    for P in (1, 4):
+        df = two_hop_neighborhood(
+            _edges_ds(src, dst), vertices=_vids_ds(vids),
+            cfg=EngineConfig(num_partitions=P), require_complete=True,
+        ).to_pandas()
+        got = dict(zip(df["vid"].astype(int), df["n_within_2"].astype(int)))
+        assert got == want, f"P={P}"

@@ -254,3 +254,34 @@ def test_running_window_vs_pandas():
         od = out["delta_us"].astype("float64")
         assert (od[wd.notna()] == wd[wd.notna()]).all()
         assert od[wd.isna()].isna().all()
+
+
+def test_collect_seq_string_key_and_order():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ccl_ray.stages.window import collect_seq
+
+    rng = np.random.RandomState(3)
+    n = 200
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": np.array([f"u{int(x)}" for x in rng.randint(0, 12, n)], dtype=object),
+            "ts": pd.to_datetime(rng.randint(0, 10**6, n), unit="s"),
+            "event_type": np.array([f"t{int(x)}" for x in rng.randint(0, 5, n)], dtype=object),
+        }
+    )
+    g = df.sort_values(["user_id", "ts", "event_id"]).groupby("user_id")
+    want = {
+        k: (",".join(v["event_type"]), len(v)) for k, v in g
+    }
+    for P in (1, 4):
+        out = collect_seq(
+            rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(3),
+            num_partitions=P,
+        ).to_pandas()
+        got = {r.user_id: (r.seq, r.n_events) for r in out.itertuples()}
+        assert got == want, f"P={P}"

@@ -100,3 +100,34 @@ def test_vocab_top_terms_vs_counter():
     out = vocab_top_terms(ds, k=5).to_pandas()
     got = sorted(zip(out["term"], out["n"].astype(int)), key=lambda kv: (-kv[1], kv[0]))
     assert got == want
+
+
+def test_grouped_zscore_vs_pandas():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ccl_ray.stages.aggregates import grouped_zscore
+
+    rng = np.random.RandomState(11)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "g": np.array([f"g{int(x)}" for x in rng.randint(0, 9, n)], dtype=object),
+            "k": np.arange(n, dtype=np.int64),
+            "x": rng.randint(0, 50, n).astype(np.int64),
+        }
+    )
+    gm = df.groupby("g")["x"].transform("mean")
+    gs = df.groupby("g")["x"].transform("std", ddof=0)
+    want = np.round(np.where(gs.values > 0, (df["x"] - gm) / gs.values, 0.0), 6)
+    wmap = dict(zip(df["k"], want))
+    for P in (1, 4):
+        out = grouped_zscore(
+            rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(3),
+            group_col="g", val_col="x", num_partitions=P,
+        ).to_pandas()
+        got = dict(zip(out["k"], out["z"]))
+        assert len(got) == n
+        assert all(got[k] == wmap[k] for k in wmap), f"P={P}"
