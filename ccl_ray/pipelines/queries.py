@@ -432,6 +432,36 @@ def q_truss_support(sf_dir: str):
     return edge_triangle_support(build_event_edges(sf_dir), cfg=_cfg())
 
 
+def q_ktruss(sf_dir: str):
+    """3-truss edge set of the events graph (every surviving edge closes a
+    triangle within the subgraph). max_rounds=6 raises if the peel has not
+    stabilized within the oracle's unrolled cap."""
+    from ccl_ray.stages.triangles import ktruss
+
+    out, _rounds = ktruss(build_event_edges(sf_dir), 3, cfg=_cfg(), max_rounds=6)
+    return out
+
+
+def _ktruss_oracle_sql(rounds: int = 6) -> str:
+    parts = ["e0 AS MATERIALIZED (SELECT src, dst FROM edgu)"]
+    for i in range(rounds):
+        parts.append(
+            f"und{i} AS MATERIALIZED (SELECT src AS u, dst AS v FROM e{i}"
+            f" UNION SELECT dst, src FROM e{i})"
+        )
+        parts.append(
+            f"e{i+1} AS MATERIALIZED ("
+            f"SELECT e.src, e.dst FROM e{i} e"
+            f" JOIN und{i} n1 ON n1.u = e.src"
+            f" JOIN und{i} n2 ON n2.u = e.dst AND n2.v = n1.v"
+            f" GROUP BY e.src, e.dst HAVING count(*) >= 1)"
+        )
+    return (
+        "WITH " + _EDGES_CTE + ",\n" + ",\n".join(parts)
+        + f"\nSELECT src, dst FROM e{rounds}"
+    )
+
+
 def q_jaccard_link(sf_dir: str):
     """Top-50 non-adjacent pairs by neighborhood Jaccard (score DESC, a, b).
     Degrees resolve partition-locally via a second routed exchange — no
@@ -834,6 +864,7 @@ QUERIES = {
     "adamic_adar": q_adamic_adar,
     "jaccard_link": q_jaccard_link,
     "truss_support": q_truss_support,
+    "ktruss": q_ktruss,
     "sssp_weighted": q_sssp_weighted,
     "hits_fixed": q_hits_fixed,
     "two_hop": q_two_hop,
@@ -1106,6 +1137,7 @@ ORACLE_SQL = {
                CASE WHEN d >= 999999 THEN NULL ELSE d END AS dist
         FROM bfs WHERE it = 40""",
     "hits_fixed": _hits_oracle_sql(12),
+    "ktruss": _ktruss_oracle_sql(6),
     "two_hop": f"""
         WITH {_EDGES_CTE},
         und AS (SELECT src AS u, dst AS v FROM edgu UNION SELECT dst, src FROM edgu),

@@ -295,6 +295,55 @@ def edge_triangle_support(edges, *, cfg: EngineConfig | None = None):
     return rd.from_arrow_refs(tables)
 
 
+def ktruss(edges, k: int = 3, *, cfg: EngineConfig | None = None,
+           max_rounds: int | None = None):
+    """k-truss of the undirected simple graph: the maximal subgraph whose
+    every edge closes ≥ k−2 triangles WITHIN the subgraph. Returns
+    (edges Dataset of canonical (src, dst), rounds).
+
+    Classic iterative peel: recompute per-edge support over the surviving
+    edge set (edge_triangle_support — the full oriented-wedge wave, so each
+    round is O(E·sqrt(E)/P) worst case), drop edges below k−2, repeat until
+    the edge count is stable. Rounds = peel depth (small in practice; the
+    events graph at sf0.01 stabilizes in ≤2). ``max_rounds`` raises beyond
+    an oracle's unrolled cap."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cfg = cfg or EngineConfig()
+    need = k - 2
+    assert need >= 1, "ktruss requires k >= 3"
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(batch.column("support"), need)
+        return batch.filter(mask).select(["src", "dst"])
+
+    cur = edges.select_columns(["src", "dst"]).materialize()
+    prev_n = None
+    rounds = 0
+    while True:
+        sup = edge_triangle_support(cur, cfg=cfg)
+        cur = sup.map_batches(keep, batch_format="pyarrow").materialize()
+        rounds += 1
+        n = cur.count()
+        if prev_n is not None and n == prev_n:
+            break
+        if n == 0:
+            # explicit typed empty result: an all-empty materialized Dataset
+            # loses its schema (None), which breaks downstream consumers
+            import ray.data as rd
+
+            cur = rd.from_arrow(
+                pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})
+            )
+            break
+        if max_rounds is not None and rounds >= max_rounds and prev_n != n:
+            raise RuntimeError(f"ktruss did not stabilize within {max_rounds} rounds")
+        prev_n = n
+    return cur, rounds
+
+
 @ray.remote
 def _reduce_counts(*pieces):
     import pyarrow as pa

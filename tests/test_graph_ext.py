@@ -540,3 +540,60 @@ def test_two_hop_vs_oracle():
         ).to_pandas()
         got = dict(zip(df["vid"].astype(int), df["n_within_2"].astype(int)))
         assert got == want, f"P={P}"
+
+
+def _ktruss_oracle(nbr, k):
+    """Serial peel: drop edges with < k-2 common neighbors until stable."""
+    edges = {(a, b) for a in nbr for b in nbr[a] if a < b}
+    while True:
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        keep = {
+            (a, b) for a, b in edges
+            if len(adj.get(a, set()) & adj.get(b, set())) >= k - 2
+        }
+        if keep == edges:
+            return edges
+        edges = keep
+
+
+def test_ktruss_vs_oracle():
+    from ccl_ray.stages.triangles import ktruss
+
+    src, dst, vids = _random_graph(47, n=40, m=220)
+    nbr = _adj(src, dst, vids)
+    for k in (3, 4):
+        want = _ktruss_oracle(nbr, k)
+        for P in (1, 4):
+            out, rounds = ktruss(
+                _edges_ds(src, dst), k, cfg=EngineConfig(num_partitions=P)
+            )
+            df = out.to_pandas()
+            got = {(int(a), int(b)) for a, b in zip(df["src"], df["dst"])}
+            assert got == want, f"k={k} P={P}"
+            assert rounds >= 1
+
+
+def test_ktruss_max_rounds_and_empty():
+    import pytest
+
+    from ccl_ray.stages.triangles import ktruss
+
+    # K5 minus edge (0,1) IS a 4-truss: stabilization takes 2 rounds
+    # (compute + confirm) — max_rounds=1 must raise, 2 must succeed
+    src = [a for a in range(5) for b in range(a + 1, 5) if (a, b) != (0, 1)]
+    dst = [b for a in range(5) for b in range(a + 1, 5) if (a, b) != (0, 1)]
+    with pytest.raises(RuntimeError):
+        ktruss(_edges_ds(src, dst), 4, cfg=EngineConfig(num_partitions=2), max_rounds=1)
+    out, rounds = ktruss(
+        _edges_ds(src, dst), 4, cfg=EngineConfig(num_partitions=2), max_rounds=2
+    )
+    assert rounds == 2 and out.count() == 9
+    # triangle-free graph: empty truss with a usable schema
+    out, _ = ktruss(_edges_ds([0, 1], [1, 2]), 3, cfg=EngineConfig(num_partitions=2))
+    assert out.count() == 0
+    # schema survives the empty result (to_pandas() of an all-empty Dataset
+    # drops columns — the gate's _to_pandas handles that via schema())
+    assert out.schema().names == ["src", "dst"]
