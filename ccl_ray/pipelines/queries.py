@@ -485,6 +485,23 @@ def q_two_hop(sf_dir: str):
     return out.rename_columns({"vid": "event_id"})
 
 
+def q_assortativity(sf_dir: str):
+    """Degree assortativity of the events graph (Pearson r over both
+    orientations of each distinct undirected edge; integer-exact moment
+    sums, so block order cannot move the value)."""
+    from ccl_ray.stages.aggregates import degree_assortativity
+
+    return degree_assortativity(build_event_edges(sf_dir), cfg=_cfg())
+
+
+def q_value_quantiles(sf_dir: str):
+    """Exact per-event_type median and p90 of value (quantile_cont twin)."""
+    from ccl_ray.stages.aggregates import grouped_quantiles
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return grouped_quantiles(ev, group_col="event_type", val_col="value")
+
+
 def q_degree_hist(sf_dir: str):
     """Log2-bucketed degree histogram of the events graph: bucket =
     floor(log2(degree)) for degree ≥ 1, −1 for isolated vertices."""
@@ -868,6 +885,8 @@ QUERIES = {
     "sssp_weighted": q_sssp_weighted,
     "hits_fixed": q_hits_fixed,
     "two_hop": q_two_hop,
+    "assortativity": q_assortativity,
+    "value_quantiles": q_value_quantiles,
     "degree_hist": q_degree_hist,
     "repetition": q_repetition,
     "contamination": q_contamination,
@@ -1138,6 +1157,29 @@ ORACLE_SQL = {
         FROM bfs WHERE it = 40""",
     "hits_fixed": _hits_oracle_sql(12),
     "ktruss": _ktruss_oracle_sql(6),
+    "assortativity": f"""
+        WITH {_EDGES_CTE},
+        und AS (SELECT src AS u, dst AS v FROM edgu UNION SELECT dst, src FROM edgu),
+        deg AS (SELECT u, count(*) AS d FROM und GROUP BY 1),
+        j AS (SELECT da.d AS x, db.d AS y
+              FROM und JOIN deg da ON da.u = und.u JOIN deg db ON db.u = und.v),
+        s AS (SELECT count(*)::DOUBLE AS m,
+                     sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+                     sum(x*y)::DOUBLE AS sxy,
+                     sum(x*x)::DOUBLE AS sxx, sum(y*y)::DOUBLE AS syy
+              FROM j)
+        SELECT round(
+          CASE WHEN m = 0 OR sxx/m - (sx/m)*(sx/m) <= 0
+                 OR syy/m - (sy/m)*(sy/m) <= 0 THEN 0
+               ELSE (sxy/m - (sx/m)*(sy/m))
+                    / (sqrt(sxx/m - (sx/m)*(sx/m)) * sqrt(syy/m - (sy/m)*(sy/m)))
+          END, 6) AS assortativity
+        FROM s""",
+    "value_quantiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS med,
+               round(quantile_cont(value, 0.9), 6) AS p90
+        FROM events GROUP BY event_type""",
     "two_hop": f"""
         WITH {_EDGES_CTE},
         und AS (SELECT src AS u, dst AS v FROM edgu UNION SELECT dst, src FROM edgu),

@@ -290,3 +290,134 @@ def grouped_zscore(
         .groupby("part")
         .map_groups(z_part, batch_format="pandas")
     )
+
+
+def degree_assortativity(edges: "rd.Dataset", *, cfg=None):
+    """Degree assortativity coefficient (Pearson r of endpoint degrees over
+    both orientations of every distinct undirected edge) as a 1-row Arrow
+    table, rounded to 6.
+
+    All moment sums (Σx, Σy, Σxy, Σx², Σy², m) are INTEGER-exact (degrees
+    are ints), so task order cannot perturb the value — the only float
+    arithmetic is the closed form evaluated once on the driver. Shape: one
+    symmetric CSR shard build, the triangles stage's degree
+    request/resolve wave (deg(dst) arrives partition-locally), one int64
+    moment reduction per shard. No joins, no extra shuffles."""
+    import ray
+
+    from ccl_ray.config import EngineConfig
+    from ccl_ray.stages.triangles import _deg_request, _deg_resolve, _degrees
+    from ccl_ray.state.shards import shard_edges_csr, shard_vertices
+
+    cfg = cfg or EngineConfig()
+    P = cfg.num_partitions
+    csr = shard_edges_csr(edges, P, symmetrize=True, dedupe=True, drop_self=True)
+    vid_refs = shard_vertices(edges, P)
+    deg = [_degrees.remote(csr[p], vid_refs[p]) for p in range(P)]
+    reqs = [
+        _deg_request.options(num_returns=P).remote(csr[p], P) if P > 1
+        else [_deg_request.remote(csr[p], P)]
+        for p in range(P)
+    ]
+    reqs = [list(r) if P > 1 else r for r in reqs]
+    resolved = [
+        _deg_resolve.options(num_returns=P).remote(
+            vid_refs[p], deg[p], P, *[reqs[q][p] for q in range(P)]
+        ) if P > 1
+        else [_deg_resolve.remote(vid_refs[p], deg[p], P, *[reqs[q][p] for q in range(P)])]
+        for p in range(P)
+    ]
+    resolved = [list(r) if P > 1 else r for r in resolved]
+
+    @ray.remote
+    def _moments(csr_p, vids_p, deg_p, *resp_pieces):
+        if csr_p["srcs"].size == 0:
+            return np.zeros(6, np.int64)
+        q = np.concatenate([r[0] for r in resp_pieces])
+        qd = np.concatenate([r[1] for r in resp_pieces])
+        order = np.argsort(q, kind="stable")
+        q, qd = q[order], qd[order]
+        x = np.repeat(deg_p[np.searchsorted(vids_p, csr_p["srcs"])], csr_p["outdeg"])
+        y = qd[np.searchsorted(q, csr_p["dst"])]
+        return np.array(
+            [len(x), x.sum(), y.sum(), (x * y).sum(), (x * x).sum(), (y * y).sum()],
+            np.int64,
+        )
+
+    parts = ray.get([
+        _moments.remote(csr[p], vid_refs[p], deg[p], *[resolved[q][p] for q in range(P)])
+        for p in range(P)
+    ])
+    m, sx, sy, sxy, sxx, syy = (float(v) for v in np.sum(parts, axis=0))
+    if m == 0:
+        r = 0.0
+    else:
+        vx = sxx / m - (sx / m) * (sx / m)
+        vy = syy / m - (sy / m) * (sy / m)
+        r = 0.0 if vx <= 0 or vy <= 0 else (
+            (sxy / m - (sx / m) * (sy / m)) / (np.sqrt(vx) * np.sqrt(vy))
+        )
+    return pa.table({"assortativity": pa.array([round(float(r), 6)], pa.float64())})
+
+
+def grouped_quantiles(
+    ds: "rd.Dataset",
+    *,
+    group_col: str,
+    val_col: str,
+    quantiles: tuple = (0.5, 0.9),
+    out_cols: tuple = ("med", "p90"),
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """Exact per-group linear-interpolation quantiles (the SQL
+    ``quantile_cont`` formula — identical to numpy 'linear'), rounded to 6.
+
+    Groups route by hash(group_col) % P; each partition sorts its groups
+    once and evaluates all requested quantiles vectorized. A group's values
+    fit one task — the same contract as sessionize (per-key state)."""
+    import pyarrow as pa
+
+    from ccl_ray.config import resolve_partitions
+    from ccl_ray.functions.hashing import hash_strings_np, stable_hash64_np
+
+    P = resolve_partitions(num_partitions)
+    in_schema = ds.schema()
+    gtype = dict(zip(in_schema.names, in_schema.types))[group_col]
+    out_schema = pa.schema(
+        [(group_col, gtype)] + [(c, pa.float64()) for c in out_cols]
+    )
+
+    def route(batch: pa.Table) -> pa.Table:
+        gcol = batch.column(group_col)
+        if pa.types.is_string(gtype) or pa.types.is_large_string(gtype):
+            h = hash_strings_np(gcol.to_numpy(zero_copy_only=False))
+        else:
+            h = stable_hash64_np(
+                gcol.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+            )
+        return pa.table(
+            {
+                group_col: gcol,
+                val_col: batch.column(val_col),
+                "part": pa.array((h % np.uint64(P)).astype(np.int64)),
+            }
+        )
+
+    def q_part(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return out_schema.empty_table()
+        q = (
+            df.groupby(group_col, sort=True)[val_col]
+            .quantile(list(quantiles), interpolation="linear")
+            .unstack()
+        )
+        out = {group_col: q.index.values}
+        for c, p in zip(out_cols, quantiles):
+            out[c] = np.round(q[p].values.astype(np.float64), 6)
+        return pa.Table.from_pydict(out, schema=out_schema)
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(q_part, batch_format="pandas")
+    )

@@ -131,3 +131,64 @@ def test_grouped_zscore_vs_pandas():
         got = dict(zip(out["k"], out["z"]))
         assert len(got) == n
         assert all(got[k] == wmap[k] for k in wmap), f"P={P}"
+
+
+def test_degree_assortativity_vs_numpy():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ccl_ray.config import EngineConfig
+    from ccl_ray.stages.aggregates import degree_assortativity
+
+    rng = np.random.RandomState(23)
+    n, m = 50, 160
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    # serial oracle over distinct loop-free undirected edges
+    und = {(int(a), int(b)) for a, b in zip(src, dst) if a != b}
+    und = {(min(a, b), max(a, b)) for a, b in und}
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = np.array([deg[a] for a, b in und] + [deg[b] for a, b in und], float)
+    ys = np.array([deg[b] for a, b in und] + [deg[a] for a, b in und], float)
+    want = round(float(np.corrcoef(xs, ys)[0, 1]), 6)
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    ).repartition(3)
+    for P in (1, 4):
+        t = degree_assortativity(edges, cfg=EngineConfig(num_partitions=P))
+        got = t.column("assortativity").to_pylist()[0]
+        assert abs(got - want) < 2e-6, f"P={P}: {got} vs {want}"
+
+
+def test_grouped_quantiles_vs_numpy():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ccl_ray.stages.aggregates import grouped_quantiles
+
+    rng = np.random.RandomState(31)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "g": np.array([f"t{int(x)}" for x in rng.randint(0, 7, n)], dtype=object),
+            "x": np.round(rng.uniform(-10, 10, n), 3),
+        }
+    )
+    want = {
+        k: (round(float(np.quantile(v["x"], 0.5)), 6),
+            round(float(np.quantile(v["x"], 0.9)), 6))
+        for k, v in df.groupby("g")
+    }
+    for P in (1, 4):
+        out = grouped_quantiles(
+            rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(3),
+            group_col="g", val_col="x", num_partitions=P,
+        ).to_pandas()
+        got = {r.g: (r.med, r.p90) for r in out.itertuples()}
+        assert got == want, f"P={P}"
