@@ -601,6 +601,17 @@ def q_hourly_anomaly(sf_dir: str):
     return grouped_zscore(counts, group_col="event_type", val_col="n_events")
 
 
+def q_distinct_users(sf_dir: str):
+    """count(DISTINCT user_id) + rows per event_type — the two-stage
+    distinct-count shape (distinct pairs partial-agg, then count), the same
+    pattern as component_ages; raw rows never reach the second groupby."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    pairs = partial_sum_agg(ev, ["event_type", "user_id"], {}, count_as="n_rows")
+    return partial_sum_agg(
+        pairs, ["event_type"], {"n_rows": "n_events"}, count_as="n_users"
+    )
+
+
 def q_dedup_exact(sf_dir: str):
     return exact_dedup(_docs(sf_dir))
 
@@ -901,6 +912,7 @@ QUERIES = {
     "q1_agg": q_q1_agg,
     "events_hourly": q_events_hourly,
     "hourly_anomaly": q_hourly_anomaly,
+    "distinct_users": q_distinct_users,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -1175,6 +1187,10 @@ ORACLE_SQL = {
                     / (sqrt(sxx/m - (sx/m)*(sx/m)) * sqrt(syy/m - (sy/m)*(sy/m)))
           END, 6) AS assortativity
         FROM s""",
+    "distinct_users": """
+        SELECT event_type, count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type""",
     "value_quantiles": """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 6) AS med,
