@@ -90,6 +90,29 @@ def q_cc_labels(sf_dir: str):
     return _labels(sf_dir).rename_columns({"vid": "event_id"})
 
 
+def q_cc_snapshot(sf_dir: str):
+    """Temporal-snapshot connected components: the SAME edge rule over only
+    the even-day events (date_part('day', ts) % 2 = 0) — the time-sliced
+    graph view (reference: per-slice labeling before cross-slice merge).
+    The filter happens at the Arrow batch level BEFORE any edge build, so
+    the subgraph pipeline pays only for surviving rows."""
+    from ccl_ray.sources.events_graph import adjacency_edges, cooccurrence_edges
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def snap(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(pc.day(batch.column("ts")), 1), 0)
+        return batch.filter(keep)
+
+    evs = ev.map_batches(snap, batch_format="pyarrow").materialize()
+    edges = adjacency_edges(evs).union(cooccurrence_edges(evs))
+    verts = evs.select_columns(["event_id"]).rename_columns({"event_id": "vid"})
+    labels = connected_components_bsp(edges, vertices=verts, cfg=_cfg()).labels
+    return labels.rename_columns({"vid": "event_id"})
+
+
 def q_labelprop_seeded(sf_dir: str):
     edges = build_event_edges(sf_dir)
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
@@ -314,6 +337,32 @@ def q_sssp_hops(sf_dir: str):
         vertices=event_vertices(sf_dir), cfg=_cfg(), max_rounds=40,
     )
     return res.dists.rename_columns({"vid": "event_id"})
+
+
+def q_pagerank_weighted(sf_dir: str):
+    """Edge-weighted PageRank (20 fixed iterations) on the DISTINCT
+    canonical event edges with w = 1 + (src+dst) % 7 — the sssp_weighted
+    weight rule; transition mass ∝ w/W(u). Recursive-CTE oracle twin."""
+    from ccl_ray.stages.wpagerank import pagerank_weighted_fixed
+
+    def add_w(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "w": pa.array((1 + (s + d) % 7).astype(np.float64)),
+            }
+        )
+
+    edges = build_event_edges(sf_dir).materialize()
+    _assert_no_dangling(sf_dir, edges, "pagerank_weighted")
+    wedges = edges.map_batches(add_w, batch_format="pyarrow")
+    out = pagerank_weighted_fixed(
+        wedges, iterations=20, vertices=event_vertices(sf_dir), cfg=_cfg()
+    )
+    return out.rename_columns({"vid": "event_id"})
 
 
 def q_hits_fixed(sf_dir: str):
@@ -872,6 +921,7 @@ QUERIES = {
     "edges_build": q_edges_build,
     "degree": q_degree,
     "cc_labels": q_cc_labels,
+    "cc_snapshot": q_cc_snapshot,
     "labelprop_seeded": q_labelprop_seeded,
     "component_sizes": q_component_sizes,
     "ages": q_ages,
@@ -894,6 +944,7 @@ QUERIES = {
     "truss_support": q_truss_support,
     "ktruss": q_ktruss,
     "sssp_weighted": q_sssp_weighted,
+    "pagerank_weighted": q_pagerank_weighted,
     "hits_fixed": q_hits_fixed,
     "two_hop": q_two_hop,
     "assortativity": q_assortativity,
@@ -1052,6 +1103,14 @@ ORACLE_SQL = {
           FROM (SELECT src AS v FROM edgu UNION ALL SELECT dst FROM edgu)
           GROUP BY v) d ON d.vid = e.event_id""",
     "cc_labels": f"WITH RECURSIVE {_CC_CTE} SELECT event_id, label FROM labeled",
+    # snapshot: the identical CC reachability over only even-day events —
+    # 'events' inside the CTE is rebound to the filtered evsnap
+    "cc_snapshot": (
+        "WITH RECURSIVE evsnap AS MATERIALIZED "
+        "(SELECT * FROM events WHERE date_part('day', ts) % 2 = 0),\n"
+        + _CC_CTE.replace("FROM events", "FROM evsnap")
+        + " SELECT event_id, label FROM labeled"
+    ),
     "labelprop_seeded": f"""
         WITH RECURSIVE {_CC_CTE},
         slab AS (SELECT label, min(event_id) AS seed_label
@@ -1168,6 +1227,22 @@ ORACLE_SQL = {
                CASE WHEN d >= 999999 THEN NULL ELSE d END AS dist
         FROM bfs WHERE it = 40""",
     "hits_fixed": _hits_oracle_sql(12),
+    "pagerank_weighted": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        direw AS (SELECT src AS u, dst AS v, (1 + (src + dst) % 7)::DOUBLE AS w
+                  FROM edgu
+                  UNION ALL SELECT dst, src, (1 + (src + dst) % 7)::DOUBLE FROM edgu),
+        wdeg AS (SELECT u, sum(w) AS tw FROM direw GROUP BY 1),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM events),
+        pr(it, v, score) AS (
+          SELECT 0, event_id, 1.0/(SELECT n FROM nn) FROM events
+          UNION ALL
+          SELECT it+1, direw.v,
+                 (SELECT 0.15/n FROM nn)
+                 + 0.85 * sum(pr.score * (direw.w / wdeg.tw))
+          FROM pr JOIN direw ON direw.u = pr.v JOIN wdeg ON wdeg.u = pr.v
+          WHERE it < 20 GROUP BY 1, 2)
+        SELECT v AS event_id, round(score, 10) AS score FROM pr WHERE it = 20""",
     "ktruss": _ktruss_oracle_sql(6),
     "assortativity": f"""
         WITH {_EDGES_CTE},

@@ -597,3 +597,60 @@ def test_ktruss_max_rounds_and_empty():
     # schema survives the empty result (to_pandas() of an all-empty Dataset
     # drops columns — the gate's _to_pandas handles that via schema())
     assert out.schema().names == ["src", "dst"]
+
+
+def test_pagerank_weighted_vs_numpy():
+    from ccl_ray.stages.wpagerank import pagerank_weighted_fixed
+
+    rng = np.random.RandomState(61)
+    n, m = 60, 200
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    w = rng.randint(1, 8, m).astype(np.float64)
+    # serial oracle on the symmetrized deduped loop-free weighted graph
+    und = {}
+    for a, b, ww in zip(src, dst, w):
+        a, b = int(a), int(b)
+        if a != b:
+            k = (min(a, b), max(a, b))
+            und[k] = min(und.get(k, np.inf), float(ww))
+    A = np.zeros((n, n))
+    for (a, b), ww in und.items():
+        A[a, b] = ww
+        A[b, a] = ww
+    W = A.sum(axis=1)
+    T = np.divide(A, W[:, None], out=np.zeros_like(A), where=W[:, None] > 0)
+    s = np.full(n, 1.0 / n)
+    for _ in range(20):
+        dang = s[W == 0].sum()
+        s = 0.15 / n + 0.85 * (T.T @ s + dang / n)
+    want = np.round(s, 10)
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64()),
+                  "w": pa.array(w, pa.float64())})
+    ).repartition(3)
+    for P, mode in ((1, "grouped"), (4, "grouped"), (4, "fanout")):
+        df = pagerank_weighted_fixed(
+            edges, iterations=20, vertices=_vids_ds(np.arange(n)),
+            cfg=EngineConfig(num_partitions=P, exchange=mode),
+        ).to_pandas().set_index("vid").sort_index()
+        assert len(df) == n
+        assert np.allclose(df["score"].values, want, atol=1e-9), f"P={P} {mode}"
+
+
+def test_pagerank_weighted_isolated_vertex_dangling():
+    """An isolated vertex contributes dangling mass each round and keeps a
+    positive score; totals still sum to 1."""
+    from ccl_ray.stages.wpagerank import pagerank_weighted_fixed
+
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array([0], pa.int64()), "dst": pa.array([1], pa.int64()),
+                  "w": pa.array([2.0], pa.float64())})
+    )
+    df = pagerank_weighted_fixed(
+        edges, iterations=30, vertices=_vids_ds([0, 1, 2]),
+        cfg=EngineConfig(num_partitions=2),
+    ).to_pandas().set_index("vid").sort_index()
+    assert abs(df["score"].sum() - 1.0) < 1e-9
+    assert df.loc[2, "score"] > 0
+    assert abs(df.loc[0, "score"] - df.loc[1, "score"]) < 1e-12  # symmetric pair
