@@ -173,6 +173,70 @@ def q_triangles_per_vertex(sf_dir: str):
     return triangle_counts_per_vertex(build_event_edges(sf_dir), cfg=_cfg())
 
 
+def q_lpa_communities(sf_dir: str):
+    """Deterministic synchronous LPA (5 rounds, most-frequent neighbor
+    label, min-label ties) — community detection beyond connectivity;
+    (dst,label) count partials pre-reduce before every exchange."""
+    from ccl_ray.stages.lpa import lpa_communities
+
+    out = lpa_communities(
+        build_event_edges(sf_dir), iterations=5,
+        vertices=event_vertices(sf_dir), cfg=_cfg(),
+    )
+    return out.rename_columns({"vid": "event_id"})
+
+
+def _lpa_oracle_sql(k: int = 5) -> str:
+    parts = [
+        "evm AS MATERIALIZED (SELECT event_id FROM events)",
+        "undm AS MATERIALIZED (SELECT src AS u, dst AS v FROM edgu"
+        " UNION SELECT dst, src FROM edgu)",
+        "l0 AS MATERIALIZED (SELECT event_id AS v, event_id AS lab FROM evm)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT undm.u AS v, l.lab, count(*) AS c"
+            f" FROM undm JOIN l{i-1} l ON l.v = undm.v GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT v, min(lab) AS lab FROM ("
+            f"SELECT v, lab, c, max(c) OVER (PARTITION BY v) AS mc FROM c{i})"
+            f" WHERE c = mc GROUP BY v)"
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT l.v, coalesce(b.lab, l.lab) AS lab"
+            f" FROM l{i-1} l LEFT JOIN b{i} b ON b.v = l.v)"
+        )
+    return (
+        "WITH " + _EDGES_CTE + ",\n" + ",\n".join(parts)
+        + f"\nSELECT v AS event_id, lab AS community FROM l{k}"
+    )
+
+
+def q_transitivity(sf_dir: str):
+    """Global transitivity (3 × triangles / wedges) — scalar graph summary.
+    Both factors are exact ints (distributed triangle count; wedge count
+    Σ d(d−1) from the degree table's per-batch int partials), so the one
+    float division matches the oracle bitwise before round(6)."""
+    from ccl_ray.stages.aggregates import degrees
+
+    edges = build_event_edges(sf_dir).materialize()
+    nt = triangle_count(edges, cfg=_cfg())
+
+    def wedge_partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("degree").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"w2": pa.array([int((d * (d - 1)).sum())], pa.int64())})
+
+    w2 = int(
+        degrees(edges)
+        .map_batches(wedge_partial, batch_format="pyarrow")
+        .to_pandas()["w2"]
+        .sum()
+    )
+    t = 0.0 if w2 == 0 else round(3.0 * nt / (w2 / 2.0), 6)
+    return pa.table({"transitivity": pa.array([t], pa.float64())})
+
+
 def q_pagerank(sf_dir: str):
     edges = build_event_edges(sf_dir)
     res = pagerank_bsp(edges, vertices=event_vertices(sf_dir), cfg=_cfg(), symmetrize=True)
@@ -931,6 +995,8 @@ QUERIES = {
     "id_stats": q_id_stats,
     "triangle_count": q_triangle_count,
     "triangles_per_vertex": q_triangles_per_vertex,
+    "transitivity": q_transitivity,
+    "lpa_communities": q_lpa_communities,
     "pagerank": q_pagerank,
     "pagerank_fixed": q_pagerank_fixed,
     "pagerank_close": q_pagerank_close,
@@ -1148,6 +1214,18 @@ ORACLE_SQL = {
         SELECT count(*) AS n_triangles
         FROM edgu e1 JOIN edgu e2 ON e2.src = e1.dst
         JOIN edgu e3 ON e3.src = e1.src AND e3.dst = e2.dst""",
+    "lpa_communities": _lpa_oracle_sql(5),
+    "transitivity": f"""
+        WITH {_EDGES_CTE},
+        und AS (SELECT src AS u, dst AS v FROM edgu UNION SELECT dst, src FROM edgu),
+        deg AS (SELECT u, count(*) AS d FROM und GROUP BY 1),
+        wed AS (SELECT sum(d * (d - 1)) AS w2 FROM deg),
+        tri AS (SELECT count(*) AS nt
+                FROM edgu e1 JOIN edgu e2 ON e2.src = e1.dst
+                JOIN edgu e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+        SELECT CASE WHEN w2 = 0 THEN 0.0
+                    ELSE round(3.0 * nt / (w2 / 2.0), 6) END AS transitivity
+        FROM wed, tri""",
     "triangles_per_vertex": f"""
         WITH {_EDGES_CTE},
         tri AS (

@@ -654,3 +654,57 @@ def test_pagerank_weighted_isolated_vertex_dangling():
     assert abs(df["score"].sum() - 1.0) < 1e-9
     assert df.loc[2, "score"] > 0
     assert abs(df.loc[0, "score"] - df.loc[1, "score"]) < 1e-12  # symmetric pair
+
+
+def _lpa_oracle(nbr, iters):
+    lab = {v: v for v in nbr}
+    for _ in range(iters):
+        new = {}
+        for v in nbr:
+            if not nbr[v]:
+                new[v] = lab[v]
+                continue
+            cnt = {}
+            for w in nbr[v]:
+                cnt[lab[w]] = cnt.get(lab[w], 0) + 1
+            mx = max(cnt.values())
+            new[v] = min(l for l, c in cnt.items() if c == mx)
+        lab = new
+    return lab
+
+
+def test_lpa_communities_vs_oracle():
+    from ccl_ray.stages.lpa import lpa_communities
+
+    src, dst, vids = _random_graph(53, n=70, m=180)
+    nbr = _adj(src, dst, vids)
+    for iters in (1, 5):
+        want = _lpa_oracle(nbr, iters)
+        for P in (1, 4):
+            df = lpa_communities(
+                _edges_ds(src, dst), iterations=iters, vertices=_vids_ds(vids),
+                cfg=EngineConfig(num_partitions=P),
+            ).to_pandas()
+            got = dict(zip(df["vid"].astype(int), df["community"].astype(int)))
+            assert got == want, f"iters={iters} P={P}"
+
+
+def test_lpa_two_cliques_converge():
+    """Two 4-cliques joined by one bridge edge: each clique adopts its min
+    vid as community."""
+    from ccl_ray.stages.lpa import lpa_communities
+
+    src, dst = [], []
+    for base in (0, 10):
+        for a in range(4):
+            for b in range(a + 1, 4):
+                src.append(base + a)
+                dst.append(base + b)
+    src.append(3)
+    dst.append(10)
+    df = lpa_communities(
+        _edges_ds(src, dst), iterations=5, cfg=EngineConfig(num_partitions=2)
+    ).to_pandas()
+    got = dict(zip(df["vid"].astype(int), df["community"].astype(int)))
+    assert all(got[v] == 0 for v in (0, 1, 2, 3))
+    assert all(got[v] == 10 for v in (11, 12, 13))
