@@ -815,6 +815,60 @@ def q_vocab_top_terms(sf_dir: str):
     return vocab_top_terms(_docs(sf_dir), k=100)
 
 
+def q_token_entropy(sf_dir: str):
+    from ccl_ray.stages.text import token_entropy
+
+    return token_entropy(_docs(sf_dir))
+
+
+def q_diameter_sweep(sf_dir: str):
+    """Double-sweep diameter lower bound, 40-hop-capped: BFS from
+    min(event_id), then BFS from the farthest vertex settled within 40
+    waves (max dist, min vid ties); the second sweep's max settled
+    distance lower-bounds the diameter. Both sides compute min-over-paths
+    of ≤40 hops (a capped min-plus wave settles every vertex with true
+    distance ≤ cap), so the capped sweep is exactly SQL-expressible even
+    though single-source eccentricities here exceed the cap (user
+    adjacency chains run thousands of hops)."""
+    from ray.data.aggregate import Min
+
+    from ccl_ray.stages.bfs import bfs_hops
+
+    edges = build_event_edges(sf_dir).materialize()
+    verts = event_vertices(sf_dir)
+    ev_min = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"]).aggregate(
+        Min("event_id", alias_name="vid")
+    )
+    seeds1 = rd.from_items([{"vid": int(ev_min["vid"])}])
+    b1 = bfs_hops(edges, seeds1, vertices=verts, cfg=_cfg(), max_rounds=40,
+                  cap_ok=True)
+
+    def valid(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("dist")))
+
+    far = (
+        b1.dists.map_batches(valid, batch_format="pyarrow")
+        .sort(["dist", "vid"], descending=[True, False])
+        .limit(1)
+        .select_columns(["vid"])
+        .materialize()
+    )
+    b2 = bfs_hops(edges, far, vertices=verts, cfg=_cfg(), max_rounds=40,
+                  cap_ok=True)
+    ecc = (
+        b2.dists.map_batches(valid, batch_format="pyarrow")
+        .sort(["dist", "vid"], descending=[True, False])
+        .limit(1)
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "far_vid": pa.array([int(far.to_pandas()["vid"][0])], pa.int64()),
+            "diameter_lb": pa.array([int(ecc["dist"][0])], pa.int64()),
+        }
+    )
+
+
 def q_bigram_top_terms(sf_dir: str):
     from ccl_ray.stages.text import bigram_top_terms
 
@@ -1024,6 +1078,8 @@ QUERIES = {
     "top3_per_user": q_top3_per_user,
     "vocab_top_terms": q_vocab_top_terms,
     "bigram_top_terms": q_bigram_top_terms,
+    "token_entropy": q_token_entropy,
+    "diameter_sweep": q_diameter_sweep,
     "collect_seq": q_collect_seq,
     "relabel_compose": q_relabel_compose,
     "q1_agg": q_q1_agg,
@@ -1504,6 +1560,43 @@ ORACLE_SQL = {
           FROM documents),
         c AS (SELECT term, count(*) AS n FROM tok GROUP BY 1)
         SELECT term, n FROM c ORDER BY n DESC, term LIMIT 100""",
+    "token_entropy": """
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+          FROM documents),
+        c AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        tot AS (SELECT doc_id, sum(c)::DOUBLE AS s FROM c GROUP BY 1),
+        h AS (SELECT c.doc_id,
+                     round(-sum((c.c / tot.s) * log2(c.c / tot.s)), 6) AS entropy
+              FROM c JOIN tot ON tot.doc_id = c.doc_id GROUP BY 1)
+        SELECT d.doc_id, coalesce(h.entropy, 0.0) AS entropy
+        FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id""",
+    "diameter_sweep": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        dire AS (SELECT src AS u, dst AS v, 1 AS w FROM edgu
+                 UNION ALL SELECT dst, src, 1 FROM edgu
+                 UNION ALL SELECT event_id, event_id, 0 FROM events),
+        b1(it, v, d) AS (
+          SELECT 0, event_id,
+                 CASE WHEN event_id = (SELECT min(event_id) FROM events)
+                      THEN 0 ELSE 999999 END
+          FROM events
+          UNION ALL
+          SELECT it+1, e.v, min(least(b1.d + e.w, 999999))
+          FROM b1 JOIN dire e ON e.u = b1.v
+          WHERE it < 40 GROUP BY 1, 2),
+        far AS (SELECT v FROM b1 WHERE it = 40 AND d < 999999
+                ORDER BY d DESC, v LIMIT 1),
+        b2(it, v, d) AS (
+          SELECT 0, event_id,
+                 CASE WHEN event_id = (SELECT v FROM far) THEN 0 ELSE 999999 END
+          FROM events
+          UNION ALL
+          SELECT it+1, e.v, min(least(b2.d + e.w, 999999))
+          FROM b2 JOIN dire e ON e.u = b2.v
+          WHERE it < 40 GROUP BY 1, 2)
+        SELECT (SELECT v FROM far) AS far_vid,
+               (SELECT max(d) FROM b2 WHERE it = 40 AND d < 999999) AS diameter_lb""",
     "bigram_top_terms": """
         WITH tl AS (
           SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks

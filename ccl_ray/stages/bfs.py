@@ -144,6 +144,7 @@ def bfs_hops(
     cfg: EngineConfig | None = None,
     shards: dict | None = None,
     max_rounds: int | None = None,
+    cap_ok: bool = False,
 ) -> BFSResult:
     """Hop distance to the nearest seed on the undirected graph of ``edges``.
 
@@ -229,6 +230,12 @@ def bfs_hops(
         if changed_total == 0:
             break
         if max_rounds is not None and it >= max_rounds:
+            if cap_ok:
+                # capped sweep: after k waves every vertex with true
+                # distance <= k is settled (min-plus waves settle distance d
+                # at wave d); farther vertices stay unreached. Well-defined
+                # k-hop-bounded distances, no convergence demanded.
+                break
             raise RuntimeError(
                 f"bfs_hops did not converge within max_rounds={max_rounds}"
             )

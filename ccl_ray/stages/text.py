@@ -365,6 +365,39 @@ def vocab_top_terms(docs: "rd.Dataset", k: int = 100) -> "rd.Dataset":
     return agg.sort(["n", "term"], descending=[True, False]).limit(k)
 
 
+def token_entropy(docs: "rd.Dataset") -> "rd.Dataset":
+    """(doc_id, entropy): Shannon entropy (bits) of each document's token
+    distribution — the vocabulary-diversity quality signal (low entropy =
+    repetitive/templated text). Empty/token-free docs score 0.0.
+
+    Per-batch: one regex pass per doc, np.unique counts, closed-form
+    -Σ p·log2 p rounded to 6 (float noise vs a SQL log2 oracle is ~1e-15
+    per term)."""
+    import pyarrow as pa
+
+    class Entropy:
+        def __init__(self):
+            import re
+
+            self.tok = re.compile(TOKEN_RE)
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            ent = np.zeros(len(df), np.float64)
+            for i, t in enumerate(df["text"]):
+                ws = self.tok.findall(t.lower())
+                if not ws:
+                    continue
+                _, cnt = np.unique(np.array(ws, dtype=object), return_counts=True)
+                p = cnt / cnt.sum()
+                ent[i] = round(float(-(p * np.log2(p)).sum()), 6)
+            return pa.table(
+                {"doc_id": pa.array(df["doc_id"].values, pa.int64()),
+                 "entropy": pa.array(ent)}
+            )
+
+    return docs.map_batches(Entropy, batch_format="pandas", concurrency=(1, 8))
+
+
 def bigram_top_terms(docs: "rd.Dataset", k: int = 100) -> "rd.Dataset":
     """(bigram, n): the k most frequent adjacent-token pairs — the n-gram
     sibling of vocab_top_terms (phrase mining / n-gram LM feeds).

@@ -708,3 +708,19 @@ def test_lpa_two_cliques_converge():
     got = dict(zip(df["vid"].astype(int), df["community"].astype(int)))
     assert all(got[v] == 0 for v in (0, 1, 2, 3))
     assert all(got[v] == 10 for v in (11, 12, 13))
+
+
+def test_bfs_cap_ok_settles_within_cap():
+    """cap_ok=True: distances <= cap are exact, farther vertices unreached;
+    no RuntimeError on long chains."""
+    src = list(range(0, 30))
+    dst = list(range(1, 31))
+    res = bfs_hops(
+        _edges_ds(src, dst), _vids_ds([0]), cfg=EngineConfig(num_partitions=2),
+        max_rounds=5, cap_ok=True,
+    )
+    df = res.dists.to_pandas().set_index("vid")["dist"]
+    for v in range(6):
+        assert df[v] == v
+    for v in range(6, 31):
+        assert df[v] is None or np.isnan(df[v])
