@@ -815,6 +815,12 @@ def q_vocab_top_terms(sf_dir: str):
     return vocab_top_terms(_docs(sf_dir), k=100)
 
 
+def q_unigram_logprob(sf_dir: str):
+    from ccl_ray.stages.text import unigram_logprob
+
+    return unigram_logprob(_docs(sf_dir))
+
+
 def q_token_entropy(sf_dir: str):
     from ccl_ray.stages.text import token_entropy
 
@@ -1079,6 +1085,7 @@ QUERIES = {
     "vocab_top_terms": q_vocab_top_terms,
     "bigram_top_terms": q_bigram_top_terms,
     "token_entropy": q_token_entropy,
+    "unigram_logprob": q_unigram_logprob,
     "diameter_sweep": q_diameter_sweep,
     "collect_seq": q_collect_seq,
     "relabel_compose": q_relabel_compose,
@@ -1560,6 +1567,17 @@ ORACLE_SQL = {
           FROM documents),
         c AS (SELECT term, count(*) AS n FROM tok GROUP BY 1)
         SELECT term, n FROM c ORDER BY n DESC, term LIMIT 100""",
+    "unigram_logprob": """
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+          FROM documents),
+        tf AS (SELECT t, count(*) AS n FROM tok GROUP BY 1),
+        tot AS (SELECT sum(n)::DOUBLE AS s FROM tf),
+        sc AS (SELECT tok.doc_id,
+                      avg(-log2(tf.n / (SELECT s FROM tot))) AS lp
+               FROM tok JOIN tf ON tf.t = tok.t GROUP BY 1)
+        SELECT d.doc_id, coalesce(round(sc.lp, 6), 0.0) AS logprob
+        FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""",
     "token_entropy": """
         WITH tok AS (
           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t

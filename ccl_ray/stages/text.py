@@ -398,6 +398,117 @@ def token_entropy(docs: "rd.Dataset") -> "rd.Dataset":
     return docs.map_batches(Entropy, batch_format="pandas", concurrency=(1, 8))
 
 
+def unigram_logprob(docs: "rd.Dataset", *, num_partitions: int | None = None) -> "rd.Dataset":
+    """(doc_id, logprob): mean per-token surprisal −log2 p(t) under the
+    CORPUS unigram distribution — the model-free perplexity proxy
+    (high = rare-vocabulary text, low = templated/common text). Token-free
+    docs score 0.0.
+
+    Distributed shape: per-batch (doc_id, term, cnt) partials (the raw
+    token stream never leaves its task) → term-frequency table via
+    partial-agg groupby → hash-join partials ⋈ tf on term (no vocabulary
+    broadcast — the vocabulary scales with the corpus) → per-doc weighted
+    mean via one more partial-agg. Rounded to 6."""
+    import pyarrow as pa
+
+    from ccl_ray.stages.aggregates import partial_sum_agg, partitioned_groupby_agg
+    from ccl_ray.stages.exchange import hash_join
+
+    class DocTermCounts:
+        def __init__(self):
+            import re
+
+            self.tok = re.compile(TOKEN_RE)
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            ids, terms = [], []
+            for did, t in zip(df["doc_id"].values, df["text"]):
+                ws = self.tok.findall(t.lower())
+                ids.extend([did] * len(ws))
+                terms.extend(ws)
+            if not terms:
+                return pa.table(
+                    {"doc_id": pa.array([], pa.int64()),
+                     "term": pa.array([], pa.string()),
+                     "cnt": pa.array([], pa.int64())}
+                )
+            key = pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
+                                "term": np.asarray(terms, object)})
+            g = key.groupby(["doc_id", "term"], sort=False).size()
+            out = g.reset_index(name="cnt")
+            return pa.table(
+                {"doc_id": pa.array(out["doc_id"].values, pa.int64()),
+                 "term": pa.array(out["term"].values, pa.string()),
+                 "cnt": pa.array(out["cnt"].values.astype(np.int64))}
+            )
+
+    partials = docs.map_batches(
+        DocTermCounts, batch_format="pandas", concurrency=(1, 8)
+    ).materialize()  # consumed twice: tf build + join probe
+
+    tf = partitioned_groupby_agg(
+        partials, ["term"], {"n": ("cnt", "sum")}, num_partitions
+    )
+
+    def tf_rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"jt": batch.column("term"), "n": batch.column("n")})
+
+    tf_j = tf.map_batches(tf_rename, batch_format="pyarrow").materialize()
+    total = float(tf_j.sum(on="n"))
+
+    joined = hash_join(
+        partials, tf_j, left_on="term", right_on="jt",
+        num_partitions=num_partitions,
+    )
+
+    def surprisal(batch: pa.Table) -> pa.Table:
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                # hash_join promotes int columns to double (both sides share
+                # one frame during the group merge) — restore int64 so the
+                # final groupby's key hashing matches the zero-row side
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "s": pa.array(cnt * -np.log2(n / total)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    sums = partial_sum_agg(
+        joined.map_batches(surprisal, batch_format="pyarrow"),
+        ["doc_id"], {"s": "ssum", "cnt": "ntok"},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ssum = batch.column("ssum").to_numpy(zero_copy_only=False)
+        ntok = batch.column("ntok").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "logprob": pa.array(np.round(ssum / ntok, 6)),
+            }
+        )
+
+    scored = sums.map_batches(finish, batch_format="pyarrow")
+
+    # token-free docs: left-union zeros for ids with no scored row
+    ids = docs.select_columns(["doc_id"])
+
+    def zero(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()),
+             "logprob": pa.array(np.zeros(batch.num_rows), pa.float64())}
+        )
+
+    from ccl_ray.stages.aggregates import to_arrow_blocks
+
+    return partitioned_groupby_agg(
+        to_arrow_blocks(scored).union(ids.map_batches(zero, batch_format="pyarrow")),
+        ["doc_id"], {"logprob": ("logprob", "max")}, num_partitions,
+    )
+
+
 def bigram_top_terms(docs: "rd.Dataset", k: int = 100) -> "rd.Dataset":
     """(bigram, n): the k most frequent adjacent-token pairs — the n-gram
     sibling of vocab_top_terms (phrase mining / n-gram LM feeds).

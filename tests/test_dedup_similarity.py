@@ -286,3 +286,24 @@ def test_repetition_score_planted():
     assert out.loc[1, "n_grams"] == 2 and out.loc[1, "dup_frac"] == 0.0
     assert out.loc[2, "n_grams"] == 0 and out.loc[2, "dup_frac"] == 0.0
     assert out.loc[3, "n_grams"] == 0 and out.loc[3, "dup_frac"] == 0.0
+
+
+def test_unigram_logprob_hand_check():
+    """Corpus a:2 b:2 c:1 (total 5): doc surprisals match the closed form;
+    an empty doc scores 0.0; doc_id survives the hash_join int->double
+    promotion (the regression this pins)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ccl_ray.stages.text import unigram_logprob
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a a b", "", "b c"], pa.string()),
+    }))
+    out = unigram_logprob(docs).to_pandas().set_index("doc_id").sort_index()
+    assert len(out) == 3
+    assert out.loc[2, "logprob"] == 0.0
+    assert abs(out.loc[1, "logprob"] - round(-np.log2(0.4), 6)) < 1e-6
+    assert abs(out.loc[3, "logprob"] - round((-np.log2(0.4) - np.log2(0.2)) / 2, 6)) < 1e-6
