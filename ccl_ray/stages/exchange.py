@@ -110,8 +110,17 @@ def hash_join(
 
     def join_part(group: pa.Table) -> pa.Table:
         side = group.column(_SIDE).to_numpy(zero_copy_only=False)
-        lt = group.filter(pa.array(side == 0)).select(l_names)
-        rt = group.filter(pa.array(side == 1)).select(r_names)
+        # Restore declared types: Ray's sort shuffle may round-trip blocks
+        # through pandas, where the union's cross-side nulls promote int64
+        # columns to float64 — without this cast every int key/payload
+        # column comes out double (and joins/groupbys downstream see
+        # mismatched key dtypes). Values are exact (they started as ints).
+        lt = group.filter(pa.array(side == 0)).select(l_names).cast(
+            pa.schema([combined.field(n) for n in l_names])
+        )
+        rt = group.filter(pa.array(side == 1)).select(r_names).cast(
+            pa.schema([combined.field(n) for n in r_names])
+        )
         if lt.num_rows == 0:
             return pa.table({n: pa.nulls(0, combined.field(n).type) for n in out_names})
         if rt.num_rows == 0:

@@ -285,3 +285,31 @@ def test_collect_seq_string_key_and_order():
         ).to_pandas()
         got = {r.user_id: (r.seq, r.n_events) for r in out.itertuples()}
         assert got == want, f"P={P}"
+
+
+def test_hash_join_preserves_int_types():
+    """The sort shuffle can round-trip blocks through pandas, promoting
+    int64-with-nulls to float64; hash_join must emit its DECLARED schema."""
+    import pyarrow as pa
+
+    from ccl_ray.stages.exchange import hash_join
+
+    l = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "lv": pa.array([10, 20, 30], pa.int64())})
+    ).repartition(2)
+    r = rd.from_arrow(
+        pa.table({"rk": pa.array([2, 3], pa.int64()),
+                  "rv": pa.array([200, 300], pa.int64())})
+    )
+    for how in ("inner", "left outer"):
+        out = hash_join(l, r, left_on="k", right_on="rk", how=how, num_partitions=4)
+        sch = dict(zip(out.schema().names, out.schema().types))
+        assert sch["k"] == pa.int64() and sch["lv"] == pa.int64(), (how, sch)
+        assert sch["rv"] == pa.int64(), (how, sch)
+        df = out.to_pandas().sort_values("k").reset_index(drop=True)
+        if how == "inner":
+            assert df["k"].tolist() == [2, 3] and df["rv"].tolist() == [200, 300]
+        else:
+            assert df["k"].tolist() == [1, 2, 3]
+            assert pd.isna(df["rv"][0]) and df["rv"][1] == 200
