@@ -26,7 +26,8 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--pipeline",
         default="flagship",
-        choices=["flagship", "cc", "pagerank", "labelprop", "triangles"],
+        choices=["flagship", "cc", "pagerank", "labelprop", "triangles",
+                 "hits", "communities", "ktruss"],
     )
     ap.add_argument("--seed-type", default="signup",
                     help="labelprop: events of this event_type seed their own id")
@@ -154,6 +155,34 @@ def main(argv=None) -> int:
         path = os.path.join(args.out, "triangles")
         tri.write_parquet(path)
         manifest["tables"]["triangles"] = {"path": path, "rows": tri.count()}
+
+    if args.pipeline == "hits":
+        from ccl_ray.stages.hits import hits_fixed
+
+        out = hits_fixed(
+            edges.select_columns(["src", "dst"]), iterations=12,
+            vertices=verts, cfg=cfg,
+        )
+        path = os.path.join(args.out, "hits")
+        out.write_parquet(path)
+        manifest["tables"]["hits"] = {"path": path, "rows": out.count()}
+
+    if args.pipeline == "communities":
+        from ccl_ray.stages.lpa import lpa_communities
+
+        out = lpa_communities(edges, iterations=5, vertices=verts, cfg=cfg)
+        path = os.path.join(args.out, "communities")
+        out.write_parquet(path)
+        manifest["tables"]["communities"] = {"path": path, "rows": out.count()}
+
+    if args.pipeline == "ktruss":
+        from ccl_ray.stages.triangles import ktruss
+
+        out, rounds = ktruss(edges, 3, cfg=cfg)
+        path = os.path.join(args.out, "ktruss")
+        out.write_parquet(path)
+        manifest["tables"]["ktruss"] = {"path": path, "rows": out.count(),
+                                        "rounds": rounds}
 
     manifest["wall_s"] = round(time.perf_counter() - t0, 3)
     tmp = os.path.join(args.out, ".manifest.tmp")
