@@ -116,3 +116,18 @@ def minhash_signature(
     # (num_perms, n) — fine for n up to a few thousand shingles per doc
     vals = _mod_p61(_mulmod_p61(a[:, None], h[None, :]) + b[:, None])
     return vals.min(axis=1)
+
+
+def hash_part_np(kcol, key_type, P: int) -> np.ndarray:
+    """Partition ids (int64) for an Arrow key column: THE string-vs-int
+    dispatch every hash-fan-in route() stage shares (window functions,
+    sessionize, grouped z-scores/quantiles) — one definition, not five."""
+    import pyarrow as pa
+
+    if pa.types.is_string(key_type) or pa.types.is_large_string(key_type):
+        h = hash_strings_np(kcol.to_numpy(zero_copy_only=False))
+    else:
+        h = stable_hash64_np(
+            kcol.cast("int64").to_numpy(zero_copy_only=False).view(np.uint64)
+        )
+    return (h % np.uint64(P)).astype(np.int64)

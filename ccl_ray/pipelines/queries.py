@@ -409,20 +409,9 @@ def q_pagerank_weighted(sf_dir: str):
     weight rule; transition mass ∝ w/W(u). Recursive-CTE oracle twin."""
     from ccl_ray.stages.wpagerank import pagerank_weighted_fixed
 
-    def add_w(batch: pa.Table) -> pa.Table:
-        s = batch.column("src").to_numpy(zero_copy_only=False)
-        d = batch.column("dst").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "src": batch.column("src"),
-                "dst": batch.column("dst"),
-                "w": pa.array((1 + (s + d) % 7).astype(np.float64)),
-            }
-        )
-
-    edges = build_event_edges(sf_dir).materialize()
+    edges = build_event_edges(sf_dir)
     _assert_no_dangling(sf_dir, edges, "pagerank_weighted")
-    wedges = edges.map_batches(add_w, batch_format="pyarrow")
+    wedges = edges.map_batches(_add_weight, batch_format="pyarrow")
     out = pagerank_weighted_fixed(
         wedges, iterations=20, vertices=event_vertices(sf_dir), cfg=_cfg()
     )
@@ -461,7 +450,9 @@ def _hits_oracle_sql(k: int = 12) -> str:
         )
         parts.append(
             f"a{i} AS MATERIALIZED (SELECT ev.event_id AS v,"
-            f" coalesce(p.s, 0) / (SELECT sum(s) FROM a{i}p) AS s"
+            f" CASE WHEN (SELECT sum(s) FROM a{i}p) > 0"
+            f" THEN coalesce(p.s, 0) / (SELECT sum(s) FROM a{i}p)"
+            f" ELSE 0 END AS s"
             f" FROM evm ev LEFT JOIN a{i}p p ON p.v = ev.event_id)"
         )
         parts.append(
@@ -470,13 +461,30 @@ def _hits_oracle_sql(k: int = 12) -> str:
         )
         parts.append(
             f"h{i} AS MATERIALIZED (SELECT ev.event_id AS v,"
-            f" coalesce(p.s, 0) / (SELECT sum(s) FROM h{i}p) AS s"
+            f" CASE WHEN (SELECT sum(s) FROM h{i}p) > 0"
+            f" THEN coalesce(p.s, 0) / (SELECT sum(s) FROM h{i}p)"
+            f" ELSE 0 END AS s"
             f" FROM evm ev LEFT JOIN h{i}p p ON p.v = ev.event_id)"
         )
     return (
         "WITH " + _EDGES_CTE + ",\n" + ",\n".join(parts) + f"""
         SELECT a.v AS event_id, round(a.s, 10) AS auth, round(h.s, 10) AS hub
         FROM a{k} a JOIN h{k} h ON h.v = a.v"""
+    )
+
+
+def _add_weight(batch: pa.Table) -> pa.Table:
+    """THE deterministic edge-weight rule shared by sssp_weighted and
+    pagerank_weighted (and hand-copied into their SQL oracles):
+    w = 1 + (src + dst) % 7 — integer-valued, so float sums stay exact."""
+    s = batch.column("src").to_numpy(zero_copy_only=False)
+    d = batch.column("dst").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "src": batch.column("src"),
+            "dst": batch.column("dst"),
+            "w": pa.array((1 + (s + d) % 7).astype(np.float64)),
+        }
     )
 
 
@@ -487,18 +495,7 @@ def q_sssp_weighted(sf_dir: str):
     so engine and the 40-step unrolled relaxation oracle match bitwise."""
     from ccl_ray.stages.sssp import sssp_weighted
 
-    def add_w(batch: pa.Table) -> pa.Table:
-        s = batch.column("src").to_numpy(zero_copy_only=False)
-        d = batch.column("dst").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "src": batch.column("src"),
-                "dst": batch.column("dst"),
-                "w": pa.array((1 + (s + d) % 7).astype(np.float64)),
-            }
-        )
-
-    edges = build_event_edges(sf_dir).map_batches(add_w, batch_format="pyarrow")
+    edges = build_event_edges(sf_dir).map_batches(_add_weight, batch_format="pyarrow")
     res = sssp_weighted(
         edges, _event_seeds(sf_dir), vertices=event_vertices(sf_dir),
         cfg=_cfg(), max_rounds=40,

@@ -181,8 +181,11 @@ def cooccurrence_edges(events: "rd.Dataset", *, num_partitions: int | None = Non
 
 
 def build_event_edges(sf_dir: str) -> "rd.Dataset":
+    """Materialized: nearly every consumer (CSR shards + vertex shards, or
+    per-round truss rebuilds) reads the edge Dataset more than once, and an
+    unmaterialized build would re-run both derivations per consumer."""
     ev = read_events(sf_dir)
-    return adjacency_edges(ev).union(cooccurrence_edges(ev))
+    return adjacency_edges(ev).union(cooccurrence_edges(ev)).materialize()
 
 
 def event_vertices(sf_dir: str) -> "rd.Dataset":

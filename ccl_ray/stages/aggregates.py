@@ -256,7 +256,7 @@ def grouped_zscore(
     import pyarrow as pa
 
     from ccl_ray.config import resolve_partitions
-    from ccl_ray.functions.hashing import hash_strings_np, stable_hash64_np
+    from ccl_ray.functions.hashing import hash_part_np
 
     P = resolve_partitions(num_partitions)
     in_schema = ds.schema()
@@ -266,13 +266,9 @@ def grouped_zscore(
 
     def route(batch: pa.Table) -> pa.Table:
         gcol = batch.column(group_col)
-        if pa.types.is_string(gtype) or pa.types.is_large_string(gtype):
-            h = hash_strings_np(gcol.to_numpy(zero_copy_only=False))
-        else:
-            h = stable_hash64_np(
-                gcol.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
-            )
-        return batch.append_column("part", pa.array((h % np.uint64(P)).astype(np.int64)))
+        return batch.append_column(
+            "part", pa.array(hash_part_np(gcol, gtype, P))
+        )
 
     def z_part(df: pd.DataFrame) -> pa.Table:
         df = df.drop(columns=["part"])
@@ -378,7 +374,7 @@ def grouped_quantiles(
     import pyarrow as pa
 
     from ccl_ray.config import resolve_partitions
-    from ccl_ray.functions.hashing import hash_strings_np, stable_hash64_np
+    from ccl_ray.functions.hashing import hash_part_np
 
     P = resolve_partitions(num_partitions)
     in_schema = ds.schema()
@@ -389,17 +385,11 @@ def grouped_quantiles(
 
     def route(batch: pa.Table) -> pa.Table:
         gcol = batch.column(group_col)
-        if pa.types.is_string(gtype) or pa.types.is_large_string(gtype):
-            h = hash_strings_np(gcol.to_numpy(zero_copy_only=False))
-        else:
-            h = stable_hash64_np(
-                gcol.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
-            )
         return pa.table(
             {
                 group_col: gcol,
                 val_col: batch.column(val_col),
-                "part": pa.array((h % np.uint64(P)).astype(np.int64)),
+                "part": pa.array(hash_part_np(gcol, gtype, P)),
             }
         )
 

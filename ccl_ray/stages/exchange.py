@@ -10,8 +10,14 @@ P (``num_partitions``) bounds per-partition memory at scale; hot keys can be
 salted by the caller before joining.
 
 Join keys must be non-null; column names of the two sides must be disjoint
-(rename before calling). Payload columns may be any Arrow type (kept in
-Arrow end-to-end — no pandas dtype mangling of nullable ints).
+(rename before calling). Payload columns may be any Arrow type. Dtype
+integrity through Ray's shuffle (which may round-trip blocks via pandas):
+the tagged union zero-fills the other side's columns (null-free int64
+stays int64 — see _pad) and join_part casts back to the declared schema.
+Remaining caveat: an int64 PAYLOAD column whose own data contains nulls
+still promotes to float64 in a pandas round-trip and values above 2^53
+would lose precision — keep full-range int64 payloads non-null (keys
+already are by contract).
 """
 
 from __future__ import annotations
@@ -40,6 +46,26 @@ def _partition_ids(key_arr: pa.ChunkedArray | pa.Array, P: int) -> pa.Array:
     return pa.array(part)
 
 
+def _pad(n: int, t: pa.DataType) -> pa.Array:
+    """Null-FREE filler for the other side's columns in the tagged union.
+
+    Ray's sort shuffle may round-trip blocks through pandas, where an int64
+    column containing nulls promotes to float64 — int64 values above 2^53
+    would then lose low bits SILENTLY (a later cast back to int64 cannot
+    recover them). Zero-filling instead of null-filling keeps integer
+    columns integer through the shuffle; join_part filters by _SIDE before
+    reading any column, so the filler values are never observed."""
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        return pa.array(np.zeros(n, np.int64)).cast(t)
+    if pa.types.is_boolean(t):
+        return pa.array(np.zeros(n, bool))
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.array([""] * n, t)
+    if pa.types.is_timestamp(t):
+        return pa.array(np.zeros(n, np.int64)).cast(t)
+    return pa.nulls(n, t)  # nested/other types: pandas keeps them as objects
+
+
 def _tagged(ds: "rd.Dataset", on: str, P: int, side: int, schema: pa.Schema) -> "rd.Dataset":
     names = [f.name for f in schema]
 
@@ -52,7 +78,7 @@ def _tagged(ds: "rd.Dataset", on: str, P: int, side: int, schema: pa.Schema) -> 
             if f.name in batch.column_names:
                 cols[f.name] = batch.column(f.name).cast(f.type)
             else:
-                cols[f.name] = pa.nulls(n, f.type)
+                cols[f.name] = _pad(n, f.type)
         return pa.table({k: cols[k] for k in [_PART, _SIDE] + names})
 
     return ds.map_batches(tag, batch_format="pyarrow")

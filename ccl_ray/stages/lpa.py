@@ -41,10 +41,7 @@ def _init_labels(vids):
     return vids.copy()
 
 
-@ray.remote
-def _lpa_scatter(plan, csr, labels, P):
-    """(dst, label, count) pieces routed by hash(dst) — grouped protocol
-    (one object, combiners slice their piece)."""
+def _lpa_pieces(plan, csr, labels, P):
     empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
     if plan["n_edges"] == 0:
         return [empty] * P
@@ -69,10 +66,24 @@ def _lpa_scatter(plan, csr, labels, P):
 
 
 @ray.remote
-def _lpa_combine(q, vids, labels, *msg_objs):
+def _lpa_scatter(plan, csr, labels, P):
+    """Grouped protocol: one object of P pieces; combiners slice."""
+    return _lpa_pieces(plan, csr, labels, P)
+
+
+@ray.remote
+def _lpa_scatter_f(plan, csr, labels, P):
+    """Fanout protocol (num_returns=P): each combiner fetches only its
+    piece — the multi-node mode, consistent with the other BSP stages."""
+    out = _lpa_pieces(plan, csr, labels, P)
+    return out[0] if P == 1 else tuple(out)
+
+
+@ray.remote
+def _lpa_combine(q, grouped, vids, labels, *msg_objs):
     if labels.size == 0:
         return labels
-    pieces = [m[q] for m in msg_objs]
+    pieces = [m[q] for m in msg_objs] if grouped else list(msg_objs)
     dst = np.concatenate([p[0] for p in pieces])
     if dst.size == 0:
         return labels
@@ -119,15 +130,34 @@ def lpa_communities(
 
     cfg = cfg or EngineConfig()
     P = cfg.num_partitions
+    grouped = cfg.exchange == "grouped"
     csr = shard_edges_csr(edges, P, symmetrize=True, dedupe=True, drop_self=True)
     vid_refs = shard_vertices(edges, P, vertices_ds=vertices)
     plans = scatter_plans(csr, vid_refs, P)
 
     labels = [_init_labels.remote(vid_refs[p]) for p in range(P)]
     for _ in range(iterations):
-        outs = [_lpa_scatter.remote(plans[p], csr[p], labels[p], P) for p in range(P)]
-        labels = [
-            _lpa_combine.remote(q, vid_refs[q], labels[q], *outs) for q in range(P)
-        ]
+        if grouped:
+            outs = [_lpa_scatter.remote(plans[p], csr[p], labels[p], P) for p in range(P)]
+            labels = [
+                _lpa_combine.remote(q, True, vid_refs[q], labels[q], *outs)
+                for q in range(P)
+            ]
+        else:
+            outs = [
+                ([o] if P == 1 else list(o))
+                for o in (
+                    _lpa_scatter_f.options(num_returns=P).remote(
+                        plans[p], csr[p], labels[p], P
+                    )
+                    for p in range(P)
+                )
+            ]
+            labels = [
+                _lpa_combine.remote(
+                    q, False, vid_refs[q], labels[q], *[outs[p][q] for p in range(P)]
+                )
+                for q in range(P)
+            ]
     tables = [_lpa_table.remote(vid_refs[p], labels[p]) for p in range(P)]
     return rd.from_arrow_refs(tables)

@@ -47,21 +47,26 @@ class SSSPResult:
 
 
 @ray.remote
+def _check_weights(csr) -> bool:
+    """One-time validation (weights are static; the per-round scatters must
+    not rescan them every wave)."""
+    w = csr.get("w")
+    assert w is not None and (w >= 0).all(), "sssp requires non-negative weights"
+    return True
+
+
+@ray.remote
 def _sssp_scatter_g(plan, csr, dist, P):
     """Grouped mode: ONE object holding all P value pieces; each combiner
     slices its piece zero-copy (the piece list is the protocol — do not
     unpack even at P=1)."""
-    w = csr.get("w")
-    assert w is not None and (w >= 0).all(), "sssp requires non-negative weights"
-    vals = dist[plan["edge_src_idx"]] + w
+    vals = dist[plan["edge_src_idx"]] + csr["w"]
     return reduce_routed(plan, vals, np.minimum)
 
 
 @ray.remote
 def _sssp_scatter_f(plan, csr, dist, P):
-    w = csr.get("w")
-    assert w is not None and (w >= 0).all(), "sssp requires non-negative weights"
-    vals = dist[plan["edge_src_idx"]] + w
+    vals = dist[plan["edge_src_idx"]] + csr["w"]
     out = reduce_routed(plan, vals, np.minimum)
     return out[0] if P == 1 else tuple(out)
 
@@ -121,6 +126,7 @@ def sssp_weighted(
         edges, P, symmetrize=True, dedupe=True, drop_self=True, weight_col=weight_col
     )
     vid_refs = shard_vertices(edges, P, vertices_ds=vertices)
+    ray.get([_check_weights.remote(c) for c in csr])  # once, not per round
     plans = scatter_plans(csr, vid_refs, P)
     cplans = combine_plans(vid_refs, plans, P)
     bundle = {"csr": csr, "vids": vid_refs, "plans": plans, "cplans": cplans,

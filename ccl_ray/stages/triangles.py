@@ -338,7 +338,9 @@ def ktruss(edges, k: int = 3, *, cfg: EngineConfig | None = None,
                           "dst": pa.array([], pa.int64())})
             )
             break
-        if max_rounds is not None and rounds >= max_rounds and prev_n != n:
+        # (stability already broke out above, so reaching the cap means
+        # the edge set was still changing this round)
+        if max_rounds is not None and rounds >= max_rounds:
             raise RuntimeError(f"ktruss did not stabilize within {max_rounds} rounds")
         prev_n = n
     return cur, rounds

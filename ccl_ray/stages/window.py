@@ -111,7 +111,7 @@ def running_window(
     keys — no per-key Python round-trips, O(rows/P · log) per task.
     """
     from ccl_ray.config import resolve_partitions
-    from ccl_ray.functions.hashing import hash_strings_np, stable_hash64_np
+    from ccl_ray.functions.hashing import hash_part_np
 
     P = resolve_partitions(num_partitions)
     in_schema = events.schema()
@@ -129,20 +129,13 @@ def running_window(
 
     def route(batch: pa.Table) -> pa.Table:
         kcol = batch.column(key)
-        if pa.types.is_string(key_type) or pa.types.is_large_string(key_type):
-            h = hash_strings_np(kcol.to_numpy(zero_copy_only=False))
-        else:
-            h = stable_hash64_np(
-                kcol.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
-            )
-        part = (h % np.uint64(P)).astype(np.int64)
         return pa.table(
             {
                 key: kcol,
                 ts_col: batch.column(ts_col),
                 id_col: batch.column(id_col),
                 val_col: batch.column(val_col),
-                "part": pa.array(part),
+                "part": pa.array(hash_part_np(kcol, key_type, P)),
             }
         )
 
@@ -206,7 +199,7 @@ def collect_seq(
     vectorized). A key's full sequence lives in one task — same contract
     as sessionize."""
     from ccl_ray.config import resolve_partitions
-    from ccl_ray.functions.hashing import hash_strings_np, stable_hash64_np
+    from ccl_ray.functions.hashing import hash_part_np
 
     P = resolve_partitions(num_partitions)
     in_schema = events.schema()
@@ -217,19 +210,13 @@ def collect_seq(
 
     def route(batch: pa.Table) -> pa.Table:
         kcol = batch.column(key)
-        if pa.types.is_string(key_type) or pa.types.is_large_string(key_type):
-            h = hash_strings_np(kcol.to_numpy(zero_copy_only=False))
-        else:
-            h = stable_hash64_np(
-                kcol.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
-            )
         return pa.table(
             {
                 key: kcol,
                 ts_col: batch.column(ts_col),
                 id_col: batch.column(id_col),
                 val_col: batch.column(val_col),
-                "part": pa.array((h % np.uint64(P)).astype(np.int64)),
+                "part": pa.array(hash_part_np(kcol, key_type, P)),
             }
         )
 
@@ -270,7 +257,7 @@ def sessionize(
     # Partition-grouped: keys route by hash(key) % P and one vectorized
     # lexsort pass per partition sessionizes ALL its keys (a per-key
     # map_groups pays a Python round-trip per user — 100k+ at sf0.1).
-    from ccl_ray.functions.hashing import hash_strings_np, stable_hash64_np
+    from ccl_ray.functions.hashing import hash_part_np
 
     from ccl_ray.config import resolve_partitions
 
@@ -289,19 +276,12 @@ def sessionize(
 
     def route(batch: pa.Table) -> pa.Table:
         kcol = batch.column(key)
-        if pa.types.is_string(key_type) or pa.types.is_large_string(key_type):
-            h = hash_strings_np(kcol.to_numpy(zero_copy_only=False))
-        else:
-            h = stable_hash64_np(
-                kcol.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
-            )
-        part = (h % np.uint64(P)).astype(np.int64)
         return pa.table(
             {
                 key: kcol,
                 ts_col: batch.column(ts_col),
                 id_col: batch.column(id_col),
-                "part": pa.array(part),
+                "part": pa.array(hash_part_np(kcol, key_type, P)),
             }
         )
 

@@ -680,13 +680,13 @@ def test_lpa_communities_vs_oracle():
     nbr = _adj(src, dst, vids)
     for iters in (1, 5):
         want = _lpa_oracle(nbr, iters)
-        for P in (1, 4):
+        for P, mode in ((1, "grouped"), (4, "grouped"), (4, "fanout")):
             df = lpa_communities(
                 _edges_ds(src, dst), iterations=iters, vertices=_vids_ds(vids),
-                cfg=EngineConfig(num_partitions=P),
+                cfg=EngineConfig(num_partitions=P, exchange=mode),
             ).to_pandas()
             got = dict(zip(df["vid"].astype(int), df["community"].astype(int)))
-            assert got == want, f"iters={iters} P={P}"
+            assert got == want, f"iters={iters} P={P} {mode}"
 
 
 def test_lpa_two_cliques_converge():

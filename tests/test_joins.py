@@ -313,3 +313,26 @@ def test_hash_join_preserves_int_types():
         else:
             assert df["k"].tolist() == [1, 2, 3]
             assert pd.isna(df["rv"][0]) and df["rv"][1] == 200
+
+
+def test_hash_join_full_range_int64_keys_survive_shuffle():
+    """Keys above 2^53 must come through the shuffle bit-exact: the tagged
+    union zero-fills (never null-fills) the other side's columns so pandas
+    round-trips cannot promote int64 to float64."""
+    import pyarrow as pa
+
+    from ccl_ray.stages.exchange import hash_join
+
+    big = [(1 << 62) + 1, (1 << 62) + 3, (1 << 53) + 7]
+    l = rd.from_arrow(
+        pa.table({"k": pa.array(big, pa.int64()),
+                  "lv": pa.array([(1 << 60) + 11, (1 << 60) + 12, (1 << 60) + 13], pa.int64())})
+    ).repartition(2)
+    r = rd.from_arrow(
+        pa.table({"rk": pa.array(big, pa.int64()),
+                  "rv": pa.array([(1 << 61) + 5, (1 << 61) + 6, (1 << 61) + 7], pa.int64())})
+    )
+    out = hash_join(l, r, left_on="k", right_on="rk", num_partitions=4).to_pandas()
+    assert sorted(out["k"].tolist()) == sorted(big)
+    assert sorted(out["lv"].tolist()) == [(1 << 60) + 11, (1 << 60) + 12, (1 << 60) + 13]
+    assert sorted(out["rv"].tolist()) == [(1 << 61) + 5, (1 << 61) + 6, (1 << 61) + 7]
