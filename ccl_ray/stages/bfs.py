@@ -30,6 +30,7 @@ import ray
 
 from ccl_ray.config import EngineConfig
 from ccl_ray.state.shards import (
+    as_piece_list,
     apply_combine_plan,
     apply_sparse_pieces,
     reduce_routed,
@@ -273,5 +274,4 @@ def bfs_hops(
     return BFSResult(dists=rd.from_arrow_refs(tables), iterations=it, metrics=metrics)
 
 
-def _pieces(out, P):
-    return [out] if P == 1 else list(out)
+_pieces = as_piece_list

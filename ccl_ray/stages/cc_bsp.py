@@ -33,6 +33,7 @@ import ray
 
 from ccl_ray.config import EngineConfig
 from ccl_ray.state.shards import (
+    as_piece_list,
     apply_combine_plan,
     apply_sparse_pieces,
     combine_plans,
@@ -60,8 +61,7 @@ class CCResult:
     metrics: list = field(default_factory=list)
 
 
-def _as_list(out, P):
-    return [out] if P == 1 else list(out)
+_as_list = as_piece_list
 
 
 # ----------------------------------------------------------------- tasks

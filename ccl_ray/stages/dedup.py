@@ -194,9 +194,13 @@ def minhash_candidates(
         ids = ids[keep]
         return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
 
+    from ccl_ray.functions.bind import bound_class
+
+    # ctor kwargs baked into the class by value (not via fn_constructor_kwargs
+    # through the object store) so actor restarts never fail on lost args
     sigs = docs.map_batches(
-        MinHashSig, batch_format="pandas", concurrency=(1, 8),
-        fn_constructor_kwargs={"num_perms": num_perms, "shingle_k": shingle_k},
+        bound_class(MinHashSig, num_perms=num_perms, shingle_k=shingle_k),
+        batch_format="pandas", concurrency=(1, 8),
     )
     buckets = sigs.map_batches(explode, batch_format="pandas").map_batches(
         route, batch_format="pyarrow"
@@ -525,11 +529,12 @@ class SimHashSig:
 
 
 def simhash_signatures(docs: "rd.Dataset", *, chunk: int = _SIMHASH_CHUNK) -> "rd.Dataset":
+    from ccl_ray.functions.bind import bound_class
+
     return docs.map_batches(
-        SimHashSig,
+        bound_class(SimHashSig, chunk=chunk),
         batch_format="pandas",
         concurrency=(1, 8),
-        fn_constructor_kwargs={"chunk": chunk},
     )
 
 

@@ -29,6 +29,7 @@ import ray
 
 from ccl_ray.config import EngineConfig
 from ccl_ray.state.shards import (
+    as_piece_list,
     apply_combine_plan,
     combine_plans,
     reduce_routed,
@@ -90,8 +91,7 @@ def _hits_table(vids, auth, hub, round_to):
     )
 
 
-def _pieces(obj, P):
-    return [obj] if P == 1 else list(obj)
+_pieces = as_piece_list
 
 
 def _wave(state, plans, cplans, vids, P, grouped):

@@ -43,6 +43,7 @@ import ray
 
 from ccl_ray.config import EngineConfig
 from ccl_ray.state.shards import (
+    as_piece_list,
     apply_combine_plan,
     apply_sparse_pieces,
     reduce_routed,
@@ -244,5 +245,4 @@ def kcore_bsp(
                        metrics=metrics)
 
 
-def _as_pieces(out, P):
-    return [out] if P == 1 else list(out)
+_as_pieces = as_piece_list

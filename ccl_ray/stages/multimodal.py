@@ -187,12 +187,13 @@ def frame_sample(media: "rd.Dataset", *, every_k: int = 2, fake: bool = True,
                  batch_size: int = 64) -> "rd.Dataset":
     """Frame-sampling wiring: tiny batches (video payloads are wide), actor
     pool, one-to-many row fanout."""
+    from ccl_ray.functions.bind import bound_class
+
     return media.map_batches(
-        FrameSample,
+        bound_class(FrameSample, every_k=every_k, fake=fake),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, 4),
-        fn_constructor_kwargs={"every_k": every_k, "fake": fake},
     )
 
 
@@ -218,10 +219,11 @@ def docs_to_videos(docs: "rd.Dataset") -> "rd.Dataset":
 
 def media_meta(media: "rd.Dataset", *, fake: bool = True, batch_size: int = 256) -> "rd.Dataset":
     """Decode stage wiring: small batches (payload width!), actor pool."""
+    from ccl_ray.functions.bind import bound_class
+
     return media.map_batches(
-        DecodeImage,
+        bound_class(DecodeImage, fake=fake),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, 4),
-        fn_constructor_kwargs={"fake": fake},
     )

@@ -32,6 +32,7 @@ import ray
 
 from ccl_ray.config import EngineConfig
 from ccl_ray.state.shards import (
+    as_piece_list,
     apply_combine_plan,
     combine_plans,
     reduce_routed,
@@ -48,8 +49,7 @@ class PRResult:
     metrics: list = field(default_factory=list)
 
 
-def _as_list(out, P):
-    return [out] if P == 1 else list(out)
+_as_list = as_piece_list
 
 
 @ray.remote

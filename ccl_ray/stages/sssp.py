@@ -30,6 +30,7 @@ import ray
 
 from ccl_ray.config import EngineConfig
 from ccl_ray.state.shards import (
+    as_piece_list,
     apply_combine_plan,
     combine_plans,
     reduce_routed,
@@ -99,8 +100,7 @@ def _sssp_table(vids, dist):
     )
 
 
-def _pieces(obj, P):
-    return [obj] if P == 1 else list(obj)
+_pieces = as_piece_list
 
 
 def sssp_weighted(

@@ -27,11 +27,10 @@ import numpy as np
 import ray
 
 from ccl_ray.config import EngineConfig
-from ccl_ray.state.shards import part_of, shard_edges_csr, shard_vertices
+from ccl_ray.state.shards import as_piece_list, part_of, shard_edges_csr, shard_vertices
 
 
-def _as_list(out, P):
-    return [out] if P == 1 else list(out)
+_as_list = as_piece_list
 
 
 @ray.remote

@@ -155,6 +155,10 @@ def running_window(
         key_start = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
         idx = np.arange(n)
         running_count = idx - key_start + 1
+        vals = np.asarray(vals, np.float64)
+        # a NaN here would become an undefined int64 and silently corrupt the
+        # cumulative sum for every later row of the key — fail loudly instead
+        assert not np.isnan(vals).any(), "running_window: null/NaN value rows"
         cents = np.floor(vals * 100.0 + 0.5).astype(np.int64)
         csum = np.cumsum(cents)
         seg_base = csum[key_start] - cents[key_start]

@@ -42,7 +42,11 @@ def _wnorm(csr):
     assert w is not None, "weighted pagerank requires weight_col edges"
     if w.size == 0:
         return w
+    assert (w >= 0).all(), "weighted pagerank requires non-negative weights"
     W = np.add.reduceat(w, csr["indptr"][:-1])
+    # a vertex whose edges all weigh 0 has no defined distribution — fail
+    # loudly (mirrors sssp's _check_weights) instead of emitting NaN scores
+    assert (W > 0).all(), "weighted pagerank: vertex with zero total out-weight"
     return w / np.repeat(W, csr["outdeg"])
 
 

@@ -35,6 +35,7 @@ import pyarrow as pa
 import ray
 
 from ccl_ray.state.shards import (
+    as_piece_list,
     _build_csr,
     combine_plans,
     part_of,
@@ -45,8 +46,7 @@ from ccl_ray.state.shards import (
 _SAMPLES_PER_SHARD = 256
 
 
-def _as_list(out, P):
-    return [out] if P == 1 else list(out)
+_as_list = as_piece_list
 
 
 # ------------------------------------------------------------- rank build
@@ -217,7 +217,7 @@ def build_dense_graph_shards(edges_ds, P: int, *, vertices_ds=None,
     ]
     if P == 1:
         m3 = [[m] for m in m3]
-    csr = [_build_csr.remote(False, False, *[row[p] for row in m3]) for p in range(P)]
+    csr = [_build_csr.remote(False, False, False, *[row[p] for row in m3]) for p in range(P)]
 
     # 6: dense vid shards by hash(dense)
     vroute = _dense_vids_route.options(num_returns=P)

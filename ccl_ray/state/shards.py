@@ -27,6 +27,16 @@ import ray
 from ccl_ray.functions.hashing import stable_hash64_np
 
 
+def as_piece_list(out, P: int) -> list:
+    """Normalize a task's per-partition output to a list of P pieces.
+
+    ``num_returns=P`` tasks unpack into P refs only when P > 1; at P == 1 Ray
+    hands back the single object itself. Every BSP stage consuming routed
+    pieces needs this unwrap (single definition here — previously copied in
+    cc_bsp/pagerank_bsp/triangles/bfs/hits/sssp/kcore/dense)."""
+    return [out] if P == 1 else list(out)
+
+
 def part_of(vids: np.ndarray, P: int) -> np.ndarray:
     return (stable_hash64_np(vids.astype(np.int64).view(np.uint64)) % np.uint64(P)).astype(
         np.int64
@@ -107,18 +117,23 @@ def _split_vids(block: pa.Table, cols: list, P: int):
 
 
 @ray.remote
-def _build_csr(dedupe, drop_self, *pieces):
+def _build_csr(dedupe, drop_self, weighted, *pieces):
     """Concat (src,dst) pieces for one partition into a CSR shard.
 
     Returns dict: srcs (sorted unique), indptr, dst (edge targets grouped by
     src), outdeg. Stored once in plasma; every round reads it zero-copy.
     ``dedupe`` removes duplicate (src,dst) pairs; ``drop_self`` removes
-    self-loops (both required by e.g. triangle counting).
+    self-loops (both required by e.g. triangle counting). ``weighted`` is
+    threaded explicitly from the caller (not inferred from piece arity) so a
+    weight_col request with zero input blocks still yields an empty "w" —
+    downstream weight guards (sssp/_wnorm) then see an empty graph, not a
+    missing column.
     """
     s = np.concatenate([p[0] for p in pieces]) if pieces else np.empty(0, np.int64)
     d = np.concatenate([p[1] for p in pieces]) if pieces else np.empty(0, np.int64)
-    weighted = bool(pieces) and len(pieces[0]) == 3
-    w = np.concatenate([p[2] for p in pieces]) if weighted else None
+    w = (
+        np.concatenate([p[2] for p in pieces]) if pieces else np.empty(0, np.float64)
+    ) if weighted else None
     if drop_self and s.size:
         keep = s != d
         s, d = s[keep], d[keep]
@@ -166,7 +181,11 @@ def shard_edges_csr(edges_ds, P: int, *, symmetrize: bool = False,
     matrix = [split.remote(b, src_col, dst_col, P, symmetrize, weight_col) for b in block_refs]
     if P == 1:
         matrix = [[m] for m in matrix]
-    return [_build_csr.remote(dedupe, drop_self, *[row[p] for row in matrix]) for p in range(P)]
+    weighted = weight_col is not None
+    return [
+        _build_csr.remote(dedupe, drop_self, weighted, *[row[p] for row in matrix])
+        for p in range(P)
+    ]
 
 
 def shard_vertices(edges_ds, P: int, *, vertices_ds=None,
