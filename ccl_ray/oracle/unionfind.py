@@ -79,6 +79,88 @@ def pagerank_oracle(
     return {int(v): float(score[i]) for i, v in enumerate(vids)}
 
 
+def hits_oracle(
+    src: np.ndarray,
+    dst: np.ndarray,
+    vids: np.ndarray,
+    tol: float = 1e-10,
+    max_iters: int = 100,
+) -> tuple[dict[int, float], dict[int, float], int]:
+    """Dense numpy HITS twin of stages/hits.py's converged loop: directed
+    deduped loop-free edges, auth then hub half-steps each L1-normalized,
+    stop when BOTH vectors' L1 deltas < tol. Returns (auth, hub, iters)."""
+    vids = np.asarray(sorted(set(vids.tolist())), dtype=np.int64)
+    idx = {int(v): i for i, v in enumerate(vids)}
+    n = len(vids)
+    pairs = sorted({(idx[int(a)], idx[int(b)]) for a, b in zip(src, dst) if a != b})
+    s = np.array([p[0] for p in pairs], np.int64)
+    d = np.array([p[1] for p in pairs], np.int64)
+    auth = np.ones(n)
+    hub = np.ones(n)
+    it = 0
+    while True:
+        a_new = np.bincount(d, weights=hub[s], minlength=n) if len(s) else np.zeros(n)
+        t = a_new.sum()
+        if t:
+            a_new /= t
+        h_new = np.bincount(s, weights=a_new[d], minlength=n) if len(s) else np.zeros(n)
+        t = h_new.sum()
+        if t:
+            h_new /= t
+        l1 = max(np.abs(a_new - auth).sum(), np.abs(h_new - hub).sum())
+        auth, hub = a_new, h_new
+        it += 1
+        if l1 < tol or it >= max_iters:
+            break
+    return (
+        {int(v): float(auth[i]) for i, v in enumerate(vids)},
+        {int(v): float(hub[i]) for i, v in enumerate(vids)},
+        it,
+    )
+
+
+def weighted_pagerank_oracle(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    vids: np.ndarray,
+    damping: float = 0.85,
+    tol: float = 1e-10,
+    max_iters: int = 100,
+) -> tuple[dict[int, float], int]:
+    """Dense numpy twin of stages/wpagerank.py's converged loop: symmetrized
+    deduped (min weight per pair) loop-free edges, transition mass
+    w(u,v)/W(u), dangling mass spread uniformly. Returns (scores, iters)."""
+    vids = np.asarray(sorted(set(vids.tolist())), dtype=np.int64)
+    idx = {int(v): i for i, v in enumerate(vids)}
+    n = len(vids)
+    best: dict[tuple[int, int], float] = {}
+    for a, b, ww in zip(src, dst, w):
+        if a == b:
+            continue
+        for pair in ((idx[int(a)], idx[int(b)]), (idx[int(b)], idx[int(a)])):
+            if pair not in best or ww < best[pair]:
+                best[pair] = float(ww)
+    s = np.array([p[0] for p in best], np.int64)
+    d = np.array([p[1] for p in best], np.int64)
+    ew = np.array(list(best.values()), np.float64)
+    W = np.bincount(s, weights=ew, minlength=n)
+    has_edge = W > 0
+    score = np.full(n, 1.0 / n)
+    it = 0
+    while True:
+        contrib = score[s] * ew / W[s] if len(s) else np.empty(0)
+        agg = np.bincount(d, weights=contrib, minlength=n) if len(s) else np.zeros(n)
+        dangling = score[~has_edge].sum()
+        new = (1.0 - damping) / n + damping * (agg + dangling / n)
+        l1 = np.abs(new - score).sum()
+        score = new
+        it += 1
+        if l1 < tol or it >= max_iters:
+            break
+    return {int(v): float(score[i]) for i, v in enumerate(vids)}, it
+
+
 def triangle_oracle(src: np.ndarray, dst: np.ndarray) -> int:
     """Brute-force triangle count on canonical undirected edges."""
     edges = {(min(int(a), int(b)), max(int(a), int(b))) for a, b in zip(src, dst) if a != b}

@@ -411,3 +411,114 @@ def grouped_quantiles(
         .groupby("part")
         .map_groups(q_part, batch_format="pandas")
     )
+
+
+def modularity(
+    edges: "rd.Dataset",
+    communities: "rd.Dataset",
+    *,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Newman modularity Q of the vertex partition ``communities``
+    (vid, community) over the simple undirected loop-free graph of
+    ``edges`` (canonicalized min→max + deduped here):
+
+        Q = intra/m − Σ_c d_c² / (4 m²)
+
+    m = #distinct undirected edges, intra = #edges whose endpoints share a
+    community, d_c = Σ degree over community c. Every partial is
+    INTEGER-exact — the squared community-degree sum is accumulated in
+    Python ints per block (arbitrary precision, no int64 overflow at any
+    scale) and shipped as strings — so the single float expression at the
+    end evaluates in the same operation order as the SQL oracle
+    (community-quality analog of the reference's per-component aggregates,
+    ccl_marker_stack.py:904-930). Distributed shape: one edge dedupe, two
+    hash joins (community resolve per endpoint), degree + per-community
+    sum partials; the driver only ever sees P-bounded scalar partials.
+
+    Returns a 1-row Arrow table (m, intra_edges, n_communities,
+    modularity round 6)."""
+    from ccl_ray.stages.exchange import hash_join
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {"a": pa.array(np.minimum(s, d)), "b": pa.array(np.maximum(s, d))}
+        )
+
+    canon_e = (
+        partial_sum_agg(
+            edges.select_columns(["src", "dst"]).map_batches(canon, batch_format="pyarrow"),
+            ["a", "b"], {}, count_as="_n",
+        )
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+    m = canon_e.count()
+    nc = partial_sum_agg(
+        communities.select_columns(["community"]), ["community"], {}, count_as="_n"
+    ).count()
+    if m == 0:
+        # no edges → both Q terms are 0; skip the joins entirely (an
+        # all-empty dataset downstream of map_batches has no schema to join)
+        return pa.table(
+            {
+                "m": pa.array([0], pa.int64()),
+                "intra_edges": pa.array([0], pa.int64()),
+                "n_communities": pa.array([nc], pa.int64()),
+                "modularity": pa.array([0.0], pa.float64()),
+            }
+        )
+
+    ca = communities.rename_columns({"vid": "av", "community": "ca"})
+    cb = communities.rename_columns({"vid": "bv", "community": "cb"})
+    j2 = hash_join(
+        hash_join(canon_e, ca, left_on="a", right_on="av",
+                  num_partitions=num_partitions),
+        cb, left_on="b", right_on="bv", num_partitions=num_partitions,
+    )
+
+    def intra_part(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        eq = pc.sum(pc.cast(pc.equal(batch.column("ca"), batch.column("cb")),
+                            pa.int64())).as_py()
+        return pa.table({"n": pa.array([int(eq or 0)], pa.int64())})
+
+    intra = int(
+        j2.map_batches(intra_part, batch_format="pyarrow").to_pandas()["n"].sum()
+    )
+
+    deg = degrees(canon_e.rename_columns({"a": "src", "b": "dst"}))
+    jd = hash_join(
+        deg, communities.rename_columns({"vid": "dv"}),
+        left_on="vid", right_on="dv", num_partitions=num_partitions,
+    )
+    # d_c per community of the PARTITION (a community of isolated vertices
+    # still counts toward nc above; it contributes 0 to both Q terms)
+    dc = partial_sum_agg(
+        jd.select_columns(["community", "degree"]), ["community"], {"degree": "d_c"}
+    ).materialize()
+
+    def s2_part(df: pd.DataFrame) -> pa.Table:
+        v = df["d_c"].to_numpy().astype(object)
+        return pa.table({"s2": pa.array([str(int((v * v).sum()) if len(v) else 0)],
+                                        pa.string())})
+
+    s2 = sum(
+        int(x) for x in
+        dc.map_batches(s2_part, batch_format="pandas").to_pandas()["s2"]
+    )
+
+    q = 0.0 if m == 0 else round(intra / m - s2 / (4.0 * m * m), 6)
+    return pa.table(
+        {
+            "m": pa.array([m], pa.int64()),
+            "intra_edges": pa.array([intra], pa.int64()),
+            "n_communities": pa.array([nc], pa.int64()),
+            "modularity": pa.array([q], pa.float64()),
+        }
+    )

@@ -79,6 +79,11 @@ def _scale(x, s):
 
 
 @ray.remote
+def _l1_delta(new, old) -> float:
+    return float(np.abs(new - old).sum())
+
+
+@ray.remote
 def _hits_table(vids, auth, hub, round_to):
     import pyarrow as pa
 
@@ -118,17 +123,12 @@ def _wave(state, plans, cplans, vids, P, grouped):
     return [_scale.remote(vec[p], total) for p in range(P)]
 
 
-def hits_fixed(
-    edges,
-    *,
-    iterations: int = 12,
-    vertices=None,
-    cfg: EngineConfig | None = None,
-    round_to: int = 10,
-):
-    """(vid, auth, hub) after exactly ``iterations`` L1-normalized HITS
-    rounds on the directed (deduped, loop-free) graph of ``edges``;
-    hub starts at 1.0 per vertex. Scores rounded to ``round_to``."""
+def _hits_run(edges, vertices, cfg, round_to, *, iterations=None, tol=None,
+              max_iters=None):
+    """Shared driver: fixed-count (``iterations``) or run-to-convergence
+    (``tol``/``max_iters``; stop when BOTH normalized vectors' L1 deltas
+    drop below tol — the per-iteration sync is 2P scalars, the same cost
+    pagerank_bsp pays)."""
     import pyarrow as pa
 
     import ray.data as rd
@@ -154,9 +154,56 @@ def hits_fixed(
 
     hub = [_ones.remote(vids[p]) for p in range(P)]
     auth = hub
-    for _ in range(iterations):
+    it = 0
+    while True:
+        auth_old, hub_old = auth, hub
         auth = _wave(hub, plans_f, cplans_f, vids, P, grouped)
         hub = _wave(auth, plans_r, cplans_r, vids, P, grouped)
+        it += 1
+        if iterations is not None:
+            if it >= iterations:
+                break
+        else:
+            deltas = ray.get(
+                [_l1_delta.remote(auth[p], auth_old[p]) for p in range(P)]
+                + [_l1_delta.remote(hub[p], hub_old[p]) for p in range(P)]
+            )
+            l1 = max(sum(deltas[:P]), sum(deltas[P:]))
+            if l1 < tol or it >= max_iters:
+                break
 
     tables = [_hits_table.remote(vids[p], auth[p], hub[p], round_to) for p in range(P)]
-    return rd.from_arrow_refs(tables)
+    return rd.from_arrow_refs(tables), it
+
+
+def hits_fixed(
+    edges,
+    *,
+    iterations: int = 12,
+    vertices=None,
+    cfg: EngineConfig | None = None,
+    round_to: int = 10,
+):
+    """(vid, auth, hub) after exactly ``iterations`` L1-normalized HITS
+    rounds on the directed (deduped, loop-free) graph of ``edges``;
+    hub starts at 1.0 per vertex. Scores rounded to ``round_to``."""
+    ds, _ = _hits_run(edges, vertices, cfg, round_to, iterations=iterations)
+    return ds
+
+
+def hits_converged(
+    edges,
+    *,
+    tol: float = 1e-10,
+    max_iters: int = 100,
+    vertices=None,
+    cfg: EngineConfig | None = None,
+    round_to: int = 10,
+):
+    """Run-to-convergence HITS: iterate until both the auth and hub L1
+    deltas fall below ``tol`` (or ``max_iters``). Returns
+    ((vid, auth, hub) Dataset, iterations run) — the tol twin of
+    hits_fixed, mirroring pagerank_bsp's convergence contract."""
+    return _hits_run(
+        edges, vertices, cfg, round_to, tol=tol, max_iters=max_iters
+    )

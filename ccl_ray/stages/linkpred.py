@@ -19,11 +19,17 @@ instead of closed against an oriented edge):
    partition-local by construction), then partition top-k.
 4. driver merges P small top-k tables (≤ P·k rows).
 
-Scale guard: centers with degree > ``max_center_degree`` emit no wedges
-(hub pairs are the classic quadratic blowup; the cap bounds total wedges
-by E·cap/2). The number of skipped centers is returned so callers whose
-oracle assumes full enumeration can assert it is zero (the minhash
-hot-bucket contract, dedup.py, is the precedent).
+Scale guard: centers with degree > ``max_center_degree`` are EXCLUDED
+from the per-shard pass (hub pairs are the classic quadratic blowup) and
+routed to the exact hub path instead: each hub's sorted neighbor list is
+split into ranges of ≤ cap ids, and every (range_i, range_j) block of
+its wedge cross-product is enumerated by a budget-bounded task
+(``_hub_wedges``) emitting the same routed pair partials. Results are
+therefore exact at ANY skew; the cap only bounds per-task memory
+(≤ cap² wedges per block, ~4M per task). Total work stays O(Σ deg(c)²)
+— that is the cost of the exact answer, paid as more tasks, never as a
+bigger task. (Same salted-range trick as the star builders in
+sources/transcripts.py.)
 """
 
 from __future__ import annotations
@@ -62,11 +68,13 @@ def _route_by_a(a, b, v, P):
 
 @ray.remote
 def _wedge_partials(csr, P, cap, aa=False):
-    """(pieces routed by hash(a), n_skipped_centers) for one shard.
+    """Pieces routed by hash(a) for one shard's NON-HUB centers.
 
     ``aa=False``: wedge value 1 per pair → partial common-neighbor counts.
     ``aa=True``: wedge value 1/ln(deg(center)) → partial Adamic-Adar sums
     (centers with degree < 2 emit no wedges, so ln(deg) ≥ ln 2 > 0).
+    Centers with degree > ``cap`` emit nothing here — their full wedge set
+    comes from the budget-bounded hub tasks (``_hub_wedges``).
     """
     dst, indptr, outdeg = csr["dst"], csr["indptr"], csr["outdeg"]
     n_e = len(dst)
@@ -74,16 +82,15 @@ def _wedge_partials(csr, P, cap, aa=False):
     empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, vdt))
     if n_e == 0:
         out = tuple(empty for _ in range(P))
-        return (out[0] if P == 1 else out), 0
-    skipped = int((outdeg > cap).sum())
-    # per-edge count of partners AFTER it in its (non-capped) segment
+        return out[0] if P == 1 else out
+    # per-edge count of partners AFTER it in its (non-hub) segment
     seg_end = np.repeat(indptr[1:], outdeg)
     counts = seg_end - np.arange(n_e) - 1
     counts[np.repeat(outdeg > cap, outdeg)] = 0
     total = int(counts.sum())
     if total == 0:
         out = tuple(empty for _ in range(P))
-        return (out[0] if P == 1 else out), skipped
+        return out[0] if P == 1 else out
     first = np.repeat(np.arange(n_e), counts)
     within = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
     a = dst[first]
@@ -99,7 +106,109 @@ def _wedge_partials(csr, P, cap, aa=False):
     else:
         a2, b2, red = _pair_reduce(a, b, np.ones(len(a), np.int64), np.add)
     out = _route_by_a(a2, b2, red, P)
-    return (out[0] if P == 1 else out), skipped
+    return out[0] if P == 1 else out
+
+
+@ray.remote
+def _hub_info(csr, cap):
+    """(row indices, degrees) of this shard's hub centers (deg > cap) —
+    a tiny table the driver uses to pack hub wedge blocks into tasks."""
+    hub = np.flatnonzero(csr["outdeg"] > cap)
+    return hub.astype(np.int64), csr["outdeg"][hub].astype(np.int64)
+
+
+@ray.remote
+def _hub_wedges(csr, P, cap, aa, rows, iis, jjs):
+    """Exact wedge partials for a budgeted batch of hub range-blocks.
+
+    Each (row, i, j) names one block of the hub's wedge cross-product:
+    range_i × range_j of its sorted neighbor list (ranges of ≤ cap ids;
+    i == j is the triangular within-range block, i < j the full rectangle
+    — a < b holds by construction because the list is sorted). The Python
+    loop is over BLOCKS (≥ ~cap²/2 wedges each), with every block
+    generated vectorized, so per-wedge cost matches the non-hub pass.
+    Output shape is identical to ``_wedge_partials``.
+    """
+    dst, indptr, outdeg = csr["dst"], csr["indptr"], csr["outdeg"]
+    A, B, V = [], [], []
+    for r, i, j in zip(rows, iis, jjs):
+        nb = dst[indptr[r] : indptr[r + 1]]
+        ci = nb[i * cap : (i + 1) * cap]
+        if i == j:
+            ai, bi = np.triu_indices(len(ci), k=1)
+            a, b = ci[ai], ci[bi]
+        else:
+            cj = nb[j * cap : (j + 1) * cap]
+            a = np.repeat(ci, len(cj))
+            b = np.tile(cj, len(ci))
+        A.append(a)
+        B.append(b)
+        if aa:
+            V.append(np.full(len(a), 1.0 / np.log(outdeg[r]), np.float64))
+    vdt = np.float64 if aa else np.int64
+    if not A:
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, vdt))
+        out = tuple(empty for _ in range(P))
+        return out[0] if P == 1 else out
+    a = np.concatenate(A)
+    b = np.concatenate(B)
+    v = np.concatenate(V) if aa else np.ones(len(a), np.int64)
+    a2, b2, red = _pair_reduce(a, b, v, np.add)
+    out = _route_by_a(a2, b2, red, P)
+    return out[0] if P == 1 else out
+
+
+def _hub_groups(rows: np.ndarray, degs: np.ndarray, cap: int, budget: int):
+    """Pack one shard's hub wedge blocks into task groups of ≤ ~budget wedges.
+
+    Yields (rows, iis, jjs) triples per group. Driver-side cost is
+    O(#blocks) = O(Σ ceil(deg/cap)²) small ints — proportional to total
+    wedge work / cap², never to the wedges themselves.
+    """
+    if not len(rows):
+        return
+    g_rows, g_ii, g_jj, g_w = [], [], [], []
+    for r, d in zip(rows, degs):
+        nc = int(-(-d // cap))
+        sizes = np.full(nc, cap, np.int64)
+        sizes[-1] = d - cap * (nc - 1)
+        ii, jj = np.triu_indices(nc)
+        w = np.where(ii == jj, sizes[ii] * (sizes[ii] - 1) // 2, sizes[ii] * sizes[jj])
+        keep = w > 0
+        g_rows.append(np.full(int(keep.sum()), r, np.int64))
+        g_ii.append(ii[keep].astype(np.int64))
+        g_jj.append(jj[keep].astype(np.int64))
+        g_w.append(w[keep])
+    rows_c = np.concatenate(g_rows)
+    ii_c = np.concatenate(g_ii)
+    jj_c = np.concatenate(g_jj)
+    w_c = np.concatenate(g_w)
+    # greedy pack by running wedge count; a group can overshoot by at most
+    # one block (≤ cap² wedges), which the budget dwarfs
+    gid = (np.cumsum(w_c) - w_c) // budget
+    bounds = np.searchsorted(gid, np.arange(gid[-1] + 2) if len(gid) else [0])
+    for g in range(len(bounds) - 1):
+        lo, hi = bounds[g], bounds[g + 1]
+        if lo < hi:
+            yield rows_c[lo:hi], ii_c[lo:hi], jj_c[lo:hi]
+
+
+_HUB_WEDGE_BUDGET = 1 << 22  # ~4M wedges per hub task
+
+
+def _wedge_piece_objs(csr, P, cap, aa):
+    """All routed wedge-partial refs for a sharded graph: one non-hub task
+    per shard plus budget-bounded exact hub tasks (empty when no center
+    exceeds ``cap``). Downstream merges are additive, so hub pieces simply
+    append to the piece list."""
+    piece_objs = [_wedge_partials.remote(c, P, cap, aa) for c in csr]
+    hubinfo = ray.get([_hub_info.remote(c, cap) for c in csr])
+    for shard_idx, (rows, degs) in enumerate(hubinfo):
+        for rows_g, ii_g, jj_g in _hub_groups(rows, degs, cap, _HUB_WEDGE_BUDGET):
+            piece_objs.append(
+                _hub_wedges.remote(csr[shard_idx], P, cap, aa, rows_g, ii_g, jj_g)
+            )
+    return piece_objs
 
 
 @ray.remote
@@ -137,23 +246,11 @@ def _finalize_topk(q, csr, k, P, col, round_to, *piece_objs):
                      col: pa.array(cn, vdt)})
 
 
-def _pairs_topk(
-    edges, k, cfg, max_center_degree, require_complete, *, aa, col, round_to
-) -> pa.Table:
+def _pairs_topk(edges, k, cfg, max_center_degree, *, aa, col, round_to) -> pa.Table:
     cfg = cfg or EngineConfig()
     P = cfg.num_partitions
     csr = shard_edges_csr(edges, P, symmetrize=True, dedupe=True, drop_self=True)
-    parts = [
-        _wedge_partials.options(num_returns=2).remote(c, P, max_center_degree, aa)
-        for c in csr
-    ]
-    piece_objs = [p[0] for p in parts]
-    skipped = sum(ray.get([p[1] for p in parts]))
-    if require_complete and skipped:
-        raise AssertionError(
-            f"{skipped} centers exceeded max_center_degree={max_center_degree}; "
-            "top-k would be incomplete vs a full-enumeration oracle"
-        )
+    piece_objs = _wedge_piece_objs(csr, P, max_center_degree, aa)
     tops = ray.get([
         _finalize_topk.remote(q, csr[q], k, P, col, round_to, *piece_objs)
         for q in range(P)
@@ -233,30 +330,20 @@ def jaccard_topk(
     *,
     cfg: EngineConfig | None = None,
     max_center_degree: int = 512,
-    require_complete: bool = False,
 ) -> pa.Table:
     """Top-k non-adjacent pairs by neighborhood Jaccard
     |N(a)∩N(b)| / |N(a)∪N(b)|, ties (score DESC, a, b).
 
-    Same wedge enumeration as common_neighbors_topk; the union size needs
-    both endpoint degrees, each of which is partition-local in a DIFFERENT
-    partition — so survivors take one extra routed exchange (hash(a) →
-    hash(b)) instead of any degree-map broadcast. Scores round to 6 before
-    ranking (same determinism contract as adamic_adar_topk)."""
+    Same wedge enumeration as common_neighbors_topk (exact at any skew via
+    the hub path); the union size needs both endpoint degrees, each of
+    which is partition-local in a DIFFERENT partition — so survivors take
+    one extra routed exchange (hash(a) → hash(b)) instead of any degree-map
+    broadcast. Scores round to 6 before ranking (same determinism contract
+    as adamic_adar_topk)."""
     cfg = cfg or EngineConfig()
     P = cfg.num_partitions
     csr = shard_edges_csr(edges, P, symmetrize=True, dedupe=True, drop_self=True)
-    parts = [
-        _wedge_partials.options(num_returns=2).remote(c, P, max_center_degree, False)
-        for c in csr
-    ]
-    piece_objs = [p[0] for p in parts]
-    skipped = sum(ray.get([p[1] for p in parts]))
-    if require_complete and skipped:
-        raise AssertionError(
-            f"{skipped} centers exceeded max_center_degree={max_center_degree}; "
-            "top-k would be incomplete vs a full-enumeration oracle"
-        )
+    piece_objs = _wedge_piece_objs(csr, P, max_center_degree, False)
     stage2 = [_jaccard_stage2.remote(q, csr[q], P, *piece_objs) for q in range(P)]
     tops = ray.get([
         _jaccard_topk_at_b.remote(r, csr[r], k, P, *stage2) for r in range(P)
@@ -319,15 +406,15 @@ def two_hop_neighborhood(
     vertices=None,
     cfg: EngineConfig | None = None,
     max_center_degree: int = 512,
-    require_complete: bool = False,
 ):
     """(vid, n_within_2): distinct vertices within ≤2 hops, excluding self —
     the neighborhood-growth statistic (friend-of-friend reach).
 
-    Reuses the capped wedge enumeration (2-hop pairs through each center)
-    plus the 1-hop edges; distinct-partner counting happens at each
-    vertex's hash owner after a pair-deduped exchange, so no vertex's
-    2-hop set is ever materialized outside its owner task."""
+    Reuses the wedge enumeration (2-hop pairs through each center; exact at
+    any skew via the hub path) plus the 1-hop edges; distinct-partner
+    counting happens at each vertex's hash owner after a pair-deduped
+    exchange, so no vertex's 2-hop set is ever materialized outside its
+    owner task."""
     import ray.data as rd
 
     cfg = cfg or EngineConfig()
@@ -336,17 +423,7 @@ def two_hop_neighborhood(
 
     csr = shard_edges_csr(edges, P, symmetrize=True, dedupe=True, drop_self=True)
     vid_refs = shard_vertices(edges, P, vertices_ds=vertices)
-    parts = [
-        _wedge_partials.options(num_returns=2).remote(c, P, max_center_degree, False)
-        for c in csr
-    ]
-    piece_objs = [p[0] for p in parts]
-    skipped = sum(ray.get([p[1] for p in parts]))
-    if require_complete and skipped:
-        raise AssertionError(
-            f"{skipped} centers exceeded max_center_degree={max_center_degree}; "
-            "2-hop sets through them would be incomplete"
-        )
+    piece_objs = _wedge_piece_objs(csr, P, max_center_degree, False)
     routed = [_twohop_route.remote(q, csr[q], P, *piece_objs) for q in range(P)]
     tables = [_twohop_count.remote(r, vid_refs[r], P, *routed) for r in range(P)]
     return rd.from_arrow_refs(tables)
@@ -358,16 +435,15 @@ def common_neighbors_topk(
     *,
     cfg: EngineConfig | None = None,
     max_center_degree: int = 512,
-    require_complete: bool = False,
 ) -> pa.Table:
     """Top-k non-adjacent pairs by shared-neighbor count.
 
     Returns a small pa.Table (a, b, common_neighbors) sorted by
-    (common_neighbors DESC, a, b), ≤ k rows. ``require_complete=True``
-    raises if any center exceeded ``max_center_degree`` (wedges from that
-    center would be missing — oracle-parity callers need the assert)."""
+    (common_neighbors DESC, a, b), ≤ k rows. Exact at any degree skew:
+    ``max_center_degree`` only sets the hub-path range size (per-task
+    memory bound), never drops wedges."""
     return _pairs_topk(
-        edges, k, cfg, max_center_degree, require_complete,
+        edges, k, cfg, max_center_degree,
         aa=False, col="common_neighbors", round_to=None,
     )
 
@@ -378,15 +454,15 @@ def adamic_adar_topk(
     *,
     cfg: EngineConfig | None = None,
     max_center_degree: int = 512,
-    require_complete: bool = False,
 ) -> pa.Table:
     """Top-k non-adjacent pairs by Adamic-Adar index Σ_{c∈N(a)∩N(b)} 1/ln(deg c).
 
-    Same wedge enumeration as common_neighbors_topk with the wedge valued at
-    1/ln(center degree); scores are rounded to 6 decimals BEFORE ranking so
-    the (score DESC, a, b) order is deterministic and matches a SQL oracle
-    that ranks rounded sums (float-order noise is ~1e-15 per pair)."""
+    Same wedge enumeration as common_neighbors_topk (exact at any skew) with
+    the wedge valued at 1/ln(center degree); scores are rounded to 6
+    decimals BEFORE ranking so the (score DESC, a, b) order is deterministic
+    and matches a SQL oracle that ranks rounded sums (float-order noise is
+    ~1e-15 per pair)."""
     return _pairs_topk(
-        edges, k, cfg, max_center_degree, require_complete,
+        edges, k, cfg, max_center_degree,
         aa=True, col="aa_score", round_to=6,
     )

@@ -126,19 +126,16 @@ def _vid_len(vids) -> int:
     return len(vids)
 
 
-def pagerank_weighted_fixed(
-    edges,
-    *,
-    weight_col: str = "w",
-    iterations: int = 20,
-    damping: float = 0.85,
-    vertices=None,
-    cfg: EngineConfig | None = None,
-    round_to: int = 10,
-):
-    """(vid, score) after exactly ``iterations`` weighted-PageRank rounds
-    on the undirected (symmetrized, deduped, loop-free) weighted graph;
-    uniform 1/n start; scores rounded to ``round_to``."""
+@ray.remote
+def _l1_delta(new, old) -> float:
+    return float(np.abs(new - old).sum())
+
+
+def _wpr_run(edges, weight_col, damping, vertices, cfg, round_to, *,
+             iterations=None, tol=None, max_iters=None):
+    """Shared driver: fixed-count (``iterations``) or run-to-convergence
+    (``tol``/``max_iters``; L1 delta as P scalar partials per round — the
+    same sync pagerank_bsp pays)."""
     import ray.data as rd
 
     cfg = cfg or EngineConfig()
@@ -156,7 +153,9 @@ def pagerank_weighted_fixed(
     n = int(sum(ray.get([_vid_len.remote(v) for v in vid_refs])))
 
     score = [_init.remote(vid_refs[p], n) for p in range(P)]
-    for _ in range(iterations):
+    it = 0
+    while True:
+        old = score
         if grouped:
             outs = [
                 _wpr_scatter_g.remote(plans[p], wnorm[p], score[p], has_edge[p])
@@ -183,6 +182,54 @@ def pagerank_weighted_fixed(
                 )
                 for q in range(P)
             ]
+        it += 1
+        if iterations is not None:
+            if it >= iterations:
+                break
+        else:
+            l1 = sum(ray.get([_l1_delta.remote(score[p], old[p]) for p in range(P)]))
+            if l1 < tol or it >= max_iters:
+                break
 
     tables = [_wpr_table.remote(vid_refs[p], score[p], round_to) for p in range(P)]
-    return rd.from_arrow_refs(tables)
+    return rd.from_arrow_refs(tables), it
+
+
+def pagerank_weighted_fixed(
+    edges,
+    *,
+    weight_col: str = "w",
+    iterations: int = 20,
+    damping: float = 0.85,
+    vertices=None,
+    cfg: EngineConfig | None = None,
+    round_to: int = 10,
+):
+    """(vid, score) after exactly ``iterations`` weighted-PageRank rounds
+    on the undirected (symmetrized, deduped, loop-free) weighted graph;
+    uniform 1/n start; scores rounded to ``round_to``."""
+    ds, _ = _wpr_run(
+        edges, weight_col, damping, vertices, cfg, round_to, iterations=iterations
+    )
+    return ds
+
+
+def pagerank_weighted(
+    edges,
+    *,
+    weight_col: str = "w",
+    tol: float = 1e-10,
+    max_iters: int = 100,
+    damping: float = 0.85,
+    vertices=None,
+    cfg: EngineConfig | None = None,
+    round_to: int = 10,
+):
+    """Run-to-convergence weighted PageRank: iterate until the L1 score
+    delta falls below ``tol`` (or ``max_iters``). Returns ((vid, score)
+    Dataset, iterations run) — the tol twin of pagerank_weighted_fixed,
+    mirroring pagerank_bsp's convergence contract."""
+    return _wpr_run(
+        edges, weight_col, damping, vertices, cfg, round_to,
+        tol=tol, max_iters=max_iters,
+    )

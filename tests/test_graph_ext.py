@@ -163,12 +163,13 @@ def test_common_neighbors_vs_oracle():
     nbr = _adj(src, dst, vids)
     want = _cn_oracle(nbr, 20)
     for P in (1, 4):
-        t = common_neighbors_topk(
-            _edges_ds(src, dst), k=20, cfg=EngineConfig(num_partitions=P),
-            require_complete=True,
-        )
-        got = list(zip(*(t.column(c).to_pylist() for c in ("a", "b", "common_neighbors"))))
-        assert got == want, f"P={P}"
+        for cap in (512, 4):  # cap=4 forces the exact hub wedge path
+            t = common_neighbors_topk(
+                _edges_ds(src, dst), k=20, cfg=EngineConfig(num_partitions=P),
+                max_center_degree=cap,
+            )
+            got = list(zip(*(t.column(c).to_pylist() for c in ("a", "b", "common_neighbors"))))
+            assert got == want, f"P={P} cap={cap}"
 
 
 def test_common_neighbors_degree_cap():
@@ -178,14 +179,13 @@ def test_common_neighbors_degree_cap():
     t = common_neighbors_topk(_edges_ds(src, dst), k=5, cfg=EngineConfig(num_partitions=2))
     assert t.num_rows == 5
     assert t.column("common_neighbors").to_pylist() == [1] * 5
-    # cap below the hub degree suppresses its wedges; require_complete raises
-    import pytest
-
-    with pytest.raises(AssertionError):
-        common_neighbors_topk(
-            _edges_ds(src, dst), k=5, cfg=EngineConfig(num_partitions=2),
-            max_center_degree=4, require_complete=True,
-        )
+    # a cap below the hub degree routes the star center through the exact
+    # hub path — the result must be identical, never truncated
+    t2 = common_neighbors_topk(
+        _edges_ds(src, dst), k=5, cfg=EngineConfig(num_partitions=2),
+        max_center_degree=4,
+    )
+    assert t2.equals(t)
 
 
 def _ppr_oracle(src, dst, vids, seeds, damping=0.85, iters=60):
@@ -281,13 +281,14 @@ def test_adamic_adar_vs_oracle():
     nbr = _adj(src, dst, vids)
     want = _aa_oracle(nbr, 20)
     for P in (1, 4):
-        t = adamic_adar_topk(
-            _edges_ds(src, dst), k=20, cfg=EngineConfig(num_partitions=P),
-            require_complete=True,
-        )
-        got = list(zip(t.column("a").to_pylist(), t.column("b").to_pylist(),
-                       t.column("aa_score").to_pylist()))
-        assert got == want, f"P={P}"
+        for cap in (512, 4):
+            t = adamic_adar_topk(
+                _edges_ds(src, dst), k=20, cfg=EngineConfig(num_partitions=P),
+                max_center_degree=cap,
+            )
+            got = list(zip(t.column("a").to_pylist(), t.column("b").to_pylist(),
+                           t.column("aa_score").to_pylist()))
+            assert got == want, f"P={P} cap={cap}"
 
 
 def test_bfs_sparse_dense_fanout_agree(monkeypatch):
@@ -357,15 +358,16 @@ def test_jaccard_topk_vs_oracle():
     nbr = _adj(src, dst, vids)
     want = _jaccard_oracle(nbr, 20)
     for P in (1, 4):
-        t = jaccard_topk(
-            _edges_ds(src, dst), k=20, cfg=EngineConfig(num_partitions=P),
-            require_complete=True,
-        )
-        got = list(zip(
-            t.column("a").to_pylist(), t.column("b").to_pylist(),
-            [round(x, 6) for x in t.column("jaccard").to_pylist()],
-        ))
-        assert got == want, f"P={P}"
+        for cap in (512, 4):
+            t = jaccard_topk(
+                _edges_ds(src, dst), k=20, cfg=EngineConfig(num_partitions=P),
+                max_center_degree=cap,
+            )
+            got = list(zip(
+                t.column("a").to_pylist(), t.column("b").to_pylist(),
+                [round(x, 6) for x in t.column("jaccard").to_pylist()],
+            ))
+            assert got == want, f"P={P} cap={cap}"
 
 
 def _support_oracle(nbr):
@@ -507,6 +509,65 @@ def test_hits_fixed_vs_numpy():
         assert np.allclose(df["hub"].values, want_h, atol=1e-9), f"P={P} {mode}"
 
 
+def test_hits_converged_vs_numpy_oracle():
+    """Run-to-convergence HITS matches the dense numpy twin (same half-step,
+    normalize and stop semantics) — iteration count included."""
+    from ccl_ray.oracle.unionfind import hits_oracle
+    from ccl_ray.stages.hits import hits_converged
+
+    rng = np.random.RandomState(9)
+    n, m = 70, 300
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    tol = 1e-9
+    want_a, want_h, want_it = hits_oracle(
+        src, dst, np.arange(n), tol=tol, max_iters=80
+    )
+    edges = _edges_ds(src, dst)
+    for P, mode in ((1, "grouped"), (4, "grouped"), (4, "fanout")):
+        ds, iters = hits_converged(
+            edges, tol=tol, max_iters=80, vertices=_vids_ds(np.arange(n)),
+            cfg=EngineConfig(num_partitions=P, exchange=mode), round_to=12,
+        )
+        df = ds.to_pandas().set_index("vid").sort_index()
+        assert iters == want_it, f"P={P} {mode}: {iters} != {want_it}"
+        assert np.allclose(
+            df["auth"].values, [want_a[v] for v in df.index], atol=1e-9
+        ), f"P={P} {mode}"
+        assert np.allclose(
+            df["hub"].values, [want_h[v] for v in df.index], atol=1e-9
+        ), f"P={P} {mode}"
+
+
+def test_pagerank_weighted_converged_vs_numpy_oracle():
+    from ccl_ray.oracle.unionfind import weighted_pagerank_oracle
+    from ccl_ray.stages.wpagerank import pagerank_weighted
+
+    rng = np.random.RandomState(13)
+    n, m = 60, 200
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    w = (1 + (src + dst) % 7).astype(np.float64)
+    tol = 1e-9
+    want, want_it = weighted_pagerank_oracle(
+        src, dst, w, np.arange(n), tol=tol, max_iters=200
+    )
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64()),
+                  "w": pa.array(w, pa.float64())})
+    )
+    for P in (1, 4):
+        ds, iters = pagerank_weighted(
+            edges, tol=tol, max_iters=200, vertices=_vids_ds(np.arange(n)),
+            cfg=EngineConfig(num_partitions=P), round_to=12,
+        )
+        df = ds.to_pandas().set_index("vid").sort_index()
+        assert iters == want_it, f"P={P}: {iters} != {want_it}"
+        assert np.allclose(
+            df["score"].values, [want[v] for v in df.index], atol=1e-9
+        ), f"P={P}"
+
+
 def test_hits_edgeless_graph_zero_scores():
     from ccl_ray.stages.hits import hits_fixed
 
@@ -534,12 +595,13 @@ def test_two_hop_vs_oracle():
         reach.discard(v)
         want[v] = len(reach)
     for P in (1, 4):
-        df = two_hop_neighborhood(
-            _edges_ds(src, dst), vertices=_vids_ds(vids),
-            cfg=EngineConfig(num_partitions=P), require_complete=True,
-        ).to_pandas()
-        got = dict(zip(df["vid"].astype(int), df["n_within_2"].astype(int)))
-        assert got == want, f"P={P}"
+        for cap in (512, 4):
+            df = two_hop_neighborhood(
+                _edges_ds(src, dst), vertices=_vids_ds(vids),
+                cfg=EngineConfig(num_partitions=P), max_center_degree=cap,
+            ).to_pandas()
+            got = dict(zip(df["vid"].astype(int), df["n_within_2"].astype(int)))
+            assert got == want, f"P={P} cap={cap}"
 
 
 def _ktruss_oracle(nbr, k):
@@ -724,3 +786,39 @@ def test_bfs_cap_ok_settles_within_cap():
         assert df[v] == v
     for v in range(6, 31):
         assert df[v] is None or np.isnan(df[v])
+
+
+def test_modularity_vs_brute_force():
+    """aggregates.modularity matches the textbook Q on a random graph with a
+    random partition, at P=1 and P=4, including the exact integer partials."""
+    from ccl_ray.stages.aggregates import modularity
+
+    rng = np.random.RandomState(21)
+    n, m_draw = 40, 120
+    src = rng.randint(0, n, m_draw)
+    dst = rng.randint(0, n, m_draw)
+    comm_of = {v: int(rng.randint(0, 5)) for v in range(n)}
+
+    edges = {(min(int(a), int(b)), max(int(a), int(b)))
+             for a, b in zip(src, dst) if a != b}
+    m = len(edges)
+    intra = sum(1 for a, b in edges if comm_of[a] == comm_of[b])
+    deg = {v: 0 for v in range(n)}
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    d_c = {}
+    for v, c in comm_of.items():
+        d_c[c] = d_c.get(c, 0) + deg[v]
+    want_q = round(intra / m - sum(d * d for d in d_c.values()) / (4.0 * m * m), 6)
+
+    comm_ds = rd.from_arrow(pa.table({
+        "vid": pa.array(sorted(comm_of), pa.int64()),
+        "community": pa.array([comm_of[v] for v in sorted(comm_of)], pa.int64()),
+    }))
+    for P in (1, 4):
+        t = modularity(_edges_ds(src, dst), comm_ds, num_partitions=P)
+        assert t.column("m").to_pylist() == [m], f"P={P}"
+        assert t.column("intra_edges").to_pylist() == [intra], f"P={P}"
+        assert t.column("n_communities").to_pylist() == [5], f"P={P}"
+        assert t.column("modularity").to_pylist() == [want_q], f"P={P}"
