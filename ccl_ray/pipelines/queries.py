@@ -46,6 +46,74 @@ def _cfg() -> EngineConfig:
     return EngineConfig(num_partitions=8)
 
 
+# ------------------------------------------------ per-process gate memos
+# The driver's correctness gate runs every query in ONE process; without a
+# memo each graph query re-scans events, rebuilds the canonical edge table,
+# re-exchanges the shard bundle and re-runs CC from scratch (~10x of the
+# gate's wall clock was duplicate setup). Keyed by sf_dir; values are
+# materialized Datasets / plasma-pinned shard bundles, which are safe to
+# share because consumers only ever derive NEW datasets from them. Gate
+# scale only (sf0.001/sf0.01 — the materialized tables are tiny); pipeline
+# entry points (pipelines/run.py, bench.py) manage their own lifecycles.
+_MEMO: dict[tuple, object] = {}
+
+
+def _edges_memo(sf_dir: str) -> "rd.Dataset":
+    key = ("edges", sf_dir)
+    if key not in _MEMO:
+        _MEMO[key] = build_event_edges(sf_dir).materialize()
+    return _MEMO[key]
+
+
+def _verts_memo(sf_dir: str) -> "rd.Dataset":
+    key = ("verts", sf_dir)
+    if key not in _MEMO:
+        _MEMO[key] = event_vertices(sf_dir).materialize()
+    return _MEMO[key]
+
+
+def _bundle_memo(sf_dir: str) -> dict:
+    """Shared symmetric shard bundle (P = _cfg().num_partitions, dense) for
+    the cc/pagerank/ppr/bfs queries. NOT used by kcore (it needs the int64
+    deduped build — see kcore_bsp's docstring)."""
+    key = ("bundle", sf_dir)
+    if key not in _MEMO:
+        from ccl_ray.state.shards import build_graph_shards
+
+        cfg = _cfg()
+        _MEMO[key] = build_graph_shards(
+            _edges_memo(sf_dir), cfg.num_partitions,
+            vertices_ds=_verts_memo(sf_dir), symmetrize=True,
+            dense=cfg.dense_ids,
+        )
+    return _MEMO[key]
+
+
+def _lpa_memo(sf_dir: str) -> "rd.Dataset":
+    """5-round LPA partition (vid, community) — shared by lpa_communities
+    and modularity."""
+    key = ("lpa5", sf_dir)
+    if key not in _MEMO:
+        from ccl_ray.stages.lpa import lpa_communities
+
+        _MEMO[key] = lpa_communities(
+            _edges_memo(sf_dir), iterations=5,
+            vertices=_verts_memo(sf_dir), cfg=_cfg(),
+        ).materialize()
+    return _MEMO[key]
+
+
+def _deg_memo(sf_dir: str) -> "rd.Dataset":
+    """(vid, degree) over the canonical event edges — shared by degree and
+    degree_hist."""
+    key = ("deg", sf_dir)
+    if key not in _MEMO:
+        _MEMO[key] = degrees(
+            _edges_memo(sf_dir), vertices=_verts_memo(sf_dir)
+        ).materialize()
+    return _MEMO[key]
+
+
 def _docs(sf_dir: str) -> "rd.Dataset":
     return rd.read_parquet(f"{sf_dir}/documents.parquet")
 
@@ -55,8 +123,12 @@ def _emb(sf_dir: str) -> "rd.Dataset":
 
 
 def _labels(sf_dir: str):
-    edges = build_event_edges(sf_dir)
-    return connected_components_bsp(edges, vertices=event_vertices(sf_dir), cfg=_cfg()).labels
+    key = ("cc_labels", sf_dir)
+    if key not in _MEMO:
+        _MEMO[key] = connected_components_bsp(
+            _edges_memo(sf_dir), cfg=_cfg(), shards=_bundle_memo(sf_dir)
+        ).labels.materialize()
+    return _MEMO[key]
 
 
 def _labeled_days(sf_dir: str) -> "rd.Dataset":
@@ -78,12 +150,11 @@ def _labeled_days(sf_dir: str) -> "rd.Dataset":
 # ---------------------------------------------------------------- queries
 
 def q_edges_build(sf_dir: str):
-    return build_event_edges(sf_dir)
+    return _edges_memo(sf_dir)
 
 
 def q_degree(sf_dir: str):
-    edges = build_event_edges(sf_dir)
-    return degrees(edges, vertices=event_vertices(sf_dir))
+    return _deg_memo(sf_dir)
 
 
 def q_cc_labels(sf_dir: str):
@@ -114,7 +185,7 @@ def q_cc_snapshot(sf_dir: str):
 
 
 def q_labelprop_seeded(sf_dir: str):
-    edges = build_event_edges(sf_dir)
+    edges = _edges_memo(sf_dir)
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
 
     def seed(batch: pa.Table) -> pa.Table:
@@ -123,7 +194,7 @@ def q_labelprop_seeded(sf_dir: str):
         return pa.table({"vid": sub.column("event_id"), "seed": sub.column("event_id")})
 
     seeds = ev.map_batches(seed, batch_format="pyarrow")
-    out = min_label_propagation(edges, seeds, vertices=event_vertices(sf_dir), rounds=None, cfg=_cfg())
+    out = min_label_propagation(edges, seeds, vertices=_verts_memo(sf_dir), rounds=None, cfg=_cfg())
     return out.rename_columns({"vid": "event_id"})
 
 
@@ -163,30 +234,85 @@ def q_id_stats(sf_dir: str):
 
 
 def q_triangle_count(sf_dir: str):
-    n = triangle_count(build_event_edges(sf_dir), cfg=_cfg())
+    n = triangle_count(_edges_memo(sf_dir), cfg=_cfg())
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
 def q_triangles_per_vertex(sf_dir: str):
     from ccl_ray.stages.triangles import triangle_counts_per_vertex
 
-    return triangle_counts_per_vertex(build_event_edges(sf_dir), cfg=_cfg())
+    return triangle_counts_per_vertex(_edges_memo(sf_dir), cfg=_cfg())
 
 
 def q_lpa_communities(sf_dir: str):
     """Deterministic synchronous LPA (5 rounds, most-frequent neighbor
     label, min-label ties) — community detection beyond connectivity;
     (dst,label) count partials pre-reduce before every exchange."""
-    from ccl_ray.stages.lpa import lpa_communities
+    return _lpa_memo(sf_dir).rename_columns({"vid": "event_id"})
 
-    out = lpa_communities(
-        build_event_edges(sf_dir), iterations=5,
-        vertices=event_vertices(sf_dir), cfg=_cfg(),
+
+def q_modularity(sf_dir: str):
+    """Newman modularity of the 5-round LPA partition over the events
+    graph — the community-quality metric. All partials integer-exact
+    (Python-int Σd_c², no overflow at any scale); one float expression at
+    the end, same op order as the SQL (aggregates.modularity)."""
+    from ccl_ray.stages.aggregates import modularity
+
+    return modularity(_edges_memo(sf_dir), _lpa_memo(sf_dir))
+
+
+def q_closeness_sample(sf_dir: str):
+    """Closeness + harmonic centrality of one deterministic seed (the min
+    event_id): BFS from the seed (40-round cap, matching the unrolled
+    oracle), reduce the distance column to a ≤40-row per-distance histogram
+    (distributed partial counts), then evaluate both centralities from the
+    exact integer histogram — closeness = k/Σd is one division; harmonic
+    sums cnt/d in ascending-d order over ≤40 terms."""
+    from ray.data.aggregate import Min
+
+    from ccl_ray.stages.bfs import bfs_hops
+
+    ev_min = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"]).aggregate(
+        Min("event_id", alias_name="vid")
     )
-    return out.rename_columns({"vid": "event_id"})
+    seed = int(ev_min["vid"])
+    res = bfs_hops(
+        _edges_memo(sf_dir), rd.from_items([{"vid": seed}]),
+        cfg=_cfg(), max_rounds=40, cap_ok=True, shards=_bundle_memo(sf_dir),
+    )
+
+    def hist_part(batch: pa.Table) -> pa.Table:
+        # null dist = unreachable; int64-with-nulls lands as float64+NaN
+        d = batch.column("dist").to_numpy(zero_copy_only=False).astype(np.float64)
+        d = d[~np.isnan(d)].astype(np.int64)
+        d = d[d >= 1]
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"dist": pa.array(u, pa.int64()), "cnt": pa.array(c, pa.int64())})
+
+    from ccl_ray.stages.aggregates import partial_sum_agg
+
+    hist = partial_sum_agg(
+        res.dists.map_batches(hist_part, batch_format="pyarrow"),
+        ["dist"], {"cnt": "cnt"},
+    ).to_pandas().sort_values("dist")
+    k = int(hist["cnt"].sum())
+    td = int((hist["cnt"] * hist["dist"]).sum())
+    closeness = 0.0 if td == 0 else round(k / td, 6)
+    harmonic = round(float(sum(c / d for d, c in zip(hist["dist"], hist["cnt"]))), 6)
+    return pa.table(
+        {
+            "seed": pa.array([seed], pa.int64()),
+            "n_reached": pa.array([k], pa.int64()),
+            "total_dist": pa.array([td], pa.int64()),
+            "closeness": pa.array([closeness], pa.float64()),
+            "harmonic": pa.array([harmonic], pa.float64()),
+        }
+    )
 
 
-def _lpa_oracle_sql(k: int = 5) -> str:
+def _lpa_parts(k: int = 5) -> list[str]:
+    """CTE parts of the k-round LPA oracle (shared with the modularity
+    oracle, which scores the same l{k} partition)."""
     parts = [
         "evm AS MATERIALIZED (SELECT event_id FROM events)",
         "undm AS MATERIALIZED (SELECT src AS u, dst AS v FROM edgu"
@@ -207,9 +333,39 @@ def _lpa_oracle_sql(k: int = 5) -> str:
             f"l{i} AS MATERIALIZED (SELECT l.v, coalesce(b.lab, l.lab) AS lab"
             f" FROM l{i-1} l LEFT JOIN b{i} b ON b.v = l.v)"
         )
+    return parts
+
+
+def _lpa_oracle_sql(k: int = 5) -> str:
     return (
-        "WITH " + _EDGES_CTE + ",\n" + ",\n".join(parts)
+        "WITH " + _EDGES_CTE + ",\n" + ",\n".join(_lpa_parts(k))
         + f"\nSELECT v AS event_id, lab AS community FROM l{k}"
+    )
+
+
+def _modularity_oracle_sql(k: int = 5) -> str:
+    """Newman modularity of the l{k} LPA partition — same integer-exact
+    partials (m, intra, Σd_c²) and the same single float expression the
+    engine evaluates (queries q_modularity / aggregates.modularity)."""
+    return (
+        "WITH " + _EDGES_CTE + ",\n" + ",\n".join(_lpa_parts(k)) + f""",
+        deg AS (SELECT u AS v, count(*) AS d FROM undm GROUP BY 1),
+        mm AS (SELECT count(*)::BIGINT AS m FROM edgu),
+        intra AS (SELECT count(*)::BIGINT AS i FROM edgu
+                  JOIN l{k} a ON a.v = edgu.src JOIN l{k} b ON b.v = edgu.dst
+                  WHERE a.lab = b.lab),
+        dc AS (SELECT l.lab, sum(deg.d) AS dcv
+               FROM deg JOIN l{k} l ON l.v = deg.v GROUP BY 1),
+        s2 AS (SELECT coalesce(sum(dcv * dcv), 0) AS s FROM dc),
+        nc AS (SELECT count(DISTINCT lab)::BIGINT AS c FROM l{k})
+        SELECT (SELECT m FROM mm) AS m,
+               (SELECT i FROM intra) AS intra_edges,
+               (SELECT c FROM nc) AS n_communities,
+               CASE WHEN (SELECT m FROM mm) = 0 THEN 0.0
+                    ELSE round((SELECT i FROM intra)::DOUBLE / (SELECT m FROM mm)
+                         - (SELECT s FROM s2)::DOUBLE
+                           / (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm)), 6)
+               END AS modularity"""
     )
 
 
@@ -220,7 +376,7 @@ def q_transitivity(sf_dir: str):
     float division matches the oracle bitwise before round(6)."""
     from ccl_ray.stages.aggregates import degrees
 
-    edges = build_event_edges(sf_dir).materialize()
+    edges = _edges_memo(sf_dir)
     nt = triangle_count(edges, cfg=_cfg())
 
     def wedge_partial(batch: pa.Table) -> pa.Table:
@@ -238,8 +394,10 @@ def q_transitivity(sf_dir: str):
 
 
 def q_pagerank(sf_dir: str):
-    edges = build_event_edges(sf_dir)
-    res = pagerank_bsp(edges, vertices=event_vertices(sf_dir), cfg=_cfg(), symmetrize=True)
+    edges = _edges_memo(sf_dir)
+    res = pagerank_bsp(
+        edges, cfg=_cfg(), symmetrize=True, shards=_bundle_memo(sf_dir)
+    )
     return res.scores.rename_columns({"vid": "event_id"})
 
 
@@ -248,7 +406,7 @@ def _assert_no_dangling(sf_dir: str, edges, name: str) -> None:
     corpus precondition of every recursive-CTE propagation oracle (they
     drop edge-less vertices after iteration 0 and cannot model the
     engine's dangling-mass / self-retention terms)."""
-    n_vertices = event_vertices(sf_dir).count()
+    n_vertices = _verts_memo(sf_dir).count()
 
     def endpoints(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -284,10 +442,10 @@ def q_pagerank_fixed(sf_dir: str):
     assumption is a corpus property, not enforced by the SQL. Assert it
     explicitly here (distinct edge endpoints == vertex count) so a corpus
     violating it fails loudly instead of as a puzzling row-count gap."""
-    edges = build_event_edges(sf_dir).materialize()
+    edges = _edges_memo(sf_dir)
     _assert_no_dangling(sf_dir, edges, "pagerank_fixed")
     cfg = EngineConfig(num_partitions=8, pr_tol=0.0, pr_max_iters=20)
-    res = pagerank_bsp(edges, vertices=event_vertices(sf_dir), cfg=cfg, symmetrize=True)
+    res = pagerank_bsp(edges, cfg=cfg, symmetrize=True, shards=_bundle_memo(sf_dir))
 
     def rnd(batch: pa.Table) -> pa.Table:
         s = batch.column("score").to_numpy(zero_copy_only=False)
@@ -308,9 +466,9 @@ def q_pagerank_close(sf_dir: str):
     driver by design (10k vertices) — not a pipeline op."""
     from ccl_ray.oracle.unionfind import pagerank_oracle
 
-    edges = build_event_edges(sf_dir).materialize()
+    edges = _edges_memo(sf_dir)
     cfg = _cfg()
-    res = pagerank_bsp(edges, vertices=event_vertices(sf_dir), cfg=cfg, symmetrize=True)
+    res = pagerank_bsp(edges, cfg=cfg, symmetrize=True, shards=_bundle_memo(sf_dir))
     scores = res.scores.to_pandas()
     e = edges.select_columns(["src", "dst"]).to_pandas()
     src = np.concatenate([e["src"].values, e["dst"].values]).astype(np.int64)
@@ -350,12 +508,12 @@ def q_ppr_fixed(sf_dir: str):
     numpy PPR to 0.0 gap at sf0.001/sf0.01). Shares pagerank_fixed's
     no-dangling corpus precondition: the SQL drops edge-less vertices after
     iteration 0, so assert every vertex has an edge."""
-    edges = build_event_edges(sf_dir).materialize()
+    edges = _edges_memo(sf_dir)
     _assert_no_dangling(sf_dir, edges, "ppr_fixed")
     cfg = EngineConfig(num_partitions=8, pr_tol=0.0, pr_max_iters=20)
     res = pagerank_bsp(
-        edges, vertices=event_vertices(sf_dir), cfg=cfg, symmetrize=True,
-        personalization=_event_seeds(sf_dir),
+        edges, cfg=cfg, symmetrize=True, personalization=_event_seeds(sf_dir),
+        shards=_bundle_memo(sf_dir),
     )
 
     def rnd(batch: pa.Table) -> pa.Table:
@@ -374,7 +532,7 @@ def q_kcore(sf_dir: str):
     from ccl_ray.stages.kcore import kcore_bsp
 
     res = kcore_bsp(
-        build_event_edges(sf_dir), 2, vertices=event_vertices(sf_dir), cfg=_cfg()
+        _edges_memo(sf_dir), 2, vertices=_verts_memo(sf_dir), cfg=_cfg()
     )
     if res.iterations > 40:
         raise AssertionError(
@@ -397,8 +555,8 @@ def q_sssp_hops(sf_dir: str):
     from ccl_ray.stages.bfs import bfs_hops
 
     res = bfs_hops(
-        build_event_edges(sf_dir), _event_seeds(sf_dir),
-        vertices=event_vertices(sf_dir), cfg=_cfg(), max_rounds=40,
+        _edges_memo(sf_dir), _event_seeds(sf_dir), cfg=_cfg(), max_rounds=40,
+        shards=_bundle_memo(sf_dir),
     )
     return res.dists.rename_columns({"vid": "event_id"})
 
@@ -409,11 +567,11 @@ def q_pagerank_weighted(sf_dir: str):
     weight rule; transition mass ∝ w/W(u). Recursive-CTE oracle twin."""
     from ccl_ray.stages.wpagerank import pagerank_weighted_fixed
 
-    edges = build_event_edges(sf_dir)
+    edges = _edges_memo(sf_dir)
     _assert_no_dangling(sf_dir, edges, "pagerank_weighted")
     wedges = edges.map_batches(_add_weight, batch_format="pyarrow")
     out = pagerank_weighted_fixed(
-        wedges, iterations=20, vertices=event_vertices(sf_dir), cfg=_cfg()
+        wedges, iterations=20, vertices=_verts_memo(sf_dir), cfg=_cfg()
     )
     return out.rename_columns({"vid": "event_id"})
 
@@ -426,10 +584,80 @@ def q_hits_fixed(sf_dir: str):
     from ccl_ray.stages.hits import hits_fixed
 
     out = hits_fixed(
-        build_event_edges(sf_dir).select_columns(["src", "dst"]),
-        iterations=12, vertices=event_vertices(sf_dir), cfg=_cfg(),
+        _edges_memo(sf_dir).select_columns(["src", "dst"]),
+        iterations=12, vertices=_verts_memo(sf_dir), cfg=_cfg(),
     )
     return out.rename_columns({"vid": "event_id"})
+
+
+def q_hits_close(sf_dir: str):
+    """Driver-visible cross-check for run-to-convergence HITS (tol-based —
+    legitimately non-SQL, the pagerank_close pattern): run hits_converged,
+    compare auth+hub against the dense numpy HITS oracle with identical
+    half-step/normalize/stop semantics, report (n_vertices, iters_match,
+    n_exceed_tol, max_abs_gap_r4). Constant SQL oracle goes red on drift.
+    Gate-only: pulls sf0.01-scale scores/edges to the driver by design."""
+    from ccl_ray.oracle.unionfind import hits_oracle
+    from ccl_ray.stages.hits import hits_converged
+
+    tol, max_iters = 1e-8, 60
+    edges = _edges_memo(sf_dir).select_columns(["src", "dst"]).materialize()
+    ds, iters = hits_converged(
+        edges, tol=tol, max_iters=max_iters, vertices=_verts_memo(sf_dir),
+        cfg=_cfg(), round_to=12,
+    )
+    got = ds.to_pandas()
+    e = edges.to_pandas()
+    want_auth, want_hub, want_iters = hits_oracle(
+        e["src"].values, e["dst"].values, got["vid"].values.astype(np.int64),
+        tol=tol, max_iters=max_iters,
+    )
+    gaps = np.maximum(
+        np.abs(got["auth"].values - np.array([want_auth[int(v)] for v in got["vid"]])),
+        np.abs(got["hub"].values - np.array([want_hub[int(v)] for v in got["vid"]])),
+    )
+    return pa.table(
+        {
+            "n_vertices": pa.array([len(got)], pa.int64()),
+            "iters_match": pa.array([bool(iters == want_iters)], pa.bool_()),
+            "n_exceed_tol": pa.array([int((gaps > tol).sum())], pa.int64()),
+            "max_abs_gap_r4": pa.array([round(float(gaps.max()), 4)], pa.float64()),
+        }
+    )
+
+
+def q_pagerank_weighted_close(sf_dir: str):
+    """Driver-visible cross-check for run-to-convergence weighted PageRank
+    (tol-based — the pagerank_close pattern): run pagerank_weighted, compare
+    against the dense numpy oracle with identical w/W transition, dangling
+    and stop semantics. Constant SQL oracle goes red on drift. Gate-only:
+    pulls sf0.01-scale scores/edges to the driver by design."""
+    from ccl_ray.oracle.unionfind import weighted_pagerank_oracle
+    from ccl_ray.stages.wpagerank import pagerank_weighted
+
+    tol, max_iters = 1e-8, 100
+    edges = _edges_memo(sf_dir).map_batches(
+        _add_weight, batch_format="pyarrow"
+    ).materialize()
+    ds, iters = pagerank_weighted(
+        edges, tol=tol, max_iters=max_iters, vertices=_verts_memo(sf_dir),
+        cfg=_cfg(), round_to=12,
+    )
+    got = ds.to_pandas()
+    e = edges.to_pandas()
+    want, want_iters = weighted_pagerank_oracle(
+        e["src"].values, e["dst"].values, e["w"].values,
+        got["vid"].values.astype(np.int64), tol=tol, max_iters=max_iters,
+    )
+    gaps = np.abs(got["score"].values - np.array([want[int(v)] for v in got["vid"]]))
+    return pa.table(
+        {
+            "n_vertices": pa.array([len(got)], pa.int64()),
+            "iters_match": pa.array([bool(iters == want_iters)], pa.bool_()),
+            "n_exceed_tol": pa.array([int((gaps > tol).sum())], pa.int64()),
+            "max_abs_gap_r4": pa.array([round(float(gaps.max()), 4)], pa.float64()),
+        }
+    )
 
 
 def _hits_oracle_sql(k: int = 12) -> str:
@@ -495,9 +723,9 @@ def q_sssp_weighted(sf_dir: str):
     so engine and the 40-step unrolled relaxation oracle match bitwise."""
     from ccl_ray.stages.sssp import sssp_weighted
 
-    edges = build_event_edges(sf_dir).map_batches(_add_weight, batch_format="pyarrow")
+    edges = _edges_memo(sf_dir).map_batches(_add_weight, batch_format="pyarrow")
     res = sssp_weighted(
-        edges, _event_seeds(sf_dir), vertices=event_vertices(sf_dir),
+        edges, _event_seeds(sf_dir), vertices=_verts_memo(sf_dir),
         cfg=_cfg(), max_rounds=40,
     )
     return res.dists.rename_columns({"vid": "event_id"})
@@ -507,31 +735,27 @@ def q_clustering_coeff(sf_dir: str):
     from ccl_ray.stages.triangles import clustering_coefficient
 
     return clustering_coefficient(
-        build_event_edges(sf_dir), vertices=event_vertices(sf_dir), cfg=_cfg()
+        _edges_memo(sf_dir), vertices=_verts_memo(sf_dir), cfg=_cfg()
     )
 
 
 def q_common_neighbors(sf_dir: str):
     """Top-50 non-adjacent pairs by shared-neighbor count, deterministic
-    (count DESC, a, b) ties. require_complete asserts no center was
-    degree-capped (max distinct-neighbor degree at sf0.01 is 6, far below
-    the 512 default) so the engine's enumeration equals the oracle's."""
+    (count DESC, a, b) ties. Exact at any skew — hub centers take the
+    salted-range wedge path, so the engine's enumeration always equals the
+    oracle's full enumeration."""
     from ccl_ray.stages.linkpred import common_neighbors_topk
 
-    return common_neighbors_topk(
-        build_event_edges(sf_dir), k=50, cfg=_cfg(), require_complete=True
-    )
+    return common_neighbors_topk(_edges_memo(sf_dir), k=50, cfg=_cfg())
 
 
 def q_adamic_adar(sf_dir: str):
     """Top-50 non-adjacent pairs by Adamic-Adar index (score DESC, a, b).
     Ranked on round(score, 6) in BOTH engine and SQL so float-summation
-    order cannot flip ties; require_complete as in common_neighbors."""
+    order cannot flip ties; exact at any skew (hub wedge path)."""
     from ccl_ray.stages.linkpred import adamic_adar_topk
 
-    return adamic_adar_topk(
-        build_event_edges(sf_dir), k=50, cfg=_cfg(), require_complete=True
-    )
+    return adamic_adar_topk(_edges_memo(sf_dir), k=50, cfg=_cfg())
 
 
 def q_truss_support(sf_dir: str):
@@ -539,7 +763,7 @@ def q_truss_support(sf_dir: str):
     events graph; canonical (min, max) endpoints, edges in ≥1 triangle."""
     from ccl_ray.stages.triangles import edge_triangle_support
 
-    return edge_triangle_support(build_event_edges(sf_dir), cfg=_cfg())
+    return edge_triangle_support(_edges_memo(sf_dir), cfg=_cfg())
 
 
 def q_ktruss(sf_dir: str):
@@ -548,7 +772,7 @@ def q_ktruss(sf_dir: str):
     stabilized within the oracle's unrolled cap."""
     from ccl_ray.stages.triangles import ktruss
 
-    out, _rounds = ktruss(build_event_edges(sf_dir), 3, cfg=_cfg(), max_rounds=6)
+    out, _rounds = ktruss(_edges_memo(sf_dir), 3, cfg=_cfg(), max_rounds=6)
     return out
 
 
@@ -578,9 +802,7 @@ def q_jaccard_link(sf_dir: str):
     degree-map broadcast (linkpred.jaccard_topk)."""
     from ccl_ray.stages.linkpred import jaccard_topk
 
-    return jaccard_topk(
-        build_event_edges(sf_dir), k=50, cfg=_cfg(), require_complete=True
-    )
+    return jaccard_topk(_edges_memo(sf_dir), k=50, cfg=_cfg())
 
 
 def q_two_hop(sf_dir: str):
@@ -589,8 +811,7 @@ def q_two_hop(sf_dir: str):
     from ccl_ray.stages.linkpred import two_hop_neighborhood
 
     out = two_hop_neighborhood(
-        build_event_edges(sf_dir), vertices=event_vertices(sf_dir),
-        cfg=_cfg(), require_complete=True,
+        _edges_memo(sf_dir), vertices=_verts_memo(sf_dir), cfg=_cfg()
     )
     return out.rename_columns({"vid": "event_id"})
 
@@ -601,7 +822,7 @@ def q_assortativity(sf_dir: str):
     sums, so block order cannot move the value)."""
     from ccl_ray.stages.aggregates import degree_assortativity
 
-    return degree_assortativity(build_event_edges(sf_dir), cfg=_cfg())
+    return degree_assortativity(_edges_memo(sf_dir), cfg=_cfg())
 
 
 def q_value_quantiles(sf_dir: str):
@@ -615,9 +836,9 @@ def q_value_quantiles(sf_dir: str):
 def q_degree_hist(sf_dir: str):
     """Log2-bucketed degree histogram of the events graph: bucket =
     floor(log2(degree)) for degree ≥ 1, −1 for isolated vertices."""
-    from ccl_ray.stages.aggregates import degrees, partial_sum_agg
+    from ccl_ray.stages.aggregates import partial_sum_agg
 
-    deg = degrees(build_event_edges(sf_dir), event_vertices(sf_dir))
+    deg = _deg_memo(sf_dir)
 
     def bucket(batch: pa.Table) -> pa.Table:
         d = batch.column("degree").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -837,14 +1058,13 @@ def q_diameter_sweep(sf_dir: str):
 
     from ccl_ray.stages.bfs import bfs_hops
 
-    edges = build_event_edges(sf_dir).materialize()
-    verts = event_vertices(sf_dir)
+    edges = _edges_memo(sf_dir)
     ev_min = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"]).aggregate(
         Min("event_id", alias_name="vid")
     )
     seeds1 = rd.from_items([{"vid": int(ev_min["vid"])}])
-    b1 = bfs_hops(edges, seeds1, vertices=verts, cfg=_cfg(), max_rounds=40,
-                  cap_ok=True)
+    b1 = bfs_hops(edges, seeds1, cfg=_cfg(), max_rounds=40, cap_ok=True,
+                  shards=_bundle_memo(sf_dir))
 
     def valid(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_valid(batch.column("dist")))
@@ -856,8 +1076,8 @@ def q_diameter_sweep(sf_dir: str):
         .select_columns(["vid"])
         .materialize()
     )
-    b2 = bfs_hops(edges, far, vertices=verts, cfg=_cfg(), max_rounds=40,
-                  cap_ok=True)
+    b2 = bfs_hops(edges, far, cfg=_cfg(), max_rounds=40, cap_ok=True,
+                  shards=_bundle_memo(sf_dir))
     ecc = (
         b2.dists.map_batches(valid, batch_format="pyarrow")
         .sort(["dist", "vid"], descending=[True, False])
@@ -1054,6 +1274,8 @@ QUERIES = {
     "triangles_per_vertex": q_triangles_per_vertex,
     "transitivity": q_transitivity,
     "lpa_communities": q_lpa_communities,
+    "modularity": q_modularity,
+    "closeness_sample": q_closeness_sample,
     "pagerank": q_pagerank,
     "pagerank_fixed": q_pagerank_fixed,
     "pagerank_close": q_pagerank_close,
@@ -1069,6 +1291,8 @@ QUERIES = {
     "sssp_weighted": q_sssp_weighted,
     "pagerank_weighted": q_pagerank_weighted,
     "hits_fixed": q_hits_fixed,
+    "hits_close": q_hits_close,
+    "pagerank_weighted_close": q_pagerank_weighted_close,
     "two_hop": q_two_hop,
     "assortativity": q_assortativity,
     "value_quantiles": q_value_quantiles,
@@ -1275,6 +1499,32 @@ ORACLE_SQL = {
         FROM edgu e1 JOIN edgu e2 ON e2.src = e1.dst
         JOIN edgu e3 ON e3.src = e1.src AND e3.dst = e2.dst""",
     "lpa_communities": _lpa_oracle_sql(5),
+    "modularity": _modularity_oracle_sql(5),
+    # BFS from min(event_id) (same unrolled min-plus CTE as sssp_hops),
+    # then both centralities from the exact per-distance histogram
+    "closeness_sample": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        sd AS (SELECT min(event_id) AS s FROM events),
+        dire AS (SELECT src AS u, dst AS v, 1 AS w FROM edgu
+                 UNION ALL SELECT dst, src, 1 FROM edgu
+                 UNION ALL SELECT event_id, event_id, 0 FROM events),
+        bfs(it, v, d) AS (
+          SELECT 0, event_id,
+                 CASE WHEN event_id = (SELECT s FROM sd) THEN 0 ELSE 999999 END
+          FROM events
+          UNION ALL
+          SELECT it+1, e.v, min(least(bfs.d + e.w, 999999))
+          FROM bfs JOIN dire e ON e.u = bfs.v
+          WHERE it < 40 GROUP BY 1, 2),
+        hist AS (SELECT d, count(*) AS cnt FROM bfs
+                 WHERE it = 40 AND d >= 1 AND d < 999999 GROUP BY d)
+        SELECT (SELECT s FROM sd) AS seed,
+               coalesce(sum(cnt), 0)::BIGINT AS n_reached,
+               coalesce(sum(cnt * d), 0)::BIGINT AS total_dist,
+               CASE WHEN coalesce(sum(cnt * d), 0) = 0 THEN 0.0
+                    ELSE round(sum(cnt) / sum(cnt * d), 6) END AS closeness,
+               round(coalesce(sum(cnt::DOUBLE / d), 0.0), 6) AS harmonic
+        FROM hist""",
     "transitivity": f"""
         WITH {_EDGES_CTE},
         und AS (SELECT src AS u, dst AS v FROM edgu UNION SELECT dst, src FROM edgu),
@@ -1297,6 +1547,14 @@ ORACLE_SQL = {
         GROUP BY v""",
     # the engine-vs-numpy comparison happens inside q_pagerank_close; the
     # SQL pins the corpus-derived vertex count and the expected zeros
+    "hits_close": """
+        SELECT count(*)::BIGINT AS n_vertices, true AS iters_match,
+               0::BIGINT AS n_exceed_tol, 0.0::DOUBLE AS max_abs_gap_r4
+        FROM events""",
+    "pagerank_weighted_close": """
+        SELECT count(*)::BIGINT AS n_vertices, true AS iters_match,
+               0::BIGINT AS n_exceed_tol, 0.0::DOUBLE AS max_abs_gap_r4
+        FROM events""",
     "pagerank_close": """
         SELECT count(*)::BIGINT AS n_vertices, 0::BIGINT AS n_exceed_tol,
                0.0::DOUBLE AS max_abs_gap_r4

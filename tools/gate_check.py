@@ -47,7 +47,20 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
-    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+    # sort float columns on ROUNDED values: engine/oracle floats differing
+    # within the allclose tolerance would otherwise interleave differently
+    # when the preceding sort keys tie, failing the positional compare
+    keys = {}
+    for c in df.columns:
+        keys[c] = (
+            np.round(df[c].values.astype(np.float64), 6)
+            if np.issubdtype(df[c].dtype, np.floating)
+            else df[c]
+        )
+    order = pd.DataFrame(keys, index=df.index).sort_values(
+        list(df.columns), kind="stable"
+    ).index
+    return df.loc[order].reset_index(drop=True)
 
 
 def _values_close(a: pd.DataFrame, b: pd.DataFrame) -> bool:
