@@ -166,7 +166,7 @@ def dust_filter(
             df["label"] = df["label"].where(df["label"].isin(self.keep), 0)
             return df
 
-    return labels.map_batches(Zero, batch_format="pandas", concurrency=(1, 4))
+    return labels.map_batches(Zero, batch_format="pandas", concurrency=(1, 4), max_restarts=0)
 
 
 def component_ages(labeled_t: "rd.Dataset") -> "rd.Dataset":

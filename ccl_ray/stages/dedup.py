@@ -197,10 +197,15 @@ def minhash_candidates(
     from ccl_ray.functions.bind import bound_class
 
     # ctor kwargs baked into the class by value (not via fn_constructor_kwargs
-    # through the object store) so actor restarts never fail on lost args
+    # through the object store) so actor restarts never fail on lost args.
+    # max_restarts=0 because Ray Data still ships ITS OWN ctor args (the map
+    # transformer) via the object store and warns that a restart after their
+    # loss would fail (ray#53727) — such a restart could never succeed, so
+    # disable core-level restart and let the pool's task retry replace dead
+    # actors instead.
     sigs = docs.map_batches(
         bound_class(MinHashSig, num_perms=num_perms, shingle_k=shingle_k),
-        batch_format="pandas", concurrency=(1, 8),
+        batch_format="pandas", concurrency=(1, 8), max_restarts=0,
     )
     buckets = sigs.map_batches(explode, batch_format="pandas").map_batches(
         route, batch_format="pyarrow"
@@ -386,7 +391,7 @@ def _jaccard_broadcast(docs: "rd.Dataset", pairs: "rd.Dataset", shingle_k: int,
                 }
             )
 
-    sh = docs.map_batches(Shingles, batch_format="pandas", concurrency=(1, 8))
+    sh = docs.map_batches(Shingles, batch_format="pandas", concurrency=(1, 8), max_restarts=0)
 
     def _run_gather(starts_sel, lens_sel):
         """Vectorized gather index for ragged runs: position k of run i maps
@@ -534,7 +539,7 @@ def simhash_signatures(docs: "rd.Dataset", *, chunk: int = _SIMHASH_CHUNK) -> "r
     return docs.map_batches(
         bound_class(SimHashSig, chunk=chunk),
         batch_format="pandas",
-        concurrency=(1, 8),
+        concurrency=(1, 8), max_restarts=0,
     )
 
 
@@ -754,7 +759,7 @@ def benchmark_contamination(
                     np.add.at(n, rows, hit)
                 return pa.table({"doc_id": pa.array(out_ids), "n_shared": pa.array(n)})
 
-        return docs.map_batches(Count, batch_format="pandas", concurrency=(1, 8))
+        return docs.map_batches(Count, batch_format="pandas", concurrency=(1, 8), max_restarts=0)
 
     # distributed path: explode -> join -> partition-grouped count -> left join
     def doc_shingles(df: pd.DataFrame) -> pa.Table:

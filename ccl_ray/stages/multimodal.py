@@ -193,7 +193,7 @@ def frame_sample(media: "rd.Dataset", *, every_k: int = 2, fake: bool = True,
         bound_class(FrameSample, every_k=every_k, fake=fake),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, 4),
+        concurrency=(1, 4), max_restarts=0,
     )
 
 
@@ -225,5 +225,5 @@ def media_meta(media: "rd.Dataset", *, fake: bool = True, batch_size: int = 256)
         bound_class(DecodeImage, fake=fake),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, 4),
+        concurrency=(1, 4), max_restarts=0,
     )

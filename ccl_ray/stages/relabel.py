@@ -63,7 +63,7 @@ def apply_translation(
             batch[out_col] = mapped.where(mapped.notna(), vals)
             return batch
 
-    return ds.map_batches(Apply, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(Apply, batch_format="pandas", concurrency=(1, 4), max_restarts=0)
 
 
 # Label spaces up to this many DISTINCT labels are broadcast to workers
@@ -154,7 +154,7 @@ def densify_labels(
             out = batch.append_column(out_col, pa.array(ranks.astype(np.int64)))
             return out
 
-    return ds.map_batches(Rank, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(Rank, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
 
 
 def eol_labels(present: "rd.Dataset") -> "rd.Dataset":

@@ -128,7 +128,7 @@ def cosine_topk(
     cands = embeddings.map_batches(
         _CosineScan,
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=(1, 8), max_restarts=0,
         fn_constructor_args=(ref, k, None, True),
     )
 
@@ -150,7 +150,7 @@ def cosine_pairs(
     out = embeddings.map_batches(
         _CosineScan,
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=(1, 8), max_restarts=0,
         fn_constructor_args=(ref, None, threshold, True),
     )
     if round_to is not None:
@@ -222,7 +222,7 @@ def embedding_dedup_pairs(
                 }
             )
 
-    routed = embeddings.map_batches(Route, batch_format="pandas", concurrency=(1, 8))
+    routed = embeddings.map_batches(Route, batch_format="pandas", concurrency=(1, 8), max_restarts=0)
 
     def bucket_pairs(df: pd.DataFrame) -> "pa.Table":
         sub = df.drop_duplicates("vec_id").sort_values("vec_id")
@@ -314,7 +314,7 @@ def ivf_topk(
                 else pd.DataFrame({"a": [], "b": [], "sim": []})
             )
 
-    cands = embeddings.map_batches(Scan, batch_format="pandas", concurrency=(1, 8))
+    cands = embeddings.map_batches(Scan, batch_format="pandas", concurrency=(1, 8), max_restarts=0)
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["sim", "b"], ascending=[False, True]).head(k).copy()

@@ -211,7 +211,7 @@ class Redact:
 
 
 def redact(docs: "rd.Dataset") -> "rd.Dataset":
-    return docs.map_batches(Redact, batch_format="pandas", concurrency=(1, 8))
+    return docs.map_batches(Redact, batch_format="pandas", concurrency=(1, 8), max_restarts=0)
 
 
 def tfidf_top_terms(docs: "rd.Dataset", k: int = 5, *, num_partitions: int | None = None) -> "rd.Dataset":
@@ -259,7 +259,7 @@ def tfidf_top_terms(docs: "rd.Dataset", k: int = 5, *, num_partitions: int | Non
                 }
             )
 
-    tf = docs.map_batches(TermFreq, batch_format="pandas", concurrency=(1, 8)).materialize()
+    tf = docs.map_batches(TermFreq, batch_format="pandas", concurrency=(1, 8), max_restarts=0).materialize()
     # df: docs-per-term — tf rows are already distinct (doc, term), so a
     # count per term is a sum of ones (partial-aggregated by Ray)
     from ccl_ray.stages.aggregates import partitioned_groupby_agg
@@ -358,7 +358,7 @@ def vocab_top_terms(docs: "rd.Dataset", k: int = 100) -> "rd.Dataset":
             )
 
     agg = partitioned_groupby_agg(
-        docs.map_batches(TermCounts, batch_format="pandas", concurrency=(1, 8)),
+        docs.map_batches(TermCounts, batch_format="pandas", concurrency=(1, 8), max_restarts=0),
         ["term"],
         {"n": ("n", "sum")},
     )
@@ -395,7 +395,7 @@ def token_entropy(docs: "rd.Dataset") -> "rd.Dataset":
                  "entropy": pa.array(ent)}
             )
 
-    return docs.map_batches(Entropy, batch_format="pandas", concurrency=(1, 8))
+    return docs.map_batches(Entropy, batch_format="pandas", concurrency=(1, 8), max_restarts=0)
 
 
 def unigram_logprob(docs: "rd.Dataset", *, num_partitions: int | None = None) -> "rd.Dataset":
@@ -443,7 +443,7 @@ def unigram_logprob(docs: "rd.Dataset", *, num_partitions: int | None = None) ->
             )
 
     partials = docs.map_batches(
-        DocTermCounts, batch_format="pandas", concurrency=(1, 8)
+        DocTermCounts, batch_format="pandas", concurrency=(1, 8), max_restarts=0
     ).materialize()  # consumed twice: tf build + join probe
 
     tf = partitioned_groupby_agg(
@@ -544,7 +544,7 @@ def bigram_top_terms(docs: "rd.Dataset", k: int = 100) -> "rd.Dataset":
             )
 
     agg = partitioned_groupby_agg(
-        docs.map_batches(BigramCounts, batch_format="pandas", concurrency=(1, 8)),
+        docs.map_batches(BigramCounts, batch_format="pandas", concurrency=(1, 8), max_restarts=0),
         ["bigram"],
         {"n": ("n", "sum")},
     )
@@ -552,20 +552,20 @@ def bigram_top_terms(docs: "rd.Dataset", k: int = 100) -> "rd.Dataset":
 
 
 def token_count(docs: "rd.Dataset") -> "rd.Dataset":
-    return docs.map_batches(TokenCount, batch_format="pandas", concurrency=(1, 8))
+    return docs.map_batches(TokenCount, batch_format="pandas", concurrency=(1, 8), max_restarts=0)
 
 
 def quality_score(docs: "rd.Dataset") -> "rd.Dataset":
-    return docs.map_batches(QualityScore, batch_format="pandas", concurrency=(1, 8))
+    return docs.map_batches(QualityScore, batch_format="pandas", concurrency=(1, 8), max_restarts=0)
 
 
 def fingerprint(docs: "rd.Dataset") -> "rd.Dataset":
-    return docs.map_batches(Fingerprint, batch_format="pandas", concurrency=(1, 8))
+    return docs.map_batches(Fingerprint, batch_format="pandas", concurrency=(1, 8), max_restarts=0)
 
 
 def repetition_score(docs: "rd.Dataset") -> "rd.Dataset":
-    return docs.map_batches(RepetitionScore, batch_format="pandas", concurrency=(1, 8))
+    return docs.map_batches(RepetitionScore, batch_format="pandas", concurrency=(1, 8), max_restarts=0)
 
 
 def lang_id(docs: "rd.Dataset") -> "rd.Dataset":
-    return docs.map_batches(LangId, batch_format="pandas", concurrency=(1, 8))
+    return docs.map_batches(LangId, batch_format="pandas", concurrency=(1, 8), max_restarts=0)
