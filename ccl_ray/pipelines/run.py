@@ -27,10 +27,14 @@ def main(argv=None) -> int:
         "--pipeline",
         default="flagship",
         choices=["flagship", "cc", "pagerank", "labelprop", "triangles",
-                 "hits", "communities", "ktruss"],
+                 "hits", "communities", "ktruss", "modularity",
+                 "betweenness", "eigenvector"],
     )
     ap.add_argument("--seed-type", default="signup",
                     help="labelprop: events of this event_type seed their own id")
+    ap.add_argument("--seeds", default=None,
+                    help="betweenness: comma-separated source vids "
+                         "(default: the 4 smallest vertex ids)")
     ap.add_argument("--partitions", type=int, default=16)
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
@@ -183,6 +187,56 @@ def main(argv=None) -> int:
         out.write_parquet(path)
         manifest["tables"]["ktruss"] = {"path": path, "rows": out.count(),
                                         "rounds": rounds}
+
+    if args.pipeline == "modularity":
+        from ccl_ray.stages.aggregates import modularity
+        from ccl_ray.stages.lpa import lpa_communities
+
+        comm = lpa_communities(edges, iterations=5, vertices=verts, cfg=cfg).materialize()
+        path = os.path.join(args.out, "communities")
+        comm.write_parquet(path)
+        q = modularity(edges, comm, num_partitions=args.partitions)
+        import ray.data as rd
+
+        qpath = os.path.join(args.out, "modularity")
+        rd.from_arrow(q).write_parquet(qpath)
+        manifest["tables"]["communities"] = {"path": path, "rows": comm.count()}
+        manifest["tables"]["modularity"] = {
+            "path": qpath, "rows": 1,
+            "modularity": float(q.column("modularity")[0].as_py()),
+            "n_communities": int(q.column("n_communities")[0].as_py()),
+        }
+
+    if args.pipeline == "betweenness":
+        from ccl_ray.stages.betweenness import betweenness_sample
+
+        if args.seeds:
+            seed_vids = [int(x) for x in args.seeds.split(",")]
+        else:
+            seed_vids = [
+                int(x) for x in
+                verts.sort("vid").limit(4).to_pandas()["vid"]
+            ]
+        out, levels = betweenness_sample(edges, seed_vids, vertices=verts, cfg=cfg)
+        path = os.path.join(args.out, "betweenness")
+        out.write_parquet(path)
+        manifest["tables"]["betweenness"] = {
+            "path": path, "rows": out.count(),
+            "seeds": seed_vids, "levels_per_seed": levels,
+        }
+
+    if args.pipeline == "eigenvector":
+        from ccl_ray.stages.hits import eigenvector_centrality
+
+        out, iters = eigenvector_centrality(
+            edges.select_columns(["src", "dst"]), vertices=verts, cfg=cfg,
+            tol=1e-8, max_iters=100,
+        )
+        path = os.path.join(args.out, "eigenvector")
+        out.write_parquet(path)
+        manifest["tables"]["eigenvector"] = {
+            "path": path, "rows": out.count(), "iterations": iters,
+        }
 
     manifest["wall_s"] = round(time.perf_counter() - t0, 3)
     tmp = os.path.join(args.out, ".manifest.tmp")
