@@ -232,3 +232,30 @@ def brandes_oracle(
             if v != s:
                 bc[v] += delta[v]
     return bc
+
+
+def mis_oracle(src: np.ndarray, dst: np.ndarray, vids: np.ndarray) -> set[int]:
+    """Serial twin of stages/mis.py: deterministic Luby-style MIS with the
+    injective priority prio(v) = (v * 0x9E3779B97F4A7C15) mod 2^64."""
+    K = 0x9E3779B97F4A7C15
+    M = 1 << 64
+    vlist = sorted({int(v) for v in vids})
+    prio = {v: (v * K) % M for v in vlist}
+    nbr: dict[int, set[int]] = {v: set() for v in vlist}
+    for a, b in zip(src, dst):
+        a, b = int(a), int(b)
+        if a != b:
+            nbr[a].add(b)
+            nbr[b].add(a)
+    undecided = set(vlist)
+    s: set[int] = set()
+    while undecided:
+        join = {
+            v for v in undecided
+            if all(prio[v] < prio[u] for u in nbr[v] if u in undecided)
+        }
+        assert join
+        s |= join
+        undecided -= join
+        undecided -= {u for v in join for u in nbr[v]}
+    return s

@@ -660,6 +660,61 @@ def q_pagerank_weighted_close(sf_dir: str):
     )
 
 
+def q_mis(sf_dir: str):
+    """Deterministic Luby-style MIS over the events graph — (event_id,
+    in_mis). The injective priority (vid·K mod 2⁶⁴, K odd) makes every
+    round a pure function of the graph, so the unrolled SQL twin computes
+    the identical set. The engine asserts convergence within the oracle's
+    8-round unroll (measured: 4 rounds at sf0.01)."""
+    from ccl_ray.stages.mis import maximal_independent_set
+
+    ds, rounds = maximal_independent_set(
+        _edges_memo(sf_dir), vertices=_verts_memo(sf_dir), cfg=_cfg(),
+        max_rounds=8,
+    )
+    return ds.rename_columns({"vid": "event_id"})
+
+
+def _mis_oracle_sql(k: int = 8) -> str:
+    """k-round unrolled deterministic MIS (stages/mis.py twin): every
+    per-round CTE MATERIALIZED (DuckDB otherwise inlines the chain
+    exponentially); priority arithmetic in HUGEINT so the mod-2⁶⁴ mixing
+    matches the engine's uint64 bit-for-bit."""
+    parts = [
+        "evp AS MATERIALIZED (SELECT event_id AS v,"
+        " (event_id::HUGEINT * 11400714819323198485) % 18446744073709551616"
+        " AS p FROM events)",
+        "undm AS MATERIALIZED (SELECT src AS u, dst AS v FROM edgu"
+        " UNION SELECT dst, src FROM edgu)",
+        "u0 AS MATERIALIZED (SELECT v, p FROM evp)",
+        "s0 AS MATERIALIZED (SELECT v FROM evp WHERE false)",
+    ]
+    for i in range(1, k + 1):
+        parts += [
+            # min undecided-neighbor priority per (still relevant) vertex
+            f"m{i} AS MATERIALIZED (SELECT undm.u AS v, min(x.p) AS mp"
+            f" FROM undm JOIN u{i-1} x ON x.v = undm.v GROUP BY 1)",
+            # joiners: undecided with prio below every undecided neighbor's
+            # (or no undecided neighbor at all)
+            f"in{i} AS MATERIALIZED (SELECT u.v FROM u{i-1} u"
+            f" LEFT JOIN m{i} m ON m.v = u.v"
+            f" WHERE m.mp IS NULL OR u.p < m.mp)",
+            f"out{i} AS MATERIALIZED (SELECT DISTINCT undm.u AS v"
+            f" FROM undm JOIN in{i} i ON i.v = undm.v)",
+            f"u{i} AS MATERIALIZED (SELECT u.v, u.p FROM u{i-1} u"
+            f" WHERE u.v NOT IN (SELECT v FROM in{i})"
+            f" AND u.v NOT IN (SELECT v FROM out{i}))",
+            f"s{i} AS MATERIALIZED (SELECT v FROM s{i-1}"
+            f" UNION ALL SELECT v FROM in{i})",
+        ]
+    return (
+        "WITH " + _EDGES_CTE + ",\n" + ",\n".join(parts) + f"""
+        SELECT e.event_id,
+               e.event_id IN (SELECT v FROM s{k}) AS in_mis
+        FROM events e"""
+    )
+
+
 def q_eigenvector_close(sf_dir: str):
     """Driver-visible cross-check for power-iteration eigenvector
     centrality (tol-based — legitimately non-SQL, the pagerank_close
@@ -1367,6 +1422,7 @@ QUERIES = {
     "pagerank_weighted_close": q_pagerank_weighted_close,
     "eigenvector_close": q_eigenvector_close,
     "betweenness_close": q_betweenness_close,
+    "mis": q_mis,
     "two_hop": q_two_hop,
     "assortativity": q_assortativity,
     "value_quantiles": q_value_quantiles,
@@ -1637,6 +1693,7 @@ ORACLE_SQL = {
         SELECT count(*)::BIGINT AS n_vertices, 4::BIGINT AS n_seeds,
                0::BIGINT AS n_exceed_tol, 0.0::DOUBLE AS max_rel_gap_r4
         FROM events""",
+    "mis": _mis_oracle_sql(8),
     "pagerank_close": """
         SELECT count(*)::BIGINT AS n_vertices, 0::BIGINT AS n_exceed_tol,
                0.0::DOUBLE AS max_abs_gap_r4

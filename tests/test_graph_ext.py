@@ -897,3 +897,48 @@ def test_eigenvector_centrality_vs_numpy():
         assert np.allclose(
             df["score"].values, [want_a[v] for v in df.index], atol=1e-9
         ), f"P={P}"
+
+
+def test_mis_vs_oracle_and_invariants():
+    """Deterministic MIS equals the serial twin at P=1/4 in both exchange
+    modes, and satisfies independence + maximality against the raw graph."""
+    from ccl_ray.oracle.unionfind import mis_oracle
+    from ccl_ray.stages.mis import maximal_independent_set
+
+    rng = np.random.RandomState(44)
+    n, m = 80, 220
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    want = mis_oracle(src, dst, np.arange(n))
+    nbr = _adj(src, dst, np.arange(n))
+    edges = _edges_ds(src, dst)
+    for P, mode in ((1, "grouped"), (4, "grouped"), (4, "fanout")):
+        ds, rounds = maximal_independent_set(
+            edges, vertices=_vids_ds(np.arange(n)),
+            cfg=EngineConfig(num_partitions=P, exchange=mode),
+        )
+        df = ds.to_pandas()
+        got = {int(v) for v, f in zip(df["vid"], df["in_mis"]) if f}
+        assert got == want, f"P={P} {mode}"
+        assert rounds >= 1
+        # independence
+        for v in got:
+            assert not (nbr[v] & got), f"adjacent pair in MIS (P={P})"
+        # maximality
+        for v in set(df["vid"].astype(int)) - got:
+            assert nbr[v] & got, f"non-member {v} with no MIS neighbor (P={P})"
+
+
+def test_mis_isolated_and_empty():
+    from ccl_ray.stages.mis import maximal_independent_set
+
+    # triangle + two isolated vertices: isolates always join
+    src = np.array([0, 1, 2])
+    dst = np.array([1, 2, 0])
+    ds, _ = maximal_independent_set(
+        _edges_ds(src, dst, blocks=1), vertices=_vids_ds(np.arange(5)),
+        cfg=EngineConfig(num_partitions=2),
+    )
+    df = ds.to_pandas().set_index("vid").sort_index()
+    assert bool(df.loc[3, "in_mis"]) and bool(df.loc[4, "in_mis"])
+    assert int(df.loc[[0, 1, 2], "in_mis"].sum()) == 1
