@@ -174,10 +174,17 @@ def run_bench() -> dict:
     algos = [
         a.strip() for a in os.environ.get("GRAFT_BENCH_ALGOS", "cc,pr").split(",") if a.strip()
     ]
+    unknown = [a for a in algos if a not in ("cc", "pr")]
+    if unknown:
+        raise SystemExit(f"GRAFT_BENCH_ALGOS: unknown algorithm(s) {unknown}; use cc,pr")
 
+    t_sb = time.perf_counter()
     shards = build_graph_shards(
         edges, NUM_PARTITIONS, vertices_ds=verts, symmetrize=True, dense=cfg.dense_ids
     )
+    # one-time shard/plan build, its own key (pre-round-4 runs folded this
+    # into transcript_cc's wall — walls before/after are not comparable)
+    extra["shard_build_s"] = round(time.perf_counter() - t_sb, 3)
 
     def run_cc():
         t0 = time.perf_counter()
@@ -457,6 +464,9 @@ def run_scaling() -> dict:
             # box (spikes 0.25→0.9s); best-of-3 per level isolates the
             # sustained rate both levels are capable of
             GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "3"),
+            # the efficiency metric needs BOTH headline algorithms at both
+            # levels regardless of any session-level ALGOS filter
+            GRAFT_BENCH_ALGOS="cc,pr",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -259,3 +259,39 @@ def mis_oracle(src: np.ndarray, dst: np.ndarray, vids: np.ndarray) -> set[int]:
         undecided -= join
         undecided -= {u for v in join for u in nbr[v]}
     return s
+
+
+def eigenvector_oracle(
+    src: np.ndarray,
+    dst: np.ndarray,
+    vids: np.ndarray,
+    tol: float = 1e-10,
+    max_iters: int = 100,
+) -> tuple[dict[int, float], int]:
+    """Dense numpy twin of stages/hits.py eigenvector_centrality: shifted
+    power iteration x ← (A + I)x / ‖·‖₁ on the undirected deduped
+    loop-free graph from a uniform start (the +I shift converges to the
+    Perron vector even on bipartite graphs). Returns (scores, iters)."""
+    vids = np.asarray(sorted(set(vids.tolist())), dtype=np.int64)
+    idx = {int(v): i for i, v in enumerate(vids)}
+    n = len(vids)
+    pairs = set()
+    for a, b in zip(src, dst):
+        if a != b:
+            pairs.add((idx[int(a)], idx[int(b)]))
+            pairs.add((idx[int(b)], idx[int(a)]))
+    s = np.array([p[0] for p in pairs], np.int64)
+    d = np.array([p[1] for p in pairs], np.int64)
+    x = np.full(n, 1.0 / n if n else 0.0)
+    it = 0
+    while True:
+        new = x + (np.bincount(d, weights=x[s], minlength=n) if len(s) else 0.0)
+        t = new.sum()
+        if t:
+            new = new / t
+        l1 = np.abs(new - x).sum()
+        x = new
+        it += 1
+        if l1 < tol or it >= max_iters:
+            break
+    return {int(v): float(x[i]) for i, v in enumerate(vids)}, it

@@ -716,13 +716,13 @@ def _mis_oracle_sql(k: int = 8) -> str:
 
 
 def q_eigenvector_close(sf_dir: str):
-    """Driver-visible cross-check for power-iteration eigenvector
+    """Driver-visible cross-check for shifted-power-iteration eigenvector
     centrality (tol-based — legitimately non-SQL, the pagerank_close
-    pattern): engine scores vs the dense numpy twin (HITS oracle on the
-    symmetrized pairs — with A symmetric the two half-steps are one A²
-    application, auth == the Perron vector). Constant SQL pins the shape.
-    Gate-only: pulls sf0.01-scale scores/edges to the driver by design."""
-    from ccl_ray.oracle.unionfind import hits_oracle
+    pattern): engine scores vs the dense numpy twin (x ← (A+I)x / ‖·‖₁ —
+    the +I shift converges to the Perron vector even on bipartite graphs).
+    Constant SQL pins the shape. Gate-only: pulls sf0.01-scale
+    scores/edges to the driver by design."""
+    from ccl_ray.oracle.unionfind import eigenvector_oracle
     from ccl_ray.stages.hits import eigenvector_centrality
 
     tol, max_iters = 1e-8, 60
@@ -733,10 +733,8 @@ def q_eigenvector_close(sf_dir: str):
     )
     got = ds.to_pandas()
     e = edges.to_pandas()
-    sym_s = np.concatenate([e["src"].values, e["dst"].values])
-    sym_d = np.concatenate([e["dst"].values, e["src"].values])
-    want_a, _, want_it = hits_oracle(
-        sym_s, sym_d, got["vid"].values.astype(np.int64),
+    want_a, want_it = eigenvector_oracle(
+        e["src"].values, e["dst"].values, got["vid"].values.astype(np.int64),
         tol=tol, max_iters=max_iters,
     )
     gaps = np.abs(got["score"].values - np.array([want_a[int(v)] for v in got["vid"]]))

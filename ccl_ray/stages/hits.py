@@ -32,6 +32,7 @@ from ccl_ray.state.shards import (
     as_piece_list,
     apply_combine_plan,
     combine_plans,
+    l1_delta as _l1_delta,
     reduce_routed,
     scatter_plans,
     shard_edges_csr,
@@ -76,11 +77,6 @@ def _hits_combine(q, grouped, cplan, vids, *msg_objs):
 @ray.remote
 def _scale(x, s):
     return x / s
-
-
-@ray.remote
-def _l1_delta(new, old) -> float:
-    return float(np.abs(new - old).sum())
 
 
 @ray.remote
@@ -209,6 +205,40 @@ def hits_converged(
     )
 
 
+@ray.remote(num_returns=2)
+def _eig_combine(q, grouped, cplan, x, *msg_objs):
+    """(A x + x) combine: neighbor sums plus the +I shift term. The shift
+    makes the iteration aperiodic, so it converges to the Perron vector of
+    A even on BIPARTITE graphs (plain A-power iteration oscillates there,
+    and iterating A² — e.g. running HITS on a symmetric graph — converges
+    to a +λ/−λ eigenvector MIXTURE, not the Perron vector; A+I has the
+    same eigenvectors as A with eigenvalues shifted +1, so its dominant
+    eigenvector is exactly A's Perron vector)."""
+    out = x.copy()
+    pieces = [m[q] for m in msg_objs] if grouped else list(msg_objs)
+    pos, red = apply_combine_plan(cplan, pieces, np.add)
+    if pos.size:
+        out[pos] += red
+    return out, float(out.sum())
+
+
+@ray.remote
+def _uniform(vids, n):
+    return np.full(len(vids), 1.0 / n if n else 0.0, np.float64)
+
+
+@ray.remote
+def _vid_len(vids) -> int:
+    return len(vids)
+
+
+@ray.remote
+def _eig_table(vids, x, round_to):
+    import pyarrow as pa
+
+    return pa.table({"vid": pa.array(vids), "score": pa.array(np.round(x, round_to))})
+
+
 def eigenvector_centrality(
     edges,
     *,
@@ -218,32 +248,55 @@ def eigenvector_centrality(
     cfg: EngineConfig | None = None,
     round_to: int = 10,
 ):
-    """Power-iteration eigenvector centrality of the UNDIRECTED graph:
-    symmetrize the edge table, then run the converged HITS driver — with a
-    symmetric adjacency the two half-steps are one application of A² with
-    L1 normalization, so auth == hub == the principal eigenvector
-    (Perron vector; components with a smaller spectral radius decay to 0,
-    same as any power iteration from a uniform start). Returns
-    ((vid, score) Dataset, iterations run); the numpy twin is
-    oracle.hits_oracle on the symmetrized pairs."""
-    import pyarrow as pa
+    """Eigenvector centrality of the UNDIRECTED simple graph: SHIFTED power
+    iteration x ← L1-normalize((A + I) x) from a uniform start — converges
+    to the Perron vector of A on any connected non-trivial graph,
+    including bipartite ones (see _eig_combine). Components with a smaller
+    spectral radius decay to 0, as with any power method. Returns
+    ((vid, score) Dataset, iterations run); numpy twin:
+    oracle.eigenvector_oracle. Edgeless vertices keep the uniform mass
+    (A x = 0 ⇒ x is a fixpoint)."""
+    import ray.data as rd
 
-    def both(batch: pa.Table) -> pa.Table:
-        s = batch.column("src")
-        d = batch.column("dst")
-        return pa.table(
-            {
-                "src": pa.chunked_array([s, d]).combine_chunks(),
-                "dst": pa.chunked_array([d, s]).combine_chunks(),
-            }
-        )
+    cfg = cfg or EngineConfig()
+    P = cfg.num_partitions
+    grouped = cfg.exchange == "grouped"
 
-    sym = edges.select_columns(["src", "dst"]).map_batches(both, batch_format="pyarrow")
-    ds, iters = _hits_run(
-        sym, vertices, cfg, round_to, tol=tol, max_iters=max_iters
-    )
+    csr = shard_edges_csr(edges, P, symmetrize=True, dedupe=True, drop_self=True)
+    vids = shard_vertices(edges, P, vertices_ds=vertices)
+    plans = scatter_plans(csr, vids, P)
+    cplans = combine_plans(vids, plans, P)
 
-    def score(batch: pa.Table) -> pa.Table:
-        return pa.table({"vid": batch.column("vid"), "score": batch.column("auth")})
+    n = int(sum(ray.get([_vid_len.remote(v) for v in vids])))
+    x = [_uniform.remote(vids[p], n) for p in range(P)]
+    it = 0
+    while True:
+        old = x
+        if grouped:
+            outs = [_hits_scatter_g.remote(plans[p], x[p]) for p in range(P)]
+            comb = [
+                _eig_combine.remote(q, True, cplans[q], x[q], *outs) for q in range(P)
+            ]
+        else:
+            outs = [
+                _pieces(
+                    _hits_scatter_f.options(num_returns=P).remote(plans[p], x[p], P), P
+                )
+                for p in range(P)
+            ]
+            comb = [
+                _eig_combine.remote(
+                    q, False, cplans[q], x[q], *[outs[p][q] for p in range(P)]
+                )
+                for q in range(P)
+            ]
+        vec = [c[0] for c in comb]
+        total = float(sum(ray.get([c[1] for c in comb])))
+        x = vec if total == 0.0 else [_scale.remote(vec[p], total) for p in range(P)]
+        it += 1
+        l1 = sum(ray.get([_l1_delta.remote(x[p], old[p]) for p in range(P)]))
+        if l1 < tol or it >= max_iters:
+            break
 
-    return ds.map_batches(score, batch_format="pyarrow"), iters
+    tables = [_eig_table.remote(vids[p], x[p], round_to) for p in range(P)]
+    return rd.from_arrow_refs(tables), it

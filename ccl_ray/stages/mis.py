@@ -94,12 +94,18 @@ def _mis_scatter_f(plan, csr, prio, status, P, from_status):
 
 
 def _nbr_min(vids, pieces):
+    """(min over received values, presence mask). Presence is tracked
+    separately: the sentinel default is itself a REPRESENTABLE priority
+    (the one vid with prio == 2^64−1), so 'received nothing' must not be
+    conflated with 'received the max value'."""
     acc = np.full(len(vids), _PMAX, np.uint64)
+    seen = np.zeros(len(vids), bool)
     for dst, vals in pieces:
         if len(dst):
             pos = np.searchsorted(vids, dst)
             np.minimum.at(acc, pos, vals)
-    return acc
+            seen[pos] = True
+    return acc, seen
 
 
 @ray.remote(num_returns=2)
@@ -109,8 +115,10 @@ def _mis_join(q, grouped, vids, prio, status, *msg_objs):
     if status.size == 0:
         return status, 0
     pieces = [m[q] for m in msg_objs] if grouped else list(msg_objs)
-    nbr_min = _nbr_min(vids, pieces)
-    join = (status == _UNDECIDED) & (prio < nbr_min)
+    nbr_min, seen = _nbr_min(vids, pieces)
+    # no undecided neighbor → join unconditionally (matches the SQL twin's
+    # "m.mp IS NULL" branch even for the vid whose priority == the sentinel)
+    join = (status == _UNDECIDED) & (~seen | (prio < nbr_min))
     new = status.copy()
     new[join] = _FRESH
     return new, int(join.sum())

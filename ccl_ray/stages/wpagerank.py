@@ -28,6 +28,7 @@ from ccl_ray.config import EngineConfig
 from ccl_ray.state.shards import (
     apply_combine_plan,
     combine_plans,
+    l1_delta as _l1_delta,
     reduce_routed,
     scatter_plans,
     shard_edges_csr,
@@ -124,11 +125,6 @@ def _wpr_table(vids, score, round_to):
 @ray.remote
 def _vid_len(vids) -> int:
     return len(vids)
-
-
-@ray.remote
-def _l1_delta(new, old) -> float:
-    return float(np.abs(new - old).sum())
 
 
 def _wpr_run(edges, weight_col, damping, vertices, cfg, round_to, *,

@@ -37,6 +37,13 @@ def as_piece_list(out, P: int) -> list:
     return [out] if P == 1 else list(out)
 
 
+@ray.remote
+def l1_delta(new: np.ndarray, old: np.ndarray) -> float:
+    """Per-shard L1 delta partial for convergence checks (shared by the
+    tol-based HITS / weighted-PageRank / eigenvector loops)."""
+    return float(np.abs(new - old).sum())
+
+
 def part_of(vids: np.ndarray, P: int) -> np.ndarray:
     return (stable_hash64_np(vids.astype(np.int64).view(np.uint64)) % np.uint64(P)).astype(
         np.int64

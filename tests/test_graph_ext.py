@@ -864,31 +864,30 @@ def test_betweenness_star_path_exact():
         cfg=EngineConfig(num_partitions=2),
     )
     df = ds.to_pandas().set_index("vid").sort_index()
-    # from seed 0: delta(1)=3, delta(2)=2, delta(3)=1; symmetric from 4
+    # closed form: from seed 0, delta = (3,2,1,0) at vertices 1..4 and the
+    # seed is excluded; symmetric from seed 4 -> interior vertices carry
+    # 3+1 = 2+2 = 1+3 = 4.0 each, endpoints 0.0
     assert dict(zip(df.index, df["betweenness"])) == {
-        0: 1.0 + 0.0 + 2.0, 1: 3.0 + 1.0 - 1.0, 2: 2.0 + 2.0 - 2.0,
-        3: 1.0 + 3.0 - 1.0, 4: 2.0 + 1.0 + 0.0,
-    } or np.allclose(df["betweenness"].values, [want[v] for v in df.index])
+        0: 0.0, 1: 4.0, 2: 4.0, 3: 4.0, 4: 0.0,
+    }
     assert np.allclose(df["betweenness"].values, [want[v] for v in df.index])
 
 
 def test_eigenvector_centrality_vs_numpy():
-    """Converged scores equal the dominant eigenvector of the symmetrized
-    adjacency (L1-normalized, via the same double-half-step oracle)."""
-    from ccl_ray.oracle.unionfind import hits_oracle
+    """Converged scores equal the (A+I) shifted-power oracle; iteration
+    counts match; P=1 vs P=4 agree."""
+    from ccl_ray.oracle.unionfind import eigenvector_oracle
     from ccl_ray.stages.hits import eigenvector_centrality
 
     rng = np.random.RandomState(5)
     n, m = 50, 160
     src = rng.randint(0, n, m)
     dst = rng.randint(0, n, m)
-    sym_s = np.concatenate([src, dst])
-    sym_d = np.concatenate([dst, src])
     tol = 1e-9
-    want_a, _, want_it = hits_oracle(sym_s, sym_d, np.arange(n), tol=tol, max_iters=200)
+    want_a, want_it = eigenvector_oracle(src, dst, np.arange(n), tol=tol, max_iters=300)
     for P in (1, 4):
         ds, iters = eigenvector_centrality(
-            _edges_ds(src, dst), tol=tol, max_iters=200,
+            _edges_ds(src, dst), tol=tol, max_iters=300,
             vertices=_vids_ds(np.arange(n)),
             cfg=EngineConfig(num_partitions=P), round_to=12,
         )
@@ -897,6 +896,30 @@ def test_eigenvector_centrality_vs_numpy():
         assert np.allclose(
             df["score"].values, [want_a[v] for v in df.index], atol=1e-9
         ), f"P={P}"
+
+
+def test_eigenvector_bipartite_true_perron():
+    """INDEPENDENT check against np.linalg.eigh on a bipartite path graph —
+    the case where plain A or A² power iteration gives a wrong (mixed or
+    oscillating) vector; the +I shift must recover the true Perron vector."""
+    from ccl_ray.stages.hits import eigenvector_centrality
+
+    n = 7  # path 0-1-2-...-6: connected and bipartite
+    src = np.arange(n - 1)
+    dst = np.arange(1, n)
+    A = np.zeros((n, n))
+    A[src, dst] = 1.0
+    A[dst, src] = 1.0
+    w, v = np.linalg.eigh(A)
+    perron = np.abs(v[:, np.argmax(w)])
+    perron = perron / perron.sum()
+    ds, _ = eigenvector_centrality(
+        _edges_ds(src, dst), tol=1e-12, max_iters=2000,
+        vertices=_vids_ds(np.arange(n)), cfg=EngineConfig(num_partitions=2),
+        round_to=12,
+    )
+    df = ds.to_pandas().set_index("vid").sort_index()
+    assert np.allclose(df["score"].values, perron, atol=1e-6)
 
 
 def test_mis_vs_oracle_and_invariants():
