@@ -715,6 +715,28 @@ def _mis_oracle_sql(k: int = 8) -> str:
     )
 
 
+def q_hll_users(sf_dir: str):
+    """Distributed HyperLogLog cardinality sketch (stages/sketch.py — one
+    pass, no key exchange) checked against the engine's exact distributed
+    distinct count, which carries the SQL value check. The estimate itself
+    cannot be SQL-replicated bit-for-bit (DuckDB's approx_count_distinct
+    is a different HLL implementation), so the ±2% accuracy bound
+    (p=14 → σ≈0.8%, this is ~2.5σ) is asserted engine-side."""
+    from ccl_ray.stages.aggregates import partial_sum_agg
+    from ccl_ray.stages.sketch import hll_distinct
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    exact = partial_sum_agg(ev, ["user_id"], {}, count_as="_n").count()
+    est = hll_distinct(ev, "user_id")
+    ok = bool(abs(est - exact) <= max(1.0, 0.02 * exact))
+    return pa.table(
+        {
+            "n_users_exact": pa.array([exact], pa.int64()),
+            "hll_within_2pct": pa.array([ok], pa.bool_()),
+        }
+    )
+
+
 def q_eigenvector_close(sf_dir: str):
     """Driver-visible cross-check for shifted-power-iteration eigenvector
     centrality (tol-based — legitimately non-SQL, the pagerank_close
@@ -1421,6 +1443,7 @@ QUERIES = {
     "eigenvector_close": q_eigenvector_close,
     "betweenness_close": q_betweenness_close,
     "mis": q_mis,
+    "hll_users": q_hll_users,
     "two_hop": q_two_hop,
     "assortativity": q_assortativity,
     "value_quantiles": q_value_quantiles,
@@ -1692,6 +1715,10 @@ ORACLE_SQL = {
                0::BIGINT AS n_exceed_tol, 0.0::DOUBLE AS max_rel_gap_r4
         FROM events""",
     "mis": _mis_oracle_sql(8),
+    "hll_users": """
+        SELECT count(DISTINCT user_id)::BIGINT AS n_users_exact,
+               true AS hll_within_2pct
+        FROM events""",
     "pagerank_close": """
         SELECT count(*)::BIGINT AS n_vertices, 0::BIGINT AS n_exceed_tol,
                0.0::DOUBLE AS max_abs_gap_r4

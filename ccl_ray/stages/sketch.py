@@ -1,0 +1,123 @@
+"""HyperLogLog distinct-count sketch — cardinality estimation WITHOUT a
+shuffle.
+
+The exact distinct counts in this engine (aggregates.partial_sum_agg over
+the key) pay one hash-partitioned exchange of the distinct keys; at 100 TB
+a cardinality ESTIMATE is usually wanted long before the exact number, and
+HLL gets it with a fixed 2^p-byte register array per block and a tiny
+max-merge — no key ever leaves its block:
+
+1. per batch (vectorized): h = splitmix64(key); register index = low p
+   bits; rank = #leading-zeros of the remaining 64−p bits + 1; per-batch
+   register maxima via np.maximum.at — one row of 2^p uint8 out per block;
+2. per partition: max-merge the block rows (map_batches over a coalesced
+   partial set);
+3. driver: max-merge ≤ num_blocks tiny rows, apply the standard
+   bias-corrected estimator (Flajolet et al. 2007 constants; linear
+   counting below 2.5·m — no large-range correction needed with 64-bit
+   hashes). Deterministic: fixed hash, max-merge is order-free.
+
+Standard error ≈ 1.04/√m (p=14 → m=16384 → ~0.8%). The gate query pairs
+the estimate with the engine's exact distinct count and asserts the
+relative error bound engine-side (a SQL oracle cannot reproduce another
+implementation's estimator bit-for-bit, so the exact count carries the
+value check — DuckDB's approx_count_distinct has the same limitation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ccl_ray.functions.hashing import stable_hash64_np
+
+
+def _registers_for(h: np.ndarray, p: int) -> np.ndarray:
+    """2^p uint8 register maxima for a batch of 64-bit hashes."""
+    m = 1 << p
+    regs = np.zeros(m, np.uint8)
+    if not len(h):
+        return regs
+    h = h.astype(np.uint64)
+    idx = (h & np.uint64(m - 1)).astype(np.int64)
+    rest = h >> np.uint64(p)
+    # rank = leading zeros of the (64-p)-bit remainder + 1; a zero
+    # remainder ranks (64-p)+1. bit_length via log2 on the uint64 view is
+    # unsafe at the top bit — use a loop-free comparison ladder instead.
+    nbits = 64 - p
+    rank = np.full(len(h), nbits + 1, np.uint8)
+    nz = rest != 0
+    if nz.any():
+        # floor(log2(rest)) for nonzero values, computed exactly in uint64
+        bl = np.zeros(len(h), np.int64)
+        v = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = v >= (np.uint64(1) << np.uint64(shift))
+            bl[big] += shift
+            v[big] >>= np.uint64(shift)
+        rank[nz] = (nbits - 1 - bl[nz] + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)  # linear counting (small range)
+    return float(est)
+
+
+def hll_distinct(
+    ds: "rd.Dataset",
+    col: str,
+    *,
+    p: int = 14,
+    num_partitions: int | None = None,
+) -> float:
+    """HLL estimate of count(distinct col). One pass, no key exchange —
+    per-block 2^p-byte partials, max-merged per partition then on the
+    driver (≤ P tiny rows). Deterministic for a given dataset."""
+    from ccl_ray.config import resolve_partitions
+
+    P = resolve_partitions(num_partitions)
+    m = 1 << p
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        vals = df[col]
+        if vals.dtype == object or str(vals.dtype) in ("string", "str"):
+            h = stable_hash64_np(
+                pd.util.hash_array(vals.to_numpy(dtype=object)).astype(np.uint64)
+            )
+        else:
+            h = stable_hash64_np(vals.to_numpy().astype(np.int64).view(np.uint64))
+        regs = _registers_for(h, p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        acc = np.zeros(m, np.uint8)
+        for b in df["regs"]:
+            acc = np.maximum(acc, np.frombuffer(b, np.uint8))
+        return pa.table({"regs": pa.array([acc.tobytes()], pa.binary())})
+
+    # block partials -> P-way repartition (tiny fixed-size rows) -> one
+    # merged row per partition -> driver max-merge of <= P rows
+    partials = ds.select_columns([col]).map_batches(partial, batch_format="pandas")
+    merged = (
+        partials.select_columns(["regs"])
+        .repartition(P)
+        .map_batches(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    acc = np.zeros(m, np.uint8)
+    # an all-empty input yields no partial rows (and no schema); all-zero
+    # registers estimate 0 via linear counting
+    if len(merged) and "regs" in merged.columns:
+        for b in merged["regs"]:
+            acc = np.maximum(acc, np.frombuffer(b, np.uint8))
+    return _estimate(acc)
