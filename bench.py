@@ -282,6 +282,25 @@ def run_bench() -> dict:
         "iter_wall_s": sum(m["wall_s"] for m in ppr.metrics),
     }
 
+    # --- round-4 additions at transcript scale: MIS (own original-domain
+    # plans) and source-sampled betweenness (shared dense bundle)
+    from ccl_ray.stages.mis import maximal_independent_set
+
+    t0 = time.perf_counter()
+    mds, mis_rounds = maximal_independent_set(edges, cfg=cfg)
+    mis_in = int(mds.sum("in_mis"))
+    queries["transcript_mis"] = time.perf_counter() - t0
+    extra["mis"] = {"rounds": mis_rounds, "in_mis": mis_in}
+
+    from ccl_ray.stages.betweenness import betweenness_sample
+
+    bc_seeds = [int(x) for x in edges.limit(2).to_pandas()["src"]]
+    t0 = time.perf_counter()
+    bds, bc_levels = betweenness_sample(edges, bc_seeds, cfg=cfg, shards=shards)
+    bds.count()
+    queries["transcript_betweenness"] = time.perf_counter() - t0
+    extra["betweenness"] = {"seeds": len(bc_seeds), "levels": bc_levels}
+
     # --- events graph at $GRAFT_SF_DIR (correctness-scale pipelines)
     t0 = time.perf_counter()
     eedges = build_event_edges(SF_DIR).materialize()
@@ -308,6 +327,28 @@ def run_bench() -> dict:
 
     adamic_adar_topk(eedges, k=50, cfg=cfg)
     queries["events_adamic_adar"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.stages.aggregates import modularity
+    from ccl_ray.stages.lpa import lpa_communities
+
+    ecomm = lpa_communities(
+        eedges, iterations=5, vertices=event_vertices(SF_DIR), cfg=cfg
+    ).materialize()
+    mod = modularity(eedges, ecomm, num_partitions=NUM_PARTITIONS)
+    queries["events_modularity"] = time.perf_counter() - t0
+    extra["events_modularity"] = float(mod.column("modularity")[0].as_py())
+
+    t0 = time.perf_counter()
+    from ccl_ray.stages.hits import eigenvector_centrality
+
+    eig, eig_iters = eigenvector_centrality(
+        eedges.select_columns(["src", "dst"]), tol=1e-8, max_iters=100,
+        vertices=event_vertices(SF_DIR), cfg=cfg,
+    )
+    eig.count()
+    queries["events_eigenvector"] = time.perf_counter() - t0
+    extra["events_eigenvector_iters"] = eig_iters
 
     # --- training-data ops
     t0 = time.perf_counter()
