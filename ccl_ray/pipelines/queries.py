@@ -184,6 +184,67 @@ def q_cc_snapshot(sf_dir: str):
     return labels.rename_columns({"vid": "event_id"})
 
 
+def q_cc_incremental(sf_dir: str):
+    """Incremental connected components: label the first-half-of-time
+    subgraph cold, then warm-start the FULL graph from those labels
+    (connected_components_bsp(seed_labels=...)). The final labels are
+    split-invariant — identical to cc_labels — which is what the oracle
+    checks; the warm run's value is wave count (already-merged old
+    components forward one label instead of replaying their merge tree;
+    tests/test_incremental.py pins warm_iters < cold_iters on a path
+    graph). This is the daily-increment pattern at 100 TB: yesterday's
+    labels seed today's run over yesterday+delta, and only the delta's
+    neighborhoods iterate. Original-vid domain (dense_ids=False): vids are
+    the stable cross-run identity, dense ranks are not. Old-graph edges
+    need not be a subset of the full edge set — old components contained
+    in full components is sufficient, and both edge rules guarantee it
+    (adjacency: ts<T is a per-user prefix, so old-consecutive pairs stay
+    full-consecutive; co-occurrence: old star members all meet the full
+    group's star center). Reference analog: marker seeding across slices
+    (ccl_marker_stack.py markers_from_above)."""
+    from ccl_ray.sources.events_graph import adjacency_edges, cooccurrence_edges
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    # engine-side split point: midpoint of the ts range (one tiny partial
+    # min/max row per block; the choice only shapes the warm run, never the
+    # result)
+    def mm(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            e = pa.array([], pa.timestamp("us"))
+            return pa.table({"lo": e, "hi": e})
+        ts = batch.column("ts")
+        return pa.table(
+            {
+                "lo": pa.array([pc.min(ts).as_py()], pa.timestamp("us")),
+                "hi": pa.array([pc.max(ts).as_py()], pa.timestamp("us")),
+            }
+        )
+
+    mmdf = ev.map_batches(mm, batch_format="pyarrow").to_pandas()
+    lo, hi = mmdf["lo"].min(), mmdf["hi"].max()
+    tmid = lo + (hi - lo) / 2
+
+    def old_half(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column("ts"), pa.scalar(tmid)))
+
+    olds = ev.map_batches(old_half, batch_format="pyarrow").materialize()
+    old_edges = adjacency_edges(olds).union(cooccurrence_edges(olds))
+    old_verts = olds.select_columns(["event_id"]).rename_columns({"event_id": "vid"})
+    old_labels = connected_components_bsp(old_edges, vertices=old_verts, cfg=_cfg()).labels
+
+    warm_cfg = EngineConfig(num_partitions=8, dense_ids=False)
+    res = connected_components_bsp(
+        _edges_memo(sf_dir),
+        vertices=_verts_memo(sf_dir),
+        cfg=warm_cfg,
+        seed_labels=old_labels,
+    )
+    return res.labels.rename_columns({"vid": "event_id"})
+
+
 def q_labelprop_seeded(sf_dir: str):
     edges = _edges_memo(sf_dir)
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
@@ -1031,6 +1092,126 @@ def q_q1_agg(sf_dir: str):
     return agg.map_batches(rnd, batch_format="pandas")
 
 
+def q_top_revenue_orders(sf_dir: str):
+    """TPC-H Q3-shaped star join: revenue top-10 orders of one customer
+    segment. Scale shape: the dimension side (segment-filtered customer
+    keys) broadcasts ONCE as a semi-join (exchange.broadcast_lookup_join,
+    hash-join fallback above 2M keys); lineitem pre-aggregates revenue per
+    order BEFORE its only exchange (partial agg, so the join moves one row
+    per order, not one per lineitem); the fact-fact join (order revenue ⋈
+    segment orders) hash-partitions both sides; top-10 is a per-block
+    partial k-selection then one tiny final block. Ranking uses ROUNDED
+    revenue with an o_orderkey tie-break so the engine and the SQL oracle
+    order identically."""
+    from ccl_ray.stages.exchange import broadcast_lookup_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    bkeys = cust.map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    seg_orders = broadcast_lookup_join(
+        orders, bkeys, big_key="o_custkey", small_key="c_custkey", value_cols=[]
+    ).select_columns(["o_orderkey"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev_cols(t: pa.Table) -> pa.Table:
+        # exact integer 1e-4-dollar fixed point (price and discount are
+        # 2-decimal inputs): float summation order would otherwise flip
+        # cents at .xx5 boundaries vs the SQL twin (the running_window
+        # cents idiom)
+        price = np.round(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc = np.round(t.column("l_discount").to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "rev_e4": pa.array(price * (100 - disc))}
+        )
+
+    rev = partial_sum_agg(
+        li.map_batches(rev_cols, batch_format="pyarrow"), ["l_orderkey"], {"rev_e4": "rev_e4"}
+    )
+    joined = hash_join(
+        rev, seg_orders, left_on="l_orderkey", right_on="o_orderkey", num_partitions=8
+    )
+
+    def block_top(df: pd.DataFrame) -> pd.DataFrame:
+        key = "l_orderkey" if "l_orderkey" in df.columns else "o_orderkey"
+        df = df[[key, "rev_e4"]].copy()
+        df = df.sort_values(["rev_e4", key], ascending=[False, True]).head(10)
+        return df.rename(columns={key: "o_orderkey"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # exact-int division by a constant: bit-identical to the SQL twin
+        df["revenue"] = df["rev_e4"] / 10000.0
+        return df[["o_orderkey", "revenue"]]
+
+    return (
+        joined.map_batches(block_top, batch_format="pandas")
+        .repartition(1)
+        .map_batches(block_top, batch_format="pandas")
+        .map_batches(finish, batch_format="pandas")
+    )
+
+
+def q_brand_nation_revenue(sf_dir: str):
+    """TPC-H Q9-flavored star aggregate: revenue / quantity by part brand ×
+    supplier nation. Both dimensions (part, supplier) broadcast once via
+    broadcast_lookup_join — the lineitem fact table NEVER shuffles; its only
+    exchange is the tiny (brand × nation)-keyed partial-aggregate fan-in."""
+    from ccl_ray.stages.exchange import broadcast_lookup_join
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def rev_col(df: pd.DataFrame) -> pd.DataFrame:
+        # exact integer 1e-4-dollar fixed point — see q_top_revenue_orders
+        price = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        df["rev_e4"] = price * (100 - disc)
+        return df[["l_partkey", "l_suppkey", "l_quantity", "rev_e4"]]
+
+    enriched = broadcast_lookup_join(
+        li.map_batches(rev_col, batch_format="pandas"),
+        part,
+        big_key="l_partkey",
+        small_key="p_partkey",
+        value_cols=["p_brand"],
+    )
+    enriched = broadcast_lookup_join(
+        enriched, supp, big_key="l_suppkey", small_key="s_suppkey", value_cols=["s_nationkey"]
+    )
+    agg = partial_sum_agg(
+        enriched,
+        ["p_brand", "s_nationkey"],
+        {"rev_e4": "rev_e4", "l_quantity": "sum_qty"},
+        count_as="n_items",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["rev_e4"] / 10000.0  # exact-int / constant
+        df["sum_qty"] = df["sum_qty"].round(2)
+        df["s_nationkey"] = df["s_nationkey"].astype(np.int64)
+        return df[["p_brand", "s_nationkey", "revenue", "sum_qty", "n_items"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def q_events_hourly(sf_dir: str):
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
 
@@ -1273,6 +1454,16 @@ def q_minhash_pairs(sf_dir: str):
     return minhash_dedup_pairs(_docs(sf_dir), threshold=0.5)
 
 
+def q_fuzzy_name_pairs(sf_dir: str):
+    """Fuzzy key dedup: distinct p_name values at edit distance exactly 1,
+    via deletion-neighborhood blocking + closed-form vectorized verify
+    (stages/fuzzy.py) — the typo/variant-key complement to exact_dedup."""
+    from ccl_ray.stages.fuzzy import editdist1_pairs
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    return editdist1_pairs(part, "p_name", cfg=_cfg())
+
+
 def q_simhash(sf_dir: str):
     return simhash_signatures(_docs(sf_dir))
 
@@ -1409,6 +1600,7 @@ QUERIES = {
     "edges_build": q_edges_build,
     "degree": q_degree,
     "cc_labels": q_cc_labels,
+    "cc_incremental": q_cc_incremental,
     "cc_snapshot": q_cc_snapshot,
     "labelprop_seeded": q_labelprop_seeded,
     "component_sizes": q_component_sizes,
@@ -1462,6 +1654,8 @@ QUERIES = {
     "collect_seq": q_collect_seq,
     "relabel_compose": q_relabel_compose,
     "q1_agg": q_q1_agg,
+    "top_revenue_orders": q_top_revenue_orders,
+    "brand_nation_revenue": q_brand_nation_revenue,
     "events_hourly": q_events_hourly,
     "hourly_anomaly": q_hourly_anomaly,
     "distinct_users": q_distinct_users,
@@ -1473,6 +1667,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "lang_id": q_lang_id,
     "minhash_pairs": q_minhash_pairs,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "media_meta": q_media_meta,
@@ -1604,6 +1799,9 @@ ORACLE_SQL = {
           FROM (SELECT src AS v FROM edgu UNION ALL SELECT dst FROM edgu)
           GROUP BY v) d ON d.vid = e.event_id""",
     "cc_labels": f"WITH RECURSIVE {_CC_CTE} SELECT event_id, label FROM labeled",
+    # warm-started CC converges to the identical min-vid fixpoint, so the
+    # oracle is the same full-graph closure as cc_labels
+    "cc_incremental": f"WITH RECURSIVE {_CC_CTE} SELECT event_id, label FROM labeled",
     # snapshot: the identical CC reachability over only even-day events —
     # 'events' inside the CTE is rebound to the filtered evsnap
     "cc_snapshot": (
@@ -2067,6 +2265,27 @@ ORACLE_SQL = {
                round(sum(l_extendedprice), 2) AS sum_price,
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    # revenue in exact integer 1e-4-dollar fixed point on BOTH sides (the
+    # inputs are 2-decimal), so float summation order can never flip a cent
+    "top_revenue_orders": """
+        WITH rev AS (SELECT l_orderkey,
+                            sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_e4
+                     FROM lineitem GROUP BY 1)
+        SELECT o.o_orderkey, r.rev_e4 / 10000.0 AS revenue
+        FROM rev r JOIN orders o ON o.o_orderkey = r.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY r.rev_e4 DESC, o.o_orderkey LIMIT 10""",
+    "brand_nation_revenue": """
+        SELECT p.p_brand, CAST(s.s_nationkey AS BIGINT) AS s_nationkey,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
+               round(sum(l.l_quantity), 2) AS sum_qty, count(*) AS n_items
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2""",
     "events_hourly": """
         SELECT event_type, date_trunc('hour', ts) AS hr,
                round(sum(value), 2) AS sum_value, count(*) AS n_events
@@ -2206,6 +2425,12 @@ ORACLE_SQL = {
         FROM documents d LEFT JOIN (SELECT doc_id, lang FROM lbest WHERE rn = 1) b
         USING (doc_id)""",
     "minhash_pairs": f"WITH {_JACCARD_CTE} SELECT a, b, jaccard FROM jpairs",
+    "fuzzy_name_pairs": """
+        WITH names AS (SELECT DISTINCT p_name AS n FROM part
+                       WHERE p_name IS NOT NULL AND length(p_name) > 0)
+        SELECT a.n AS name_a, b.n AS name_b FROM names a JOIN names b
+          ON a.n < b.n AND abs(length(a.n) - length(b.n)) <= 1
+         AND levenshtein(a.n, b.n) = 1""",
     "dup_clusters": f"""
         WITH RECURSIVE {_JACCARD_CTE},
         und AS (SELECT a AS u, b AS v FROM jpairs UNION SELECT b, a FROM jpairs),

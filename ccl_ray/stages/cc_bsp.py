@@ -182,6 +182,26 @@ def _init_labels(vids):
 
 
 @ray.remote
+def _init_warm_labels(vids, *seed_pieces):
+    """Warm-start init: label(v) = min(v, seed(v)).
+
+    Seed invariant (caller's contract): every seed label must be the vid of
+    some vertex in the same component as the seeded vertex — labels from a
+    prior CC run over any SUBSET of the current edge set satisfy this, since
+    old components are contained in new ones. Seeds for vids no longer in
+    the graph are dropped (stale vertices from a prior run are harmless).
+    """
+    lab = vids.copy()
+    for v, s in seed_pieces:
+        if v.size:
+            idx = np.searchsorted(vids, v)
+            ok = idx < len(vids)
+            ok[ok] = vids[idx[ok]] == v[ok]
+            np.minimum.at(lab, idx[ok], s[ok])
+    return lab
+
+
+@ray.remote
 def _shard_table(vids, labels):
     import pyarrow as pa
 
@@ -282,12 +302,25 @@ def connected_components_bsp(
     cfg: EngineConfig | None = None,
     checkpoint=None,
     shards: dict | None = None,
+    seed_labels=None,
 ) -> CCResult:
     """Exact connected components (labels = min vid per component).
 
     ``edges``/``vertices``: Ray Data datasets (src,dst int64 / vid int64).
     ``shards``: optional prebuilt bundle from state.shards.build_graph_shards
     (must be symmetric) — reused across algorithms on the same graph.
+    ``seed_labels``: optional (vid, label) Dataset warm-starting the fixpoint
+    — e.g. yesterday's labels in an incremental run. Each seed label must be
+    a vid in the seeded vertex's component (labels from a prior CC over any
+    subset of the current edges qualify; old components ⊆ new components).
+    The fixpoint converges to the SAME global min-vid labels from any valid
+    seeding, just in fewer waves — already-collapsed old components forward
+    one label instead of re-running their whole merge tree. Requires the
+    original int64 vid domain (cfg.dense_ids=False): incremental workloads
+    keep vids stable across daily runs, while the dense rank of a vid
+    changes whenever the vertex set grows, which would invalidate stored
+    labels. Reference analog: marker seeding across slices
+    (ccl_marker_stack.py markers_from_above / user markers).
     Returns labels as a Dataset assembled zero-copy from shard refs.
     """
     cfg = cfg or EngineConfig()
@@ -314,6 +347,19 @@ def connected_components_bsp(
         )
         if resumed is not None:
             start_iter, label_refs = resumed
+    if label_refs is None and seed_labels is not None:
+        assert shards.get("dense") is None, (
+            "seed_labels requires the original vid domain (dense_ids=False): "
+            "dense ranks shift when the vertex set grows, so stored labels "
+            "from a prior run are only meaningful as original vids"
+        )
+        from ccl_ray.state.shards import route_vid_value_pairs
+
+        matrix = route_vid_value_pairs(seed_labels, P, "vid", "label")
+        label_refs = [
+            _init_warm_labels.remote(vid_refs[p], *[row[p] for row in matrix])
+            for p in range(P)
+        ]
     if label_refs is None:
         label_refs = [_init_labels.remote(v) for v in vid_refs]
 

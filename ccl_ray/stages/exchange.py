@@ -23,6 +23,7 @@ already are by contract).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
@@ -183,3 +184,67 @@ def hash_join(
         return pa.table({n: out[n] for n in out_names})
 
     return tagged.groupby(_PART).map_groups(join_part, batch_format="pyarrow")
+
+
+# dimension sides up to this many rows ship once via ray.put; above it the
+# "small" side isn't small and the hash-partitioned join runs instead (same
+# guard rationale as relabel._LABEL_BROADCAST_LIMIT / aggregates' keep-sets)
+_DIM_BROADCAST_LIMIT = 2_000_000
+
+
+def broadcast_lookup_join(
+    big: "rd.Dataset",
+    small: "rd.Dataset",
+    *,
+    big_key: str,
+    small_key: str,
+    value_cols: list[str],
+    how: str = "inner",
+    limit: int = _DIM_BROADCAST_LIMIT,
+) -> "rd.Dataset":
+    """Dimension join: put the small side in the object store ONCE and map
+    it into the big side's batches — the fact table never shuffles (the
+    star-schema shape every TPC-H-like pipeline needs at 100 TB: a shuffle
+    join would move every fact row for a dimension thousands of times
+    smaller). ``value_cols=[]`` is a semi-join (pure key filter).
+
+    ``how``: "inner" drops unmatched big rows; "left outer" keeps them with
+    value columns as float64 NaN (the pandas-native missing encoding — use
+    inner when exact dtypes matter for unmatched rows). The small side's
+    keys must be unique (a dimension contract, asserted). Sides over
+    ``limit`` rows fall back to the hash-partitioned join.
+    """
+    assert how in ("inner", "left outer")
+    import ray
+
+    small = small.materialize()
+    if small.count() > limit:
+        return hash_join(big, small, left_on=big_key, right_on=small_key, how=how)
+
+    small_df = small.to_pandas()
+    assert small_df[small_key].is_unique, "broadcast_lookup_join: dimension keys must be unique"
+    ref = ray.put(small_df)
+
+    class Lookup:
+        def __init__(self):
+            df = ray.get(ref)
+            self.idx = pd.Index(df[small_key])
+            self.vals = {c: df[c].to_numpy() for c in value_cols}
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            pos = self.idx.get_indexer(df[big_key].to_numpy())
+            if how == "inner":
+                hit = pos >= 0
+                df = df.loc[hit].reset_index(drop=True)
+                pos = pos[hit]
+                for c, v in self.vals.items():
+                    df[c] = v[pos]
+            else:
+                miss = pos < 0
+                for c, v in self.vals.items():
+                    col = v[np.maximum(pos, 0)].astype(np.float64, copy=True)
+                    col[miss] = np.nan
+                    df[c] = col
+            return df
+
+    return big.map_batches(Lookup, batch_format="pandas", concurrency=(1, 8), max_restarts=0)

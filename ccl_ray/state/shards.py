@@ -107,6 +107,35 @@ def _split_pairs(block: pa.Table, src_col: str, dst_col: str, P: int, symmetrize
 
 
 @ray.remote
+def _split_vid_value_pairs(block, vcol: str, valcol: str, P: int):
+    """Split one (vid, value) block into P int64 pair pieces routed by
+    hash(vid) — the generic seed/label injection exchange (warm-start CC,
+    labelprop-style seeding)."""
+    block = as_arrow_block(block)
+    if block.num_rows == 0 or vcol not in block.column_names:
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        return empty if P == 1 else tuple(empty for _ in range(P))
+    v = block.column(vcol).to_numpy(zero_copy_only=False).astype(np.int64)
+    s = block.column(valcol).to_numpy(zero_copy_only=False).astype(np.int64)
+    parts = part_of(v, P)
+    order = np.argsort(parts, kind="stable")
+    v, s, parts = v[order], s[order], parts[order]
+    bounds = np.searchsorted(parts, np.arange(P + 1))
+    out = tuple((v[bounds[p] : bounds[p + 1]], s[bounds[p] : bounds[p + 1]]) for p in range(P))
+    return out[0] if P == 1 else out
+
+
+def route_vid_value_pairs(ds, P: int, vcol: str, valcol: str) -> list:
+    """Hash-exchange a (vid, value) Dataset into a [block][partition] matrix
+    of int64 pair pieces (each entry a (vids, values) tuple ref)."""
+    split = _split_vid_value_pairs.options(num_returns=P)
+    matrix = [split.remote(b, vcol, valcol, P) for b in ds.to_arrow_refs()]
+    if P == 1:
+        matrix = [[m] for m in matrix]
+    return matrix
+
+
+@ray.remote
 def _split_vids(block: pa.Table, cols: list, P: int):
     """Split vertex-id columns of one block into P arrays routed by hash(v)."""
     block = as_arrow_block(block)
