@@ -798,6 +798,81 @@ def q_hll_users(sf_dir: str):
     )
 
 
+def q_hll_group_users(sf_dir: str):
+    """Per-group HLL distinct (stages/sketch.hll_distinct_by): distinct
+    users per event_type, one register row per (key, block), no key
+    exchange. The exact per-group count (two-stage distinct, the
+    distinct_users shape) carries the SQL value check; the sketch accuracy
+    bound (p=14, σ≈0.8%; 3% ≈ 3.7σ) is asserted engine-side per group —
+    same pairing contract as hll_users. The final merge touches only
+    key-cardinality rows (5 event types)."""
+    from ccl_ray.stages.sketch import hll_distinct_by
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    pairs = partial_sum_agg(ev, ["event_type", "user_id"], {}, count_as="_r")
+    exact = partial_sum_agg(pairs, ["event_type"], {}, count_as="n_users").to_pandas()
+    ests = hll_distinct_by(ev, "event_type", "user_id").to_pandas()
+    df = exact.merge(ests, on="event_type")
+    ok = (df["est"] - df["n_users"]).abs() <= np.maximum(1.0, 0.03 * df["n_users"])
+    out = pd.DataFrame(
+        {
+            "event_type": df["event_type"],
+            "n_users": df["n_users"].astype(np.int64),
+            "hll_within_3pct": ok.astype(bool),
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_cms_heavy_hitters(sf_dir: str):
+    """Count-min-sketch heavy hitters: the exact top-20 users by event
+    count (partial-agg + per-block k-selection, the top_revenue_orders
+    shape) carry the SQL value check; the one-pass CMS (stages/sketch.
+    cms_counts — fixed 4×8192 partials, no key exchange) is point-queried
+    at those 20 keys and the sketch contract is asserted engine-side:
+    never an underestimate, overcount ≤ 4·N/w (4× the ε=e/w expectation —
+    deterministic for given data, verified at all three sf scales)."""
+    from ccl_ray.stages.sketch import cms_counts, cms_estimate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    counts = partial_sum_agg(ev, ["user_id"], {}, count_as="n_events")
+
+    def block_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n_events", "user_id"], ascending=[False, True]).head(20)
+
+    top = (
+        counts.map_batches(block_top, batch_format="pandas")
+        .repartition(1)
+        .map_batches(block_top, batch_format="pandas")
+        .to_pandas()
+    )
+    cms = cms_counts(ev, "user_id")
+    n_total = int(cms[0].sum())
+    est = cms_estimate(cms, top["user_id"].values)
+    exact = top["n_events"].values.astype(np.int64)
+    ok = (est >= exact) & (est <= exact + max(1, (4 * n_total) // cms.shape[1]))
+    return pa.table(
+        {
+            "user_id": pa.array(top["user_id"].values.astype(np.int64)),
+            "n_events": pa.array(exact),
+            "cms_ok": pa.array(ok.astype(bool)),
+        }
+    )
+
+
+def q_weighted_sample(sf_dir: str):
+    """Weight-proportional deterministic Bernoulli sample over events
+    (inclusion probability min(1, value/1000)) — pure per-row decision,
+    no shuffle, identical output at any partitioning; exact SQL twin via
+    md5_number_lower + floor(x+0.5) fixed-point rounding."""
+    from ccl_ray.stages.sample import weighted_bernoulli_sample
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
+    return weighted_bernoulli_sample(
+        ev, id_col="event_id", weight_col="value", scale=10.0
+    )
+
+
 def q_eigenvector_close(sf_dir: str):
     """Driver-visible cross-check for shifted-power-iteration eigenvector
     centrality (tol-based — legitimately non-SQL, the pagerank_close
@@ -1636,6 +1711,9 @@ QUERIES = {
     "betweenness_close": q_betweenness_close,
     "mis": q_mis,
     "hll_users": q_hll_users,
+    "hll_group_users": q_hll_group_users,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "weighted_sample": q_weighted_sample,
     "two_hop": q_two_hop,
     "assortativity": q_assortativity,
     "value_quantiles": q_value_quantiles,
@@ -1917,6 +1995,18 @@ ORACLE_SQL = {
         SELECT count(DISTINCT user_id)::BIGINT AS n_users_exact,
                true AS hll_within_2pct
         FROM events""",
+    "hll_group_users": """
+        SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
+               true AS hll_within_3pct
+        FROM events GROUP BY 1""",
+    "cms_heavy_hitters": """
+        WITH c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1)
+        SELECT user_id, n_events, true AS cms_ok
+        FROM c ORDER BY n_events DESC, user_id LIMIT 20""",
+    "weighted_sample": """
+        SELECT event_id, user_id, value FROM events
+        WHERE md5_number_lower(CAST(event_id AS VARCHAR)) % 10000 <
+              LEAST(GREATEST(CAST(floor(value * 10.0 + 0.5) AS BIGINT), 0), 10000)""",
     "pagerank_close": """
         SELECT count(*)::BIGINT AS n_vertices, 0::BIGINT AS n_exceed_tol,
                0.0::DOUBLE AS max_abs_gap_r4

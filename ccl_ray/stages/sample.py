@@ -151,3 +151,36 @@ def top_n_per_group(
         .groupby("part")
         .map_groups(rank_part, batch_format="pandas")
     )
+
+
+def weighted_bernoulli_sample(
+    ds: "object",
+    *,
+    id_col: str,
+    weight_col: str,
+    scale: float = 10.0,
+    columns: list | None = None,
+) -> "object":
+    """Deterministic weight-proportional Bernoulli sample.
+
+    Keeps a row iff md5_low64(id) % 10000 < clip(floor(w*scale + 0.5), 0,
+    10000) — inclusion probability min(1, w·scale/10000), exactly
+    reproducible at any partitioning (pure per-row decision, no shuffle)
+    and exactly mirrorable in SQL (DuckDB md5_number_lower + the same
+    floor(x+0.5) fixed-point rounding — np.round would bankers-round .5
+    boundaries differently). The Poisson-sampling workhorse for
+    importance-weighted corpus subsetting; for fixed-k weighted reservoirs
+    the ranking key u^(1/w) is NOT used here because pow()'s last-ulp
+    behavior differs across engines and would break exact SQL twinning.
+    """
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df if columns is None else df[columns]
+        h = _md5_low64(df[id_col].values) % np.uint64(_MD5_DENOM)
+        thr = np.floor(df[weight_col].to_numpy(np.float64) * scale + 0.5)
+        thr = np.clip(thr, 0, _MD5_DENOM).astype(np.uint64)
+        out = df[h < thr]
+        return out if columns is None else out[columns]
+
+    return ds.map_batches(keep, batch_format="pandas")

@@ -121,3 +121,135 @@ def hll_distinct(
         for b in merged["regs"]:
             acc = np.maximum(acc, np.frombuffer(b, np.uint8))
     return _estimate(acc)
+
+
+def hll_distinct_by(
+    ds: "rd.Dataset",
+    key_col: str,
+    col: str,
+    *,
+    p: int = 14,
+) -> "rd.Dataset":
+    """Per-group HLL distinct estimates: Dataset (key, est float64).
+
+    Same one-pass shape as hll_distinct, per group: each block emits ONE
+    2^p-byte register row per key PRESENT in that block (one vectorized
+    _registers_for call per present key — present-key count per block is
+    bounded by the block, not the key space), then register rows max-merge
+    by key. The merge groupby moves only the tiny blob rows (key-cardinality
+    × block-count), never the raw rows — the per-key analog of the global
+    sketch. Caller contract: meaningful for key cardinalities where a
+    2^p-byte row per key per block is cheap (categorical keys).
+    """
+    m = 1 << p
+
+    def _hash_col(vals) -> np.ndarray:
+        if vals.dtype == object or str(vals.dtype) in ("string", "str"):
+            return stable_hash64_np(
+                pd.util.hash_array(vals.to_numpy(dtype=object)).astype(np.uint64)
+            )
+        return stable_hash64_np(vals.to_numpy().astype(np.int64).view(np.uint64))
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table(
+                {key_col: pa.array([], pa.string()), "regs": pa.array([], pa.binary())}
+            )
+        k = df[key_col].to_numpy(dtype=object).astype(str)
+        h = _hash_col(df[col])
+        order = np.argsort(k, kind="stable")
+        k, h = k[order], h[order]
+        uniq, starts = np.unique(k, return_index=True)
+        bounds = np.concatenate([starts, [len(k)]])
+        regs = [
+            _registers_for(h[bounds[i] : bounds[i + 1]], p).tobytes()
+            for i in range(len(uniq))
+        ]
+        return pa.table(
+            {key_col: pa.array(uniq, pa.string()), "regs": pa.array(regs, pa.binary())}
+        )
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        acc = np.zeros(m, np.uint8)
+        for b in df["regs"]:
+            acc = np.maximum(acc, np.frombuffer(b, np.uint8))
+        key = df[key_col].iloc[0] if len(df) else ""
+        return pa.table(
+            {
+                key_col: pa.array([key], pa.string()),
+                "est": pa.array([_estimate(acc)], pa.float64()),
+            }
+        )
+
+    partials = ds.select_columns([key_col, col]).map_batches(partial, batch_format="pandas")
+    return partials.groupby(key_col).map_groups(merge, batch_format="pandas")
+
+
+# ------------------------------------------------------------- count-min
+
+_CMS_SEEDS = (101, 211, 307, 401)
+
+
+def cms_counts(
+    ds: "rd.Dataset",
+    col: str,
+    *,
+    w: int = 8192,
+    num_partitions: int | None = None,
+) -> np.ndarray:
+    """Count-min sketch of ``col``'s frequencies: a (d, w) int64 table.
+
+    One pass, no key exchange — per block a fixed d×w partial (np.add.at
+    per seed row), sum-merged per partition then on the driver (≤ P tiny
+    rows; d×w×8 bytes each, 256 KB at the default). Point estimates come
+    from cms_estimate (min over rows — never an underestimate); the
+    classic ε = e/w additive overcount bound holds in expectation, checked
+    engine-side by the gate query (a SQL oracle cannot replicate another
+    implementation's sketch, the HLL pairing pattern).
+    """
+    from ccl_ray.config import resolve_partitions
+
+    P = resolve_partitions(num_partitions)
+    d = len(_CMS_SEEDS)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        vals = df[col]
+        if vals.dtype == object or str(vals.dtype) in ("string", "str"):
+            base = pd.util.hash_array(vals.to_numpy(dtype=object)).astype(np.uint64)
+        else:
+            base = vals.to_numpy().astype(np.int64).view(np.uint64)
+        tbl = np.zeros((d, w), np.int64)
+        for r, seed in enumerate(_CMS_SEEDS):
+            idx = (stable_hash64_np(base, seed=seed) % np.uint64(w)).astype(np.int64)
+            np.add.at(tbl[r], idx, 1)
+        return pa.table({"cms": pa.array([tbl.tobytes()], pa.binary())})
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        acc = np.zeros((d, w), np.int64)
+        for b in df["cms"]:
+            acc += np.frombuffer(b, np.int64).reshape(d, w)
+        return pa.table({"cms": pa.array([acc.tobytes()], pa.binary())})
+
+    partials = ds.select_columns([col]).map_batches(partial, batch_format="pandas")
+    merged = (
+        partials.select_columns(["cms"])
+        .repartition(P)
+        .map_batches(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    acc = np.zeros((d, w), np.int64)
+    if len(merged) and "cms" in merged.columns:
+        for b in merged["cms"]:
+            acc += np.frombuffer(b, np.int64).reshape(d, w)
+    return acc
+
+
+def cms_estimate(cms: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Point-query the sketch: min over rows (vectorized over ``values``)."""
+    d, w = cms.shape
+    base = np.asarray(values).astype(np.int64).view(np.uint64)
+    ests = np.empty((d, len(base)), np.int64)
+    for r, seed in enumerate(_CMS_SEEDS[:d]):
+        idx = (stable_hash64_np(base, seed=seed) % np.uint64(w)).astype(np.int64)
+        ests[r] = cms[r, idx]
+    return ests.min(axis=0)

@@ -30,3 +30,92 @@ def test_hll_strings_and_empty():
     assert abs(est - 37) / 37 < 0.05
     empty = rd.from_arrow(pa.table({"s": pa.array([], pa.string())}))
     assert hll_distinct(empty, "s") == 0.0
+
+
+def test_hll_distinct_by_groups():
+    import pandas as pd
+    import ray.data as rd
+
+    from ccl_ray.stages.sketch import hll_distinct_by
+
+    rng = np.random.default_rng(5)
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "k": np.where(rng.random(n) < 0.5, "a", "b"),
+            "v": rng.integers(0, 3000, n),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(6)
+    est = hll_distinct_by(ds, "k", "v").to_pandas().set_index("k")["est"]
+    exact = df.groupby("k")["v"].nunique()
+    for k in ("a", "b"):
+        assert abs(est[k] - exact[k]) <= max(1.0, 0.03 * exact[k])
+
+
+def test_hll_distinct_by_partition_invariant():
+    import pandas as pd
+    import ray.data as rd
+
+    from ccl_ray.stages.sketch import hll_distinct_by
+
+    df = pd.DataFrame({"k": ["x"] * 500 + ["y"] * 300, "v": list(range(500)) + list(range(300))})
+    a = hll_distinct_by(rd.from_pandas(df).repartition(1), "k", "v").to_pandas()
+    b = hll_distinct_by(rd.from_pandas(df).repartition(7), "k", "v").to_pandas()
+    # register max-merge is order-free: identical estimates at any split
+    assert dict(zip(a["k"], a["est"])) == dict(zip(b["k"], b["est"]))
+
+
+def test_cms_never_underestimates_and_partition_invariant():
+    import pandas as pd
+    import ray.data as rd
+
+    from ccl_ray.stages.sketch import cms_counts, cms_estimate
+
+    rng = np.random.default_rng(9)
+    vals = rng.zipf(1.5, 30_000).astype(np.int64) % 1000
+    df = pd.DataFrame({"v": vals})
+    cms1 = cms_counts(rd.from_pandas(df).repartition(1), "v", w=2048)
+    cms8 = cms_counts(rd.from_pandas(df).repartition(8), "v", w=2048)
+    assert (cms1 == cms8).all()  # sum-merge is exact
+    uniq, exact = np.unique(vals, return_counts=True)
+    est = cms_estimate(cms1, uniq)
+    assert (est >= exact).all()
+    n = len(vals)
+    assert (est <= exact + 4 * n // 2048).all()
+
+
+def test_weighted_bernoulli_sample_semantics():
+    import pandas as pd
+    import ray.data as rd
+
+    from ccl_ray.stages.sample import weighted_bernoulli_sample
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(2000, dtype=np.int64),
+            "w": np.concatenate(
+                [np.zeros(500), np.full(500, 2000.0), np.full(1000, 50.0)]
+            ),
+        }
+    )
+    out = (
+        weighted_bernoulli_sample(
+            rd.from_pandas(df).repartition(5), id_col="id", weight_col="w", scale=10.0
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    got = set(out["id"])
+    assert not (got & set(range(500)))  # w=0 never sampled
+    assert set(range(500, 1000)) <= got  # w*scale >= denom always sampled
+    mid = len(got & set(range(1000, 2000)))
+    assert 0 < mid < 1000  # rate 0.05: some but not all
+    out1 = (
+        weighted_bernoulli_sample(
+            rd.from_pandas(df).repartition(1), id_col="id", weight_col="w", scale=10.0
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert list(out1["id"]) == list(out["id"])  # partition-invariant
