@@ -480,6 +480,42 @@ def run_bench() -> dict:
     bigram_top_terms(docs, k=100).count()
     queries["bigram_top_terms"] = time.perf_counter() - t0
 
+    # --- round-4 additions: star joins, fuzzy dedup, one-pass sketches
+    t0 = time.perf_counter()
+    from ccl_ray.pipelines.queries import q_brand_nation_revenue, q_top_revenue_orders
+
+    q_top_revenue_orders(SF_DIR).count()
+    queries["top_revenue_orders"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    q_brand_nation_revenue(SF_DIR).count()
+    queries["brand_nation_revenue"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.stages.fuzzy import editdist1_pairs
+
+    editdist1_pairs(
+        rd.read_parquet(f"{SF_DIR}/part.parquet", columns=["p_name"]), "p_name", cfg=cfg
+    ).count()
+    queries["fuzzy_name_pairs"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.stages.sketch import cms_counts, hll_distinct_by
+
+    ev_sk = rd.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_type", "user_id"])
+    hll_distinct_by(ev_sk, "event_type", "user_id").count()
+    queries["hll_group_users"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    cms_counts(ev_sk, "user_id")
+    queries["cms_counts"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.pipelines.queries import q_bloom_semijoin
+
+    q_bloom_semijoin(SF_DIR).count()
+    queries["bloom_semijoin"] = time.perf_counter() - t0
+
     total = time.perf_counter() - t_total
     ray.shutdown()
     return {

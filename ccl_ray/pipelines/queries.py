@@ -860,6 +860,39 @@ def q_cms_heavy_hitters(sf_dir: str):
     )
 
 
+def q_bloom_semijoin(sf_dir: str):
+    """Bloom-prefiltered exact semi-join (stages/sketch.bloom_build /
+    bloom_prefilter): events per event_type for users in the BUILDING
+    customer segment. Scale shape: the bloom word array is a FIXED 1 MB
+    for any key cardinality and ships once via ray.put; it prunes
+    certainly-absent fact rows (~98% of non-matches at the 10-bits/key
+    operating point) BEFORE the exact semi-join, so at 100 TB the exact
+    join — broadcast_lookup_join value_cols=[] here, hash-join fallback
+    above the dimension limit — only ever sees bloom survivors. Bloom has
+    no false negatives, so prefilter→exact equals plain exact: the result
+    is value-hash checked against the un-prefiltered SQL semi-join."""
+    from ccl_ray.stages.exchange import broadcast_lookup_join
+    from ccl_ray.stages.sketch import bloom_build, bloom_prefilter
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    bkeys = cust.map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    bloom = bloom_build(bkeys, "c_custkey")
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    survivors = bloom_prefilter(ev, bloom, "user_id")
+    matched = broadcast_lookup_join(
+        survivors, bkeys, big_key="user_id", small_key="c_custkey", value_cols=[]
+    )
+    return partial_sum_agg(matched, ["event_type"], {}, count_as="n_events")
+
+
 def q_weighted_sample(sf_dir: str):
     """Weight-proportional deterministic Bernoulli sample over events
     (inclusion probability min(1, value/1000)) — pure per-row decision,
@@ -1714,6 +1747,7 @@ QUERIES = {
     "hll_group_users": q_hll_group_users,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "weighted_sample": q_weighted_sample,
+    "bloom_semijoin": q_bloom_semijoin,
     "two_hop": q_two_hop,
     "assortativity": q_assortativity,
     "value_quantiles": q_value_quantiles,
@@ -2007,6 +2041,12 @@ ORACLE_SQL = {
         SELECT event_id, user_id, value FROM events
         WHERE md5_number_lower(CAST(event_id AS VARCHAR)) % 10000 <
               LEAST(GREATEST(CAST(floor(value * 10.0 + 0.5) AS BIGINT), 0), 10000)""",
+    "bloom_semijoin": """
+        SELECT event_type, count(*)::BIGINT AS n_events
+        FROM events e
+        WHERE EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = e.user_id AND c.c_mktsegment = 'BUILDING')
+        GROUP BY 1""",
     "pagerank_close": """
         SELECT count(*)::BIGINT AS n_vertices, 0::BIGINT AS n_exceed_tol,
                0.0::DOUBLE AS max_abs_gap_r4

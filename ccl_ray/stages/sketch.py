@@ -253,3 +253,101 @@ def cms_estimate(cms: np.ndarray, values: np.ndarray) -> np.ndarray:
         idx = (stable_hash64_np(base, seed=seed) % np.uint64(w)).astype(np.int64)
         ests[r] = cms[r, idx]
     return ests.min(axis=0)
+
+
+# ------------------------------------------------------------- bloom
+
+_BLOOM_SEEDS = (17, 29, 43, 59)
+
+
+def _bloom_hash_base(vals) -> np.ndarray:
+    if vals.dtype == object or str(vals.dtype) in ("string", "str"):
+        return pd.util.hash_array(vals.to_numpy(dtype=object)).astype(np.uint64)
+    return vals.to_numpy().astype(np.int64).view(np.uint64)
+
+
+def bloom_build(
+    ds: "rd.Dataset",
+    col: str,
+    *,
+    m_bits: int = 1 << 23,
+    num_partitions: int | None = None,
+) -> np.ndarray:
+    """Bloom filter of ``col``'s value set: a uint64 word array (m_bits
+    total). One pass, no key exchange — per-block word partials OR-merged
+    per partition then on the driver (≤ P rows, m_bits/8 bytes each; 1 MB
+    at the default). k = 4 set bits per value (_BLOOM_SEEDS); at the
+    classic operating point m ≈ 10 bits/key this gives ~2% false positives
+    and — by construction — zero false negatives, so a broadcast bloom is
+    a sound FACT-STREAM PREFILTER in front of an exact semi-join: the
+    filter prunes ~98% of non-matching rows for 1 MB shipped once, and the
+    exact join only ever sees survivors. Deterministic for a given value
+    set (OR is order-free).
+    """
+    from ccl_ray.config import resolve_partitions
+
+    P = resolve_partitions(num_partitions)
+    assert m_bits % 64 == 0
+    words = m_bits // 64
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        w = np.zeros(words, np.uint64)
+        if len(df):
+            base = _bloom_hash_base(df[col])
+            for seed in _BLOOM_SEEDS:
+                idx = (stable_hash64_np(base, seed=seed) % np.uint64(m_bits)).astype(np.int64)
+                np.bitwise_or.at(w, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64))
+        return pa.table({"bloom": pa.array([w.tobytes()], pa.binary())})
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        acc = np.zeros(words, np.uint64)
+        for b in df["bloom"]:
+            acc |= np.frombuffer(b, np.uint64)
+        return pa.table({"bloom": pa.array([acc.tobytes()], pa.binary())})
+
+    partials = ds.select_columns([col]).map_batches(partial, batch_format="pandas")
+    merged = (
+        partials.select_columns(["bloom"])
+        .repartition(P)
+        .map_batches(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    acc = np.zeros(words, np.uint64)
+    if len(merged) and "bloom" in merged.columns:
+        for b in merged["bloom"]:
+            acc |= np.frombuffer(b, np.uint64)
+    return acc
+
+
+def bloom_might_contain(bloom: np.ndarray, vals) -> np.ndarray:
+    """Vectorized membership probe: True = maybe present, False = certainly
+    absent (the no-false-negatives guarantee callers rely on)."""
+    m_bits = len(bloom) * 64
+    base = _bloom_hash_base(pd.Series(vals) if not hasattr(vals, "dtype") else vals)
+    ok = np.ones(len(base), bool)
+    for seed in _BLOOM_SEEDS:
+        idx = (stable_hash64_np(base, seed=seed) % np.uint64(m_bits)).astype(np.int64)
+        ok &= (bloom[idx >> 6] >> (idx & 63).astype(np.uint64)) & np.uint64(1) != 0
+    return ok
+
+
+def bloom_prefilter(
+    big: "rd.Dataset", bloom: np.ndarray, col: str
+) -> "rd.Dataset":
+    """Drop big-side rows whose ``col`` is certainly absent from the bloom
+    (ships the word array once via ray.put; survivors still need the exact
+    join — this stage only prunes the stream)."""
+    import ray
+
+    ref = ray.put(bloom)
+
+    class Probe:
+        def __init__(self):
+            self.bloom = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return df
+            return df[bloom_might_contain(self.bloom, df[col])]
+
+    return big.map_batches(Probe, batch_format="pandas", concurrency=(1, 8), max_restarts=0)

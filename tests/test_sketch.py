@@ -119,3 +119,64 @@ def test_weighted_bernoulli_sample_semantics():
         .sort_values("id")
     )
     assert list(out1["id"]) == list(out["id"])  # partition-invariant
+
+
+# ------------------------------------------------------------- bloom
+
+
+def test_bloom_no_false_negatives_and_fp_rate():
+    from ccl_ray.stages.sketch import bloom_build, bloom_might_contain
+
+    keys = np.arange(0, 20_000, 2, dtype=np.int64)  # evens
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.int64())})).repartition(6)
+    bloom = bloom_build(ds, "k")
+    # zero false negatives — the guarantee callers rely on
+    assert bloom_might_contain(bloom, pa.table({"k": keys}).to_pandas()["k"]).all()
+    # absent keys (odds): fp rate well under the ~2% design point at 10 bits/key
+    import pandas as pd
+
+    absent = pd.Series(np.arange(1, 200_001, 2, dtype=np.int64))
+    fp = bloom_might_contain(bloom, absent).mean()
+    assert fp < 0.02, fp
+
+
+def test_bloom_partition_invariant_and_strings():
+    import pandas as pd
+
+    from ccl_ray.stages.sketch import bloom_build, bloom_might_contain
+
+    vals = [f"key-{i % 313}" for i in range(4000)]
+    ds = rd.from_arrow(pa.table({"s": pa.array(vals, pa.string())}))
+    b1 = bloom_build(ds.repartition(1), "s")
+    b8 = bloom_build(ds.repartition(8), "s")
+    # OR-merge is order-free → bit-identical word arrays
+    assert (b1 == b8).all()
+    assert bloom_might_contain(b8, pd.Series(["key-0", "key-312"])).all()
+    assert not bloom_might_contain(b8, pd.Series([f"nope-{i}" for i in range(50)])).all()
+
+
+def test_bloom_prefilter_plus_exact_equals_exact():
+    """prefilter → exact membership == plain exact membership (no false
+    negatives means the prefilter may only drop certainly-absent rows)."""
+    import pandas as pd
+
+    from ccl_ray.stages.sketch import bloom_build, bloom_prefilter
+
+    rng = np.random.RandomState(7)
+    big = pd.DataFrame(
+        {"k": rng.randint(0, 5000, size=30_000).astype(np.int64),
+         "v": np.arange(30_000, dtype=np.int64)}
+    )
+    keyset = np.arange(0, 5000, 7, dtype=np.int64)
+    small = rd.from_arrow(pa.table({"k": pa.array(keyset, pa.int64())}))
+    bloom = bloom_build(small, "k")
+    surv = (
+        bloom_prefilter(rd.from_pandas(big).repartition(6), bloom, "k")
+        .to_pandas()
+    )
+    # exact filter on survivors matches exact filter on the full input
+    want = big[big["k"].isin(keyset)].sort_values("v")
+    got = surv[surv["k"].isin(keyset)].sort_values("v")
+    assert list(got["v"]) == list(want["v"])
+    # and the prefilter actually pruned non-matching rows
+    assert len(surv) < len(big)
