@@ -906,6 +906,18 @@ def q_weighted_sample(sf_dir: str):
     )
 
 
+def q_bottomk_sample(sf_dir: str):
+    """Exact-size-k uniform sample by bottom-k hash (stages/sample.
+    bottomk_sample): the 100 documents with the smallest md5_low64(doc_id).
+    Per-block partial k-selection then one ≤P·k-row final block — the data
+    never shuffles; identical row set at any partitioning, exactly
+    mirrored by the SQL ORDER BY md5 LIMIT twin."""
+    from ccl_ray.stages.sample import bottomk_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return bottomk_sample(docs, 100, id_col="doc_id")
+
+
 def q_eigenvector_close(sf_dir: str):
     """Driver-visible cross-check for shifted-power-iteration eigenvector
     centrality (tol-based — legitimately non-SQL, the pagerank_close
@@ -1748,6 +1760,7 @@ QUERIES = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "weighted_sample": q_weighted_sample,
     "bloom_semijoin": q_bloom_semijoin,
+    "bottomk_sample": q_bottomk_sample,
     "two_hop": q_two_hop,
     "assortativity": q_assortativity,
     "value_quantiles": q_value_quantiles,
@@ -2047,6 +2060,9 @@ ORACLE_SQL = {
         WHERE EXISTS (SELECT 1 FROM customer c
                       WHERE c.c_custkey = e.user_id AND c.c_mktsegment = 'BUILDING')
         GROUP BY 1""",
+    "bottomk_sample": """
+        SELECT doc_id, lang FROM documents
+        ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100""",
     "pagerank_close": """
         SELECT count(*)::BIGINT AS n_vertices, 0::BIGINT AS n_exceed_tol,
                0.0::DOUBLE AS max_abs_gap_r4

@@ -184,3 +184,41 @@ def weighted_bernoulli_sample(
         return out if columns is None else out[columns]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def bottomk_sample(
+    ds: "object",
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    columns: list | None = None,
+) -> "object":
+    """EXACT-size-k uniform sample without order or randomness state: keep
+    the k rows with the smallest md5_low64(id) — "bottom-k by hash", the
+    mergeable fixed-size counterpart of the rate-based hash-bucket sample
+    (a reservoir sample is order-dependent and irreproducible across
+    partitionings; bottom-k is a pure function of the id set).
+
+    Scale shape: per-block partial k-selection (each block emits ≤ k rows),
+    then ONE tiny final block merges ≤ P·k candidates — the top-k exchange
+    shape (aggregates.topk / top_revenue_orders); the data never shuffles.
+    Exactly mirrorable in SQL: ORDER BY md5_number_lower(CAST(id AS
+    VARCHAR)), id LIMIT k (the id tie-break makes hash collisions — and
+    therefore the row set — deterministic on both sides).
+    """
+    assert k > 0
+
+    def block_bottom(df: pd.DataFrame) -> pd.DataFrame:
+        if columns is not None:
+            df = df[columns]
+        if not len(df):
+            return df
+        h = _md5_low64(df[id_col].values)
+        order = np.lexsort((df[id_col].to_numpy(), h))[:k]
+        return df.iloc[order]
+
+    return (
+        ds.map_batches(block_bottom, batch_format="pandas")
+        .repartition(1)
+        .map_batches(block_bottom, batch_format="pandas")
+    )

@@ -192,3 +192,28 @@ def test_grouped_quantiles_vs_numpy():
         ).to_pandas()
         got = {r.g: (r.med, r.p90) for r in out.itertuples()}
         assert got == want, f"P={P}"
+
+
+def test_bottomk_sample_exact_and_partition_invariant():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ccl_ray.stages.sample import _md5_low64, bottomk_sample
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(3000, dtype=np.int64), "lang": ["en", "de", "fr"] * 1000}
+    )
+    h = _md5_low64(df["doc_id"].values)
+    want = df.iloc[np.lexsort((df["doc_id"].values, h))[:64]].sort_values("doc_id")
+    for P in (1, 8):
+        got = (
+            bottomk_sample(rd.from_pandas(df).repartition(P), 64, id_col="doc_id")
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert list(got["doc_id"]) == list(want["doc_id"])
+        assert list(got["lang"]) == list(want["lang"])
+    # k larger than the input: returns everything, no crash
+    small = rd.from_pandas(df.head(10)).repartition(3)
+    assert bottomk_sample(small, 1000, id_col="doc_id").count() == 10
