@@ -301,6 +301,43 @@ def run_bench() -> dict:
     queries["transcript_betweenness"] = time.perf_counter() - t0
     extra["betweenness"] = {"seeds": len(bc_seeds), "levels": bc_levels}
 
+    # --- strongly connected components on a deterministic orientation of
+    # the same transcript edges (hash%3 -> fwd/bwd/both; the bidirectional
+    # class seeds nontrivial cycles). Original int64 vid domain.
+    t0 = time.perf_counter()
+    import numpy as np
+
+    from ccl_ray.functions.hashing import stable_hash64_np
+    from ccl_ray.stages.scc import strongly_connected_components
+
+    def _orient(t: "pa.Table") -> "pa.Table":
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = stable_hash64_np(
+                s.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + d.view(np.uint64)
+            ) % np.uint64(3)
+        fs = np.where(h == 1, d, s)
+        fd = np.where(h == 1, s, d)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([fs, d[h == 2]])),
+                "dst": pa.array(np.concatenate([fd, s[h == 2]])),
+            }
+        )
+
+    scc_res = strongly_connected_components(
+        edges.map_batches(_orient, batch_format="pyarrow"), vertices=verts, cfg=cfg
+    )
+    scc_res.labels.count()
+    queries["transcript_scc"] = time.perf_counter() - t0
+    extra["scc"] = {
+        "outer_rounds": scc_res.outer_rounds,
+        "waves": scc_res.waves,
+        "trimmed": sum(m.get("trimmed", 0) for m in scc_res.metrics),
+        "settled_cyclic": sum(m.get("settled", 0) for m in scc_res.metrics),
+    }
+
     # --- events graph at $GRAFT_SF_DIR (correctness-scale pipelines)
     t0 = time.perf_counter()
     eedges = build_event_edges(SF_DIR).materialize()

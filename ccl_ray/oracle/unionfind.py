@@ -295,3 +295,74 @@ def eigenvector_oracle(
         if l1 < tol or it >= max_iters:
             break
     return {int(v): float(x[i]) for i, v in enumerate(vids)}, it
+
+
+def scc_oracle(
+    src: np.ndarray, dst: np.ndarray, vids: np.ndarray | None = None
+) -> dict[int, int]:
+    """Serial iterative Tarjan SCC → {vid: min vid of its SCC}.
+
+    Directed edges src→dst; ``vids`` adds isolated vertices. Iterative
+    (explicit stack) so deep graphs don't hit the recursion limit.
+    """
+    adj: dict[int, list[int]] = {}
+    verts: set[int] = set()
+    for a, b in zip(src.tolist(), dst.tolist()):
+        if a == b:
+            verts.add(a)
+            continue
+        adj.setdefault(a, []).append(b)
+        verts.add(a)
+        verts.add(b)
+    if vids is not None:
+        verts.update(int(v) for v in vids.tolist())
+
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    out: dict[int, int] = {}
+    counter = [0]
+
+    for root in verts:
+        if root in index:
+            continue
+        # iterative Tarjan: work stack of (vertex, child iterator position)
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            advanced = False
+            children = adj.get(v, ())
+            while pi < len(children):
+                w = children[pi]
+                pi += 1
+                if w not in index:
+                    work[-1] = (v, pi)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            if work:
+                pv, _ = work[-1]
+                low[pv] = min(low[pv], low[v])
+    return out

@@ -860,6 +860,54 @@ def q_cms_heavy_hitters(sf_dir: str):
     )
 
 
+def q_tdigest_value(sf_dir: str):
+    """t-digest quantile sketch (stages/sketch.tdigest_build — δ=400 k1
+    scale, per-block digests merged like HLL/bloom partials, no value ever
+    leaves its block) over events.value. The digest's total mass (exact
+    row count, mass conservation) carries the SQL value check; the
+    accuracy contract is asserted engine-side per quantile: each estimate's
+    EXACT rank interval [F(est-), F(est)] (one distributed counting pass,
+    7 thresholds per batch) must lie within 0.01 rank of q — the δ=400
+    mid-range bound (tails are far tighter; see test_sketch rank tests).
+    Same sketch-pairing contract as hll_users / cms_heavy_hitters."""
+    from ccl_ray.stages.sketch import tdigest_build, tdigest_quantile
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    td = tdigest_build(ev, "value")
+    qs = np.array([0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99])
+    est = tdigest_quantile(td, qs)
+
+    def rank_partials(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "i": pa.array(np.arange(len(qs)), pa.int64()),
+                "lt": pa.array((v[:, None] < est[None, :]).sum(0).astype(np.int64)),
+                "le": pa.array((v[:, None] <= est[None, :]).sum(0).astype(np.int64)),
+            }
+        )
+
+    ranks = (
+        partial_sum_agg(
+            ev.map_batches(rank_partials, batch_format="pyarrow"),
+            ["i"],
+            {"lt": "lt", "le": "le"},
+        )
+        .to_pandas()
+        .sort_values("i")
+    )
+    n = float(td["n"])
+    lo, hi = ranks["lt"].values / n, ranks["le"].values / n
+    ok = np.maximum(lo - qs, qs - hi).clip(min=0) <= 0.01
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "n_events": pa.array(np.full(len(qs), int(round(n))), pa.int64()),
+            "td_rank_ok": pa.array(ok.astype(bool)),
+        }
+    )
+
+
 def q_bloom_semijoin(sf_dir: str):
     """Bloom-prefiltered exact semi-join (stages/sketch.bloom_build /
     bloom_prefilter): events per event_type for users in the BUILDING
@@ -903,6 +951,143 @@ def q_weighted_sample(sf_dir: str):
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
     return weighted_bernoulli_sample(
         ev, id_col="event_id", weight_col="value", scale=10.0
+    )
+
+
+def q_rollup_qty(sf_dir: str):
+    """GROUP BY ROLLUP (stages/aggregates.rollup_sum): lineitem quantity
+    summed at (returnflag, linestatus), (returnflag), and () grouping
+    sets, rolled-up keys carrying the 'ALL' sentinel. The fact table
+    aggregates ONCE at the finest level; coarser levels cascade from the
+    tiny finest aggregate. Exact integer 1e-2 fixed point on both sides
+    (the top_revenue_orders idiom)."""
+    from ccl_ray.stages.aggregates import rollup_sum
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def fixed(t: pa.Table) -> pa.Table:
+        q = np.round(
+            t.column("l_quantity").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty_e2": pa.array(q),
+            }
+        )
+
+    rolled = rollup_sum(
+        li.map_batches(fixed, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {"qty_e2": "qty_e2"},
+        count_as="n_rows",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sum_qty"] = df["qty_e2"] / 100.0
+        return df[["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]]
+
+    return rolled.map_batches(finish, batch_format="pandas")
+
+
+def _scc_memo(sf_dir: str):
+    """(directed even-id event edges, SCC labels) — shared by q_scc and
+    q_scc_condensation. Orientation: md5(src_dst) % 3 over the canonical
+    undirected edges (0: src→dst, 1: dst→src, 2: both — the bidirectional
+    class seeds nontrivial cycles); induced on even event ids to bound the
+    ORACLE's reachability closure, not the engine."""
+    key = ("scc", sf_dir)
+    if key in _MEMO:
+        return _MEMO[key]
+    import hashlib
+
+    from ccl_ray.stages.scc import strongly_connected_components
+
+    edges = _edges_memo(sf_dir).select_columns(["src", "dst"])
+
+    def orient(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (s % 2 == 0) & (d % 2 == 0)
+        s, d = s[keep], d[keep]
+        if not len(s):
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(f"{a}_{b}".encode()).digest()[8:16], "little")
+                for a, b in zip(s, d)
+            ),
+            dtype=np.uint64,
+            count=len(s),
+        ) % np.uint64(3)
+        fs = np.where(h == 1, d, s)
+        fd = np.where(h == 1, s, d)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([fs, d[h == 2]])),
+                "dst": pa.array(np.concatenate([fd, s[h == 2]])),
+            }
+        )
+
+    directed = edges.map_batches(orient, batch_format="pyarrow").materialize()
+    verts = _verts_memo(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("vid"), 1), 0)),
+        batch_format="pyarrow",
+    )
+    res = strongly_connected_components(directed, vertices=verts, cfg=_cfg())
+    _MEMO[key] = (directed, res.labels.materialize())
+    return _MEMO[key]
+
+
+def q_scc(sf_dir: str):
+    """Strongly connected components (stages/scc — multi-root forward-
+    backward coloring over directed CSR shards, every wave O(frontier
+    edges)) of a deterministic directed slice of the event graph (see
+    _scc_memo for the orientation contract). Labels are canonical
+    min-vid-per-SCC, the CC label algebra. The SQL twin builds the same
+    directed graph and labels via the reachability closure
+    scc(u) = min{v : u→*v AND v→*u} — exact value-hash match."""
+    return _scc_memo(sf_dir)[1]
+
+
+def q_scc_condensation(sf_dir: str):
+    """Condensation DAG of the SCC partition: distinct (src_scc, dst_scc)
+    label pairs across directed edges that cross SCCs — the quotient graph
+    downstream schedulers walk. Two hash-partitioned joins route each edge
+    endpoint to its label owner (labels are |V|-sized — NOT a broadcastable
+    dimension at scale), then pair-dedupe via the partial-agg combiner."""
+    from ccl_ray.stages.exchange import hash_join
+
+    directed, labels = _scc_memo(sf_dir)
+    j1 = hash_join(
+        directed,
+        labels.rename_columns({"label": "src_scc"}),
+        left_on="src",
+        right_on="vid",
+        num_partitions=8,
+    )
+    j2 = hash_join(
+        j1,
+        labels.rename_columns({"label": "dst_scc"}),
+        left_on="dst",
+        right_on="vid",
+        num_partitions=8,
+    )
+    cross = j2.map_batches(
+        lambda t: t.filter(
+            pc.not_equal(t.column("src_scc"), t.column("dst_scc"))
+        ).select(["src_scc", "dst_scc"]),
+        batch_format="pyarrow",
+    )
+    return partial_sum_agg(cross, ["src_scc", "dst_scc"], {}, count_as="_n").select_columns(
+        ["src_scc", "dst_scc"]
     )
 
 
@@ -1760,7 +1945,11 @@ QUERIES = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "weighted_sample": q_weighted_sample,
     "bloom_semijoin": q_bloom_semijoin,
+    "tdigest_value": q_tdigest_value,
     "bottomk_sample": q_bottomk_sample,
+    "scc": q_scc,
+    "scc_condensation": q_scc_condensation,
+    "rollup_qty": q_rollup_qty,
     "two_hop": q_two_hop,
     "assortativity": q_assortativity,
     "value_quantiles": q_value_quantiles,
@@ -2054,6 +2243,10 @@ ORACLE_SQL = {
         SELECT event_id, user_id, value FROM events
         WHERE md5_number_lower(CAST(event_id AS VARCHAR)) % 10000 <
               LEAST(GREATEST(CAST(floor(value * 10.0 + 0.5) AS BIGINT), 0), 10000)""",
+    "tdigest_value": """
+        SELECT q, (SELECT count(*) FROM events)::BIGINT AS n_events,
+               true AS td_rank_ok
+        FROM (SELECT unnest([0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]) AS q)""",
     "bloom_semijoin": """
         SELECT event_type, count(*)::BIGINT AS n_events
         FROM events e
@@ -2063,6 +2256,57 @@ ORACLE_SQL = {
     "bottomk_sample": """
         SELECT doc_id, lang FROM documents
         ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100""",
+    "rollup_qty": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+               count(*)::BIGINT AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "scc": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        oriented AS (
+          SELECT src, dst,
+                 md5_number_lower(CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)) % 3 AS h
+          FROM edgu WHERE src % 2 = 0 AND dst % 2 = 0),
+        dedges AS (
+          SELECT CASE WHEN h = 1 THEN dst ELSE src END AS s,
+                 CASE WHEN h = 1 THEN src ELSE dst END AS d FROM oriented
+          UNION ALL
+          SELECT dst, src FROM oriented WHERE h = 2),
+        sverts AS (SELECT event_id AS v FROM events WHERE event_id % 2 = 0),
+        reach(s, d) AS (
+          SELECT v, v FROM sverts
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN dedges e ON e.s = r.d),
+        sccl AS (SELECT r1.s AS vid, min(r1.d) AS label
+                 FROM reach r1 JOIN reach r2 ON r2.s = r1.d AND r2.d = r1.s
+                 GROUP BY 1)
+        SELECT vid, label FROM sccl""",
+    "scc_condensation": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        oriented AS (
+          SELECT src, dst,
+                 md5_number_lower(CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)) % 3 AS h
+          FROM edgu WHERE src % 2 = 0 AND dst % 2 = 0),
+        dedges AS (
+          SELECT CASE WHEN h = 1 THEN dst ELSE src END AS s,
+                 CASE WHEN h = 1 THEN src ELSE dst END AS d FROM oriented
+          UNION ALL
+          SELECT dst, src FROM oriented WHERE h = 2),
+        sverts AS (SELECT event_id AS v FROM events WHERE event_id % 2 = 0),
+        reach(s, d) AS (
+          SELECT v, v FROM sverts
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN dedges e ON e.s = r.d),
+        sccl AS (SELECT r1.s AS vid, min(r1.d) AS label
+                 FROM reach r1 JOIN reach r2 ON r2.s = r1.d AND r2.d = r1.s
+                 GROUP BY 1)
+        SELECT DISTINCT a.label AS src_scc, b.label AS dst_scc
+        FROM dedges e
+        JOIN sccl a ON a.vid = e.s
+        JOIN sccl b ON b.vid = e.d
+        WHERE a.label <> b.label""",
     "pagerank_close": """
         SELECT count(*)::BIGINT AS n_vertices, 0::BIGINT AS n_exceed_tol,
                0.0::DOUBLE AS max_abs_gap_r4

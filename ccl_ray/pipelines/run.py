@@ -28,7 +28,7 @@ def main(argv=None) -> int:
         default="flagship",
         choices=["flagship", "cc", "pagerank", "labelprop", "triangles",
                  "hits", "communities", "ktruss", "modularity",
-                 "betweenness", "eigenvector"],
+                 "betweenness", "eigenvector", "scc"],
     )
     ap.add_argument("--seed-type", default="signup",
                     help="labelprop: events of this event_type seed their own id")
@@ -236,6 +236,43 @@ def main(argv=None) -> int:
         out.write_parquet(path)
         manifest["tables"]["eigenvector"] = {
             "path": path, "rows": out.count(), "iterations": iters,
+        }
+
+    if args.pipeline == "scc":
+        import numpy as np
+        import pyarrow as pa
+
+        from ccl_ray.functions.hashing import stable_hash64_np
+        from ccl_ray.stages.scc import strongly_connected_components
+
+        def orient(t: "pa.Table") -> "pa.Table":
+            # deterministic vectorized orientation of the canonical
+            # undirected edges: hash(src,dst)%3 -> fwd / bwd / both (the
+            # bidirectional class seeds nontrivial cycles)
+            s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+            with np.errstate(over="ignore"):
+                h = stable_hash64_np(
+                    s.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + d.view(np.uint64)
+                ) % np.uint64(3)
+            fs = np.where(h == 1, d, s)
+            fd = np.where(h == 1, s, d)
+            return pa.table(
+                {
+                    "src": pa.array(np.concatenate([fs, d[h == 2]])),
+                    "dst": pa.array(np.concatenate([fd, s[h == 2]])),
+                }
+            )
+
+        directed = edges.select_columns(["src", "dst"]).map_batches(
+            orient, batch_format="pyarrow"
+        )
+        res = strongly_connected_components(directed, vertices=verts, cfg=cfg)
+        path = os.path.join(args.out, "scc")
+        res.labels.write_parquet(path)
+        manifest["tables"]["scc"] = {
+            "path": path, "rows": res.labels.count(),
+            "outer_rounds": res.outer_rounds, "waves": res.waves,
         }
 
     manifest["wall_s"] = round(time.perf_counter() - t0, 3)

@@ -522,3 +522,42 @@ def modularity(
             "modularity": pa.array([q], pa.float64()),
         }
     )
+
+
+def rollup_sum(
+    ds: "rd.Dataset",
+    keys: list[str],
+    sums: dict[str, str],
+    *,
+    count_as: str | None = None,
+    all_token: str = "ALL",
+) -> "rd.Dataset":
+    """GROUP BY ROLLUP(keys): every prefix grouping set, rolled-up key
+    columns carrying ``all_token`` (a sentinel instead of SQL's NULL so the
+    output is unambiguous when real keys can be null).
+
+    Scale shape: the fact table is aggregated ONCE at the finest
+    granularity (partial_sum_agg — per-batch combiner, one key exchange);
+    every coarser level is re-aggregated from the FINEST AGGREGATE, whose
+    cardinality is the distinct key-combination count — for rollup-shaped
+    keys (low-cardinality dimensions) that is orders of magnitude below
+    the fact rows, so the cascade is a single tiny block. Never aggregate
+    the fact table once per level.
+    """
+    val_cols = list(sums.values()) + ([count_as] if count_as else [])
+    finest = partial_sum_agg(ds, keys, sums, count_as=count_as)
+
+    def cascade(df: pd.DataFrame) -> pd.DataFrame:
+        levels = [df[keys + val_cols]]
+        cur = df
+        for i in range(len(keys) - 1, -1, -1):
+            cur = cur.copy()
+            cur[keys[i]] = all_token
+            grouped = (
+                cur.groupby(keys, sort=False, dropna=False)[val_cols].sum().reset_index()
+            )
+            levels.append(grouped[keys + val_cols])
+            cur = grouped
+        return pd.concat(levels, ignore_index=True)
+
+    return finest.repartition(1).map_batches(cascade, batch_format="pandas")

@@ -351,3 +351,121 @@ def bloom_prefilter(
             return df[bloom_might_contain(self.bloom, df[col])]
 
     return big.map_batches(Probe, batch_format="pandas", concurrency=(1, 8), max_restarts=0)
+
+
+# ------------------------------------------------------------- t-digest
+
+def _k_scale(q: np.ndarray, delta: int) -> np.ndarray:
+    """Dunning's k1 scale function: k(q) = δ/(2π)·asin(2q−1). Its slope
+    diverges at q→0,1, so k-space bins shrink toward the tails — the
+    property that gives t-digests their near-exact tail quantiles."""
+    return delta / (2 * np.pi) * np.arcsin(2 * np.clip(q, 0.0, 1.0) - 1)
+
+
+def _cluster(means: np.ndarray, weights: np.ndarray, delta: int):
+    """Re-cluster SORTED centroids into ≤ ~δ/2 centroids by integer
+    k-space bins (the one-pass vectorized merging variant): centroids
+    whose mid-quantiles fall in the same k bin merge by weighted mean."""
+    W = weights.sum()
+    if W <= 0 or len(means) == 0:
+        return means[:0], weights[:0]
+    cum = np.cumsum(weights)
+    qmid = (cum - weights / 2) / W
+    buckets = np.floor(_k_scale(qmid, delta)).astype(np.int64)
+    newb = np.empty(len(buckets), dtype=bool)
+    newb[0] = True
+    newb[1:] = buckets[1:] != buckets[:-1]
+    starts = np.nonzero(newb)[0]
+    w = np.add.reduceat(weights, starts)
+    m = np.add.reduceat(means * weights, starts) / w
+    return m, w
+
+
+def _td_encode(m: np.ndarray, w: np.ndarray, lo: float, hi: float) -> bytes:
+    head = np.array([len(m), lo, hi], np.float64)
+    return np.concatenate([head, m, w]).tobytes()
+
+
+def _td_decode(b: bytes):
+    a = np.frombuffer(b, np.float64)
+    n = int(a[0])
+    return a[3 : 3 + n], a[3 + n : 3 + 2 * n], a[1], a[2]
+
+
+def tdigest_build(
+    ds: "rd.Dataset",
+    col: str,
+    *,
+    delta: int = 400,
+    num_partitions: int | None = None,
+) -> dict:
+    """One-pass mergeable t-digest of ``col`` (float): per-block digests
+    (sort + k-space clustering, ≤ ~δ/2 centroids each), per-partition
+    merges, then a driver merge of ≤ P tiny rows — no value ever leaves
+    its block, the HLL/bloom exchange shape. Returns
+    {"mean", "weight", "min", "max", "n"}.
+
+    Accuracy: rank error per quantile is bounded by half the local k-bin
+    width — O(q(1−q)/δ) mid-range and near-exact at the tails (k1 scale).
+    The digest depends (boundedly) on the block partitioning — unlike HLL
+    or CMS the merge is not bit-invariant; tests assert rank-error bounds
+    at several partitionings rather than equality. Null/NaN values are
+    rejected loudly (a silent drop would skew every quantile).
+    """
+    from ccl_ray.config import resolve_partitions
+
+    P = resolve_partitions(num_partitions)
+
+    def block_digest(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table({"td": pa.array([], pa.binary())})
+        v = df[col].to_numpy(np.float64)
+        assert not np.isnan(v).any(), "tdigest_build: null/NaN values"
+        v = np.sort(v)
+        m, w = _cluster(v, np.ones(len(v), np.float64), delta)
+        return pa.table({"td": pa.array([_td_encode(m, w, v[0], v[-1])], pa.binary())})
+
+    def merge_digests(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table({"td": pa.array([], pa.binary())})
+        parts = [_td_decode(b) for b in df["td"]]
+        m = np.concatenate([p[0] for p in parts])
+        w = np.concatenate([p[1] for p in parts])
+        lo = min(p[2] for p in parts)
+        hi = max(p[3] for p in parts)
+        order = np.lexsort((w, m))
+        m2, w2 = _cluster(m[order], w[order], delta)
+        return pa.table({"td": pa.array([_td_encode(m2, w2, lo, hi)], pa.binary())})
+
+    partials = ds.select_columns([col]).map_batches(block_digest, batch_format="pandas")
+    merged = (
+        partials.repartition(P)
+        .map_batches(merge_digests, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(merged):
+        return {"mean": np.empty(0), "weight": np.empty(0), "min": np.nan,
+                "max": np.nan, "n": 0}
+    parts = [_td_decode(b) for b in merged["td"]]
+    m = np.concatenate([p[0] for p in parts])
+    w = np.concatenate([p[1] for p in parts])
+    if len(m) == 0:
+        return {"mean": m, "weight": w, "min": np.nan, "max": np.nan, "n": 0}
+    lo = min(p[2] for p in parts)
+    hi = max(p[3] for p in parts)
+    order = np.lexsort((w, m))
+    m, w = _cluster(m[order], w[order], delta)
+    return {"mean": m, "weight": w, "min": lo, "max": hi, "n": float(w.sum())}
+
+
+def tdigest_quantile(td: dict, qs) -> np.ndarray:
+    """Estimate quantiles by midpoint interpolation over the centroid
+    cumulative weights, clamped to the tracked exact [min, max]."""
+    qs = np.asarray(qs, np.float64)
+    m, w, n = td["mean"], td["weight"], td["n"]
+    if n == 0:
+        return np.full(len(qs), np.nan)
+    cum = np.cumsum(w) - w / 2
+    xs = np.concatenate([[0.0], cum, [n]])
+    ys = np.concatenate([[td["min"]], m, [td["max"]]])
+    return np.interp(qs * n, xs, ys)

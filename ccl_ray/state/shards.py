@@ -377,6 +377,46 @@ def reduce_routed_sparse(plan, vertex_msgs: np.ndarray, dirty: np.ndarray, op, P
     ]
 
 
+def route_pairs_sparse(plan, vertex_vals: np.ndarray, dirty: np.ndarray, P: int) -> list:
+    """Frontier PAIR exchange: ship (dst, sender_value) pairs — deduped per
+    shard — from dirty rows, for combines that are PREDICATES on the value
+    rather than reductions (SCC's color-equality mark wave: two marked
+    in-neighbors of one dst may carry different colors, and reducing with
+    min/max would lose the one that matches the receiver). Same frontier
+    edge selection as reduce_routed_sparse; cost O(frontier edges)."""
+    empty = (np.empty(0, plan["uniq_dst"].dtype), np.empty(0, vertex_vals.dtype))
+    if plan["n_edges"] == 0:
+        return [empty] * P
+    rows = np.flatnonzero(dirty[plan["row_src_idx"]])
+    if rows.size == 0:
+        return [empty] * P
+    indptr = plan["row_indptr"]
+    starts = indptr[rows]
+    counts = indptr[rows + 1] - starts
+    ends = np.cumsum(counts)
+    total = int(ends[-1])
+    if total == 0:
+        return [empty] * P
+    sel = np.repeat(starts - (ends - counts), counts) + np.arange(total)
+    vals = vertex_vals[np.repeat(plan["row_src_idx"][rows], counts)]
+    u = plan["edge_uniq"][sel]
+    order = np.lexsort((vals, u))
+    u, vals = u[order], vals[order]
+    keep = np.empty(len(u), dtype=bool)
+    keep[0] = True
+    keep[1:] = (u[1:] != u[:-1]) | (vals[1:] != vals[:-1])
+    u, vals = u[keep], vals[keep]
+    parts = plan["uniq_part"][u]
+    o2 = np.argsort(parts, kind="stable")
+    u, vals, parts = u[o2], vals[o2], parts[o2]
+    bounds = np.searchsorted(parts, np.arange(P + 1))
+    ids = plan["uniq_dst"][u]
+    return [
+        (ids[bounds[p] : bounds[p + 1]], vals[bounds[p] : bounds[p + 1]])
+        for p in range(P)
+    ]
+
+
 def apply_sparse_pieces(vids_sorted: np.ndarray, cur: np.ndarray, pieces: list, op):
     """(new, changed_mask) from sparse (dst_ids, values) pieces.
 

@@ -180,3 +180,55 @@ def test_bloom_prefilter_plus_exact_equals_exact():
     assert list(got["v"]) == list(want["v"])
     # and the prefilter actually pruned non-matching rows
     assert len(surv) < len(big)
+
+
+def test_tdigest_rank_error_bounds():
+    """δ=400 k1-scale digest: rank error well under 1% mid-range and
+    near-exact at the tails, across distributions and partitionings."""
+    import pandas as pd
+
+    from ccl_ray.stages.sketch import tdigest_build, tdigest_quantile
+
+    rng = np.random.default_rng(11)
+    qs = np.array([0.001, 0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99, 0.999])
+    for vals in (
+        rng.normal(0, 1, 60_000),
+        rng.lognormal(0, 2, 60_000),        # heavy right tail
+        np.floor(rng.random(60_000) * 10),  # massive ties
+    ):
+        sv = np.sort(vals)
+        for P in (1, 6):
+            ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(P)
+            td = tdigest_build(ds, "x", num_partitions=P)
+            est = tdigest_quantile(td, qs)
+            # exact rank error: with ties a value's rank is the whole
+            # interval [F(v-), F(v)] — error is the distance from q to it
+            lo = np.searchsorted(sv, est, side="left") / len(sv)
+            hi = np.searchsorted(sv, est, side="right") / len(sv)
+            err = np.maximum(lo - qs, qs - hi).clip(min=0)
+            mid = (qs >= 0.05) & (qs <= 0.95)
+            assert (err[mid] < 0.01).all(), (P, err)
+            assert (err[~mid] < 0.005).all(), (P, err)
+        # extremes are tracked exactly
+        assert tdigest_quantile(td, [0.0])[0] == sv[0]
+        assert tdigest_quantile(td, [1.0])[0] == sv[-1]
+
+
+def test_tdigest_edge_cases():
+    import pandas as pd
+    import pytest
+
+    from ccl_ray.stages.sketch import tdigest_build, tdigest_quantile
+
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    td = tdigest_build(empty, "x")
+    assert td["n"] == 0 and np.isnan(tdigest_quantile(td, [0.5])[0])
+
+    one = rd.from_arrow(pa.table({"x": pa.array([3.5], pa.float64())}))
+    td1 = tdigest_build(one, "x")
+    assert tdigest_quantile(td1, [0.0, 0.5, 1.0]).tolist() == [3.5, 3.5, 3.5]
+
+    # NaN input fails loudly, never skews quantiles silently
+    bad = rd.from_arrow(pa.table({"x": pa.array([1.0, float("nan")], pa.float64())}))
+    with pytest.raises(Exception, match="NaN"):
+        tdigest_build(bad, "x")
