@@ -1057,12 +1057,12 @@ def q_scc(sf_dir: str):
     return _scc_memo(sf_dir)[1]
 
 
-def q_scc_condensation(sf_dir: str):
-    """Condensation DAG of the SCC partition: distinct (src_scc, dst_scc)
-    label pairs across directed edges that cross SCCs — the quotient graph
-    downstream schedulers walk. Two hash-partitioned joins route each edge
-    endpoint to its label owner (labels are |V|-sized — NOT a broadcastable
-    dimension at scale), then pair-dedupe via the partial-agg combiner."""
+def _condensation_memo(sf_dir: str) -> "rd.Dataset":
+    """Materialized condensation DAG edges (src_scc, dst_scc) — shared by
+    q_scc_condensation and q_condensation_levels."""
+    key = ("scc_cond", sf_dir)
+    if key in _MEMO:
+        return _MEMO[key]
     from ccl_ray.stages.exchange import hash_join
 
     directed, labels = _scc_memo(sf_dir)
@@ -1086,8 +1086,106 @@ def q_scc_condensation(sf_dir: str):
         ).select(["src_scc", "dst_scc"]),
         batch_format="pyarrow",
     )
-    return partial_sum_agg(cross, ["src_scc", "dst_scc"], {}, count_as="_n").select_columns(
-        ["src_scc", "dst_scc"]
+    _MEMO[key] = (
+        partial_sum_agg(cross, ["src_scc", "dst_scc"], {}, count_as="_n")
+        .select_columns(["src_scc", "dst_scc"])
+        .materialize()
+    )
+    return _MEMO[key]
+
+
+def q_scc_condensation(sf_dir: str):
+    """Condensation DAG of the SCC partition: distinct (src_scc, dst_scc)
+    label pairs across directed edges that cross SCCs — the quotient graph
+    downstream schedulers walk. Two hash-partitioned joins route each edge
+    endpoint to its label owner (labels are |V|-sized — NOT a broadcastable
+    dimension at scale), then pair-dedupe via the partial-agg combiner."""
+    return _condensation_memo(sf_dir)
+
+
+def q_condensation_levels(sf_dir: str):
+    """Longest-path levels of the condensation DAG (stages/dag.dag_levels
+    — max-relaxation to fixpoint over directed CSR shards, sparse frontier,
+    wave count = DAG depth, cycle-guarded at |V| waves): the topological
+    generation of every SCC, i.e. the schedule depth at which a stage
+    becomes runnable. SCC vertices = distinct labels (isolated SCCs sit at
+    level 0). SQL twin: recursive longest-path CTE over the same closure
+    condensation — exact value-hash."""
+    from ccl_ray.stages.dag import dag_levels
+
+    cond = _condensation_memo(sf_dir)
+    scc_nodes = _scc_memo(sf_dir)[1].map_batches(
+        lambda t: pa.table({"vid": pc.unique(t.column("label"))}),
+        batch_format="pyarrow",
+    )
+    labels, _depth, _waves = dag_levels(
+        cond, vertices=scc_nodes, cfg=_cfg(), src_col="src_scc", dst_col="dst_scc"
+    )
+    return labels.map_batches(
+        lambda t: pa.table({"scc": t.column("vid"), "level": t.column("level")}),
+        batch_format="pyarrow",
+    )
+
+
+def q_reciprocity(sf_dir: str):
+    """Dyad census / reciprocity of the directed event graph (the _scc_memo
+    orientation): mutual vs asymmetric dyads and Garlaschelli-style
+    reciprocity = fraction of directed edges whose reverse also exists.
+    Scale shape: directed edges dedupe through the partial-agg combiner
+    keyed on the canonical unordered pair carrying per-direction counts —
+    one key exchange at pair cardinality — then per-block census partials
+    reduce to a single row. Exact 1e-6 fixed-point ratio on both sides."""
+    directed = _scc_memo(sf_dir)[0]
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lo": pa.array(np.minimum(s, d)),
+                "hi": pa.array(np.maximum(s, d)),
+                "nf": pa.array((s < d).astype(np.int64)),
+                "nb": pa.array((s > d).astype(np.int64)),
+            }
+        )
+
+    pairs = partial_sum_agg(
+        directed.map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"],
+        {"nf": "nf", "nb": "nb"},
+    )
+
+    def census(t: pa.Table) -> pa.Table:
+        # clamp per-direction multiplicity to presence bits (dedupe)
+        f = t.column("nf").to_numpy(zero_copy_only=False) > 0
+        b = t.column("nb").to_numpy(zero_copy_only=False) > 0
+        return pa.table(
+            {
+                "n_directed": pa.array([int(f.sum() + b.sum())], pa.int64()),
+                "n_mutual_pairs": pa.array([int((f & b).sum())], pa.int64()),
+                "n_asym_pairs": pa.array([int((f ^ b).sum())], pa.int64()),
+            }
+        )
+
+    totals = (
+        pairs.map_batches(census, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lambda df: df.sum().to_frame().T,
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    n_dir = int(totals["n_directed"].iloc[0])
+    mut = int(totals["n_mutual_pairs"].iloc[0])
+    recip = round(2.0 * mut / n_dir, 6) if n_dir else 0.0
+    return pa.table(
+        {
+            "n_directed": pa.array([n_dir], pa.int64()),
+            "n_mutual_pairs": pa.array([mut], pa.int64()),
+            "n_asym_pairs": pa.array([int(totals["n_asym_pairs"].iloc[0])], pa.int64()),
+            "reciprocity": pa.array([recip], pa.float64()),
+        }
     )
 
 
@@ -1949,6 +2047,8 @@ QUERIES = {
     "bottomk_sample": q_bottomk_sample,
     "scc": q_scc,
     "scc_condensation": q_scc_condensation,
+    "condensation_levels": q_condensation_levels,
+    "reciprocity": q_reciprocity,
     "rollup_qty": q_rollup_qty,
     "two_hop": q_two_hop,
     "assortativity": q_assortativity,
@@ -2307,6 +2407,58 @@ ORACLE_SQL = {
         JOIN sccl a ON a.vid = e.s
         JOIN sccl b ON b.vid = e.d
         WHERE a.label <> b.label""",
+    "condensation_levels": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        oriented AS (
+          SELECT src, dst,
+                 md5_number_lower(CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)) % 3 AS h
+          FROM edgu WHERE src % 2 = 0 AND dst % 2 = 0),
+        dedges AS (
+          SELECT CASE WHEN h = 1 THEN dst ELSE src END AS s,
+                 CASE WHEN h = 1 THEN src ELSE dst END AS d FROM oriented
+          UNION ALL
+          SELECT dst, src FROM oriented WHERE h = 2),
+        sverts AS (SELECT event_id AS v FROM events WHERE event_id % 2 = 0),
+        reach(s, d) AS (
+          SELECT v, v FROM sverts
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN dedges e ON e.s = r.d),
+        sccl AS MATERIALIZED (SELECT r1.s AS vid, min(r1.d) AS label
+                 FROM reach r1 JOIN reach r2 ON r2.s = r1.d AND r2.d = r1.s
+                 GROUP BY 1),
+        cond AS MATERIALIZED (
+          SELECT DISTINCT a.label AS s, b.label AS d
+          FROM dedges e
+          JOIN sccl a ON a.vid = e.s
+          JOIN sccl b ON b.vid = e.d
+          WHERE a.label <> b.label),
+        paths(v, d) AS (
+          SELECT DISTINCT label, 0 FROM sccl
+          UNION
+          SELECT c.d, p.d + 1 FROM paths p JOIN cond c ON c.s = p.v)
+        SELECT v AS scc, max(d)::BIGINT AS level FROM paths GROUP BY 1""",
+    "reciprocity": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        oriented AS (
+          SELECT src, dst,
+                 md5_number_lower(CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)) % 3 AS h
+          FROM edgu WHERE src % 2 = 0 AND dst % 2 = 0),
+        dedges AS (
+          SELECT CASE WHEN h = 1 THEN dst ELSE src END AS s,
+                 CASE WHEN h = 1 THEN src ELSE dst END AS d FROM oriented
+          UNION ALL
+          SELECT dst, src FROM oriented WHERE h = 2),
+        pairs AS (
+          SELECT least(s, d) AS lo, greatest(s, d) AS hi,
+                 max(CASE WHEN s < d THEN 1 ELSE 0 END) AS f,
+                 max(CASE WHEN s > d THEN 1 ELSE 0 END) AS b
+          FROM (SELECT DISTINCT s, d FROM dedges) GROUP BY 1, 2)
+        SELECT sum(f + b)::BIGINT AS n_directed,
+               sum(CASE WHEN f = 1 AND b = 1 THEN 1 ELSE 0 END)::BIGINT AS n_mutual_pairs,
+               sum(CASE WHEN f + b = 1 THEN 1 ELSE 0 END)::BIGINT AS n_asym_pairs,
+               round(2.0 * sum(CASE WHEN f = 1 AND b = 1 THEN 1 ELSE 0 END)
+                     / sum(f + b), 6) AS reciprocity
+        FROM pairs""",
     "pagerank_close": """
         SELECT count(*)::BIGINT AS n_vertices, 0::BIGINT AS n_exceed_tol,
                0.0::DOUBLE AS max_abs_gap_r4

@@ -1,0 +1,141 @@
+"""Longest-path levels of a DAG over directed hash-partitioned CSR shards.
+
+level(v) = the longest directed path length ending at v (0 for sources) —
+the topological "generation" downstream schedulers use to batch a
+condensation DAG (stage N cannot start before stage N-1), and the DAG
+depth is max(level). Algorithm: max-relaxation to fixpoint on the same
+one-time shard-plan machinery as cc_bsp/scc — every wave ships
+level(u)+1 along u→v from CHANGED vertices only (sparse frontier,
+np.maximum reduce), so wave w costs O(frontier edges) and the wave count
+equals the DAG depth. On a cyclic input levels would grow forever; the
+driver asserts progress stops within ``max_rounds`` and raises (a cycle
+is a caller bug — run scc first and condense).
+
+Reference parity: the reference (michaelleerilee/CCL) has no directed
+scheduling pass; this extends the link-graph suite (SCC → condensation →
+levels is the full directed-connectivity story).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import ray
+
+from ccl_ray.config import EngineConfig
+from ccl_ray.state.shards import (
+    apply_sparse_pieces,
+    as_piece_list,
+    reduce_routed_sparse,
+    scatter_plans,
+    shard_edges_csr,
+    shard_vertices,
+)
+
+
+@ray.remote
+def _init_levels(vids):
+    return {"vids": vids, "level": np.zeros(len(vids), np.int64)}
+
+
+@ray.remote
+def _scatter_levels(plan, state, dirty, P, fanout):
+    pieces = reduce_routed_sparse(plan, state["level"] + 1, dirty, np.maximum, P)
+    if fanout:
+        return pieces[0] if P == 1 else tuple(pieces)
+    return pieces
+
+
+@ray.remote(num_returns=3)
+def _apply_levels(q, grouped, state, *msg_objs):
+    pieces = [m[q] for m in msg_objs] if grouped else list(msg_objs)
+    st = dict(state)
+    vids = st["vids"]
+    if len(vids) == 0:
+        return st, 0, np.zeros(0, dtype=bool)
+    new, changed = apply_sparse_pieces(vids, st["level"], pieces, np.maximum)
+    if changed.any():
+        out = st["level"].copy()
+        out[changed] = new[changed]
+        st["level"] = out
+    return st, int(changed.sum()), changed
+
+
+@ray.remote
+def _levels_table(state):
+    import pyarrow as pa
+
+    return pa.table(
+        {"vid": pa.array(state["vids"]), "level": pa.array(state["level"])}
+    )
+
+
+def dag_levels(
+    edges,
+    *,
+    vertices=None,
+    cfg: EngineConfig | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 100_000,
+):
+    """(labels Dataset (vid, level), depth, waves) for a DIRECTED ACYCLIC
+    edge Dataset. Raises on a cycle (progress past ``max_rounds`` waves).
+    Self-loops are rejected the same way (a self-loop IS a cycle)."""
+    cfg = cfg or EngineConfig()
+    P = cfg.num_partitions
+    grouped = cfg.exchange == "grouped"
+
+    vid_refs = shard_vertices(edges, P, vertices_ds=vertices,
+                              src_col=src_col, dst_col=dst_col)
+    csr = shard_edges_csr(edges, P, symmetrize=False, dedupe=True,
+                          drop_self=False, src_col=src_col, dst_col=dst_col)
+    plans = scatter_plans(csr, vid_refs, P)
+
+    vids_local = ray.get(vid_refs)
+    n_verts = sum(len(v) for v in vids_local)
+    # a DAG's depth is < |V|, so any run past |V| waves proves a cycle
+    limit = min(max_rounds, n_verts + 1)
+    states = [_init_levels.remote(v) for v in vid_refs]
+    dirty = [ray.put(np.ones(len(v), dtype=bool)) for v in vids_local]
+    waves = 0
+    while True:
+        if waves >= limit:
+            raise ValueError(
+                f"dag_levels: no fixpoint after {waves} waves — input has a cycle"
+            )
+        if grouped:
+            outs = [
+                _scatter_levels.remote(plans[p], states[p], dirty[p], P, False)
+                for p in range(P)
+            ]
+            res = [
+                _apply_levels.remote(q, True, states[q], *outs) for q in range(P)
+            ]
+        else:
+            outs = [
+                as_piece_list(
+                    _scatter_levels.options(num_returns=P).remote(
+                        plans[p], states[p], dirty[p], P, True
+                    ),
+                    P,
+                )
+                for p in range(P)
+            ]
+            res = [
+                _apply_levels.remote(q, False, states[q], *[outs[p][q] for p in range(P)])
+                for q in range(P)
+            ]
+        states = [r[0] for r in res]
+        dirty = [r[2] for r in res]
+        waves += 1
+        if sum(ray.get([r[1] for r in res])) == 0:
+            break
+
+    import ray.data as rd
+
+    tables = ray.get([_levels_table.remote(s) for s in states])
+    labels = rd.from_arrow(tables)
+    depth = max((int(t.column("level").to_numpy().max()) for t in tables
+                 if t.num_rows), default=0)
+    return labels, depth, waves
