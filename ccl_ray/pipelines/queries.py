@@ -1189,6 +1189,26 @@ def q_reciprocity(sf_dir: str):
     )
 
 
+def q_walk_corpus(sf_dir: str):
+    """Deterministic random-walk corpus (stages/walks.deterministic_walks
+    — DeepWalk-style, one frontier⋈adjacency join + two-phase argmin per
+    step, O(Σ outdeg(frontier)) per step): 4-step walks over the oriented
+    event graph from seeds event_id % 64 == 0. The keyed pseudo-random
+    argmin (cur·K1 + n·K2 + t·K3 mod 2^64, splitmix64 constants) is
+    replayed EXACTLY by the SQL twin via HUGEINT wraparound arithmetic —
+    the MIS priority trick — so the corpus value-hashes."""
+    from ccl_ray.stages.walks import deterministic_walks
+
+    directed = _scc_memo(sf_dir)[0]
+    seeds = _verts_memo(sf_dir).map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t.column("vid"), 63), 0)
+        ).select(["vid"]),
+        batch_format="pyarrow",
+    )
+    return deterministic_walks(directed, seeds, 4, cfg=_cfg())
+
+
 def q_bottomk_sample(sf_dir: str):
     """Exact-size-k uniform sample by bottom-k hash (stages/sample.
     bottomk_sample): the 100 documents with the smallest md5_low64(doc_id).
@@ -2049,6 +2069,7 @@ QUERIES = {
     "scc_condensation": q_scc_condensation,
     "condensation_levels": q_condensation_levels,
     "reciprocity": q_reciprocity,
+    "walk_corpus": q_walk_corpus,
     "rollup_qty": q_rollup_qty,
     "two_hop": q_two_hop,
     "assortativity": q_assortativity,
@@ -2202,6 +2223,46 @@ _MARKS_VALUES = ", ".join(
     for lang, vocab in sorted(_LANG_MARKERS.items())
     for w in sorted(vocab)
 )
+
+def _walk_sql(walk_len: int = 4, seed_mod: int = 64) -> str:
+    """Unrolled exact SQL twin of q_walk_corpus: per step one join +
+    row_number over the HUGEINT-wraparound key (== numpy uint64; the MIS
+    priority trick). K1/K2/K3 are splitmix64's constants (walks.py)."""
+    M = 18446744073709551616  # 2^64
+    steps, unions = [], []
+    for t in range(1, walk_len + 1):
+        steps.append(f"""
+        n{t} AS (SELECT s{t-1}.wid, a.d,
+                 row_number() OVER (PARTITION BY s{t-1}.wid ORDER BY
+                   (CAST(a.s AS HUGEINT) * 11400714819323198485
+                    + CAST(a.d AS HUGEINT) * 13787848793156543929
+                    + {t} * CAST(10723151780598845931 AS HUGEINT)) % {M},
+                   a.d) AS rn
+                FROM s{t-1} JOIN adj a ON a.s = s{t-1}.cur),
+        s{t} AS (SELECT wid, d AS cur FROM n{t} WHERE rn = 1)""")
+        unions.append(
+            f"UNION ALL SELECT wid, {t}::BIGINT, cur FROM s{t}"
+        )
+    return f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        oriented AS (
+          SELECT src, dst,
+                 md5_number_lower(CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)) % 3 AS h
+          FROM edgu WHERE src % 2 = 0 AND dst % 2 = 0),
+        dedges AS (
+          SELECT CASE WHEN h = 1 THEN dst ELSE src END AS s,
+                 CASE WHEN h = 1 THEN src ELSE dst END AS d FROM oriented
+          UNION ALL
+          SELECT dst, src FROM oriented WHERE h = 2),
+        adj AS MATERIALIZED (SELECT DISTINCT s, d FROM dedges),
+        s0 AS (SELECT event_id AS wid, event_id AS cur
+               FROM events WHERE event_id % {seed_mod} = 0),
+        {",".join(steps)}
+        SELECT wid, 0::BIGINT AS step, cur AS vid FROM s0
+        {" ".join(unions)}"""
+
+
+_WALK_SQL = _walk_sql()
 
 ORACLE_SQL = {
     "edges_build": f"WITH {_EDGES_CTE} SELECT src, dst, etype, w FROM edg",
@@ -2437,6 +2498,7 @@ ORACLE_SQL = {
           UNION
           SELECT c.d, p.d + 1 FROM paths p JOIN cond c ON c.s = p.v)
         SELECT v AS scc, max(d)::BIGINT AS level FROM paths GROUP BY 1""",
+    "walk_corpus": _WALK_SQL,
     "reciprocity": f"""
         WITH RECURSIVE {_EDGES_CTE},
         oriented AS (
