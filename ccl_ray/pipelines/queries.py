@@ -1877,6 +1877,20 @@ def q_minhash_pairs(sf_dir: str):
     return minhash_dedup_pairs(_docs(sf_dir), threshold=0.5)
 
 
+def q_ngram_pairs(sf_dir: str):
+    """Exact n-gram-Jaccard near-dup pairs (stages/dedup.ngram_dedup_pairs):
+    deterministic inverted-index candidates — every pair sharing a shingle
+    with df 2..64 (stop-shingle pruning, the AllPairs/PPJoin prefix-filter
+    family; hot shingles still count toward the SCORE) — then the same
+    distributed exact-Jaccard verify as the MinHash path. Unlike
+    minhash_pairs there is no probabilistic recall: the SQL twin replicates
+    the df window literally, so the match is exact by construction, not by
+    corpus contract."""
+    from ccl_ray.stages.dedup import ngram_dedup_pairs
+
+    return ngram_dedup_pairs(_docs(sf_dir), threshold=0.5, df_cap=64)
+
+
 def q_fuzzy_name_pairs(sf_dir: str):
     """Fuzzy key dedup: distinct p_name values at edit distance exactly 1,
     via deletion-neighborhood blocking + closed-form vectorized verify
@@ -2070,6 +2084,7 @@ QUERIES = {
     "condensation_levels": q_condensation_levels,
     "reciprocity": q_reciprocity,
     "walk_corpus": q_walk_corpus,
+    "ngram_pairs": q_ngram_pairs,
     "rollup_qty": q_rollup_qty,
     "two_hop": q_two_hop,
     "assortativity": q_assortativity,
@@ -3029,6 +3044,15 @@ ORACLE_SQL = {
         FROM documents d LEFT JOIN (SELECT doc_id, lang FROM lbest WHERE rn = 1) b
         USING (doc_id)""",
     "minhash_pairs": f"WITH {_JACCARD_CTE} SELECT a, b, jaccard FROM jpairs",
+    "ngram_pairs": f"""
+        WITH {_JACCARD_CTE},
+        rare AS (SELECT g FROM sh GROUP BY g HAVING count(*) BETWEEN 2 AND 64),
+        candp AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          WHERE a.g IN (SELECT g FROM rare))
+        SELECT j.a, j.b, j.jaccard
+        FROM jpairs j JOIN candp c ON c.a = j.a AND c.b = j.b""",
     "fuzzy_name_pairs": """
         WITH names AS (SELECT DISTINCT p_name AS n FROM part
                        WHERE p_name IS NOT NULL AND length(p_name) > 0)

@@ -83,7 +83,8 @@ _ALLPAIR_CAP = 256
 _SIMHASH_CHUNK = 1 << 16
 
 
-def _emit_bucket_pairs(ids: np.ndarray, bucket_key_cols: list[np.ndarray], cap: int):
+def _emit_bucket_pairs(ids: np.ndarray, bucket_key_cols: list[np.ndarray], cap: int,
+                       *, drop_over_cap: bool = False):
     """Vectorized pair emission for pre-lexsorted bucket rows.
 
     ``ids`` and the bucket key columns must already be sorted by
@@ -92,6 +93,11 @@ def _emit_bucket_pairs(ids: np.ndarray, bucket_key_cols: list[np.ndarray], cap: 
     union/double-read must not produce a==b self-pairs). Returns (ai, bi)
     INDEX arrays into the deduplicated arrays plus the dedup mask — callers
     gather their own payload columns with them.
+
+    Buckets larger than ``cap``: star-capped by default (the LSH recall
+    contract); ``drop_over_cap=True`` drops them entirely instead — the
+    stop-shingle semantics of the exact n-gram path, where the bucket key
+    is a shingle and a hot shingle carries no similarity signal.
     """
     n = len(ids)
     if n < 2:
@@ -120,7 +126,7 @@ def _emit_bucket_pairs(ids: np.ndarray, bucket_key_cols: list[np.ndarray], cap: 
             ii, jj = np.triu_indices(int(s), 1)
             out_a.append((sel[:, None] + ii[None, :]).ravel())
             out_b.append((sel[:, None] + jj[None, :]).ravel())
-        else:
+        elif not drop_over_cap:
             # hot-bucket star cap (see _ALLPAIR_CAP note)
             out_a.append(np.repeat(sel, int(s) - 1))
             off = np.arange(1, int(s))
@@ -467,6 +473,86 @@ def minhash_dedup_pairs(
 ) -> "rd.Dataset":
     """MinHash-LSH candidates → exact-Jaccard verified near-dup pairs."""
     cand = minhash_candidates(docs, num_partitions=num_partitions)
+    return ngram_jaccard_pairs(docs, cand, threshold=threshold, num_partitions=num_partitions)
+
+
+def ngram_exact_candidates(
+    docs: "rd.Dataset",
+    *,
+    shingle_k: int = 8,
+    df_cap: int = 64,
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """EXACT inverted-index candidate pairs: (a < b) doc pairs sharing at
+    least one shingle with document frequency 2..``df_cap``.
+
+    The deterministic counterpart of MinHash-LSH candidates: no
+    probabilistic recall — every qualifying pair is emitted. Shingles with
+    df > df_cap are DROPPED (stop-shingle pruning, the AllPairs/PPJoin
+    prefix-filter family): a shingle shared by hundreds of documents
+    carries no similarity signal but would emit O(df²) pairs. The pruning
+    is part of the operator's documented semantics (the SQL twin applies
+    the identical df window), so results are exact by definition, and a
+    pair of genuinely similar docs shares many shingles — losing the hot
+    ones does not lose the pair unless ALL its shared shingles are hot.
+
+    Scale shape: one routed exchange of (gh, doc_id) shingle rows by
+    hash(gh) — all rows of a shingle land in one partition, so df and the
+    complete per-shingle pair set are computed partition-locally in one
+    vectorized pass (the minhash_candidates partition-grouped emission);
+    pair dedupe via the partial-agg combiner. No driver path, no
+    broadcast.
+    """
+    from ccl_ray.config import resolve_partitions
+    from ccl_ray.stages.aggregates import partitioned_groupby_agg
+
+    P = resolve_partitions(num_partitions)
+
+    def shingle(df: pd.DataFrame) -> pa.Table:
+        rows, h = _shingle_rows(df, shingle_k)
+        ids = df["doc_id"].values.astype(np.int64)[rows]
+        part = (stable_hash64_np(h.view(np.uint64)) % np.uint64(P)).astype(np.int64)
+        return pa.table(
+            {
+                "gh": pa.array(h),
+                "doc_id": pa.array(ids),
+                "part": pa.array(part),
+            }
+        )
+
+    def pairs_part(df: pd.DataFrame) -> pa.Table:
+        gh = df["gh"].values.astype(np.int64)
+        ids = df["doc_id"].values.astype(np.int64)
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        if len(ids) < 2:
+            return empty
+        order = np.lexsort((ids, gh))
+        gh, ids = gh[order], ids[order]
+        ai, bi, keep = _emit_bucket_pairs(ids, [gh], df_cap, drop_over_cap=True)
+        if not len(ai):
+            return empty
+        ids = ids[keep]
+        return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
+
+    rows = docs.map_batches(shingle, batch_format="pandas")
+    cand = rows.groupby("part").map_groups(pairs_part, batch_format="pandas")
+    return partitioned_groupby_agg(cand, ["a", "b"], {"_n": ("a", "count")}).select_columns(
+        ["a", "b"]
+    )
+
+
+def ngram_dedup_pairs(
+    docs: "rd.Dataset",
+    *,
+    threshold: float = 0.5,
+    df_cap: int = 64,
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """Exact n-gram-Jaccard near-dup pairs: inverted-index candidates
+    (deterministic, df-capped — see ngram_exact_candidates) → exact
+    Jaccard verification over the FULL shingle sets (hot shingles count
+    toward the score, they are only pruned from candidate generation)."""
+    cand = ngram_exact_candidates(docs, df_cap=df_cap, num_partitions=num_partitions)
     return ngram_jaccard_pairs(docs, cand, threshold=threshold, num_partitions=num_partitions)
 
 

@@ -307,3 +307,40 @@ def test_unigram_logprob_hand_check():
     assert out.loc[2, "logprob"] == 0.0
     assert abs(out.loc[1, "logprob"] - round(-np.log2(0.4), 6)) < 1e-6
     assert abs(out.loc[3, "logprob"] - round((-np.log2(0.4) - np.log2(0.2)) / 2, 6)) < 1e-6
+
+
+def test_ngram_exact_pairs_match_bruteforce():
+    """ngram_dedup_pairs (inverted-index candidates, df-capped) equals the
+    brute-force all-pairs Jaccard listing whenever every qualifying pair
+    shares at least one sub-cap shingle — here df_cap >= corpus size, so
+    NO shingle is pruned and recall is unconditionally complete."""
+    from ccl_ray.functions.hashing import rolling_hash_shingles
+    from ccl_ray.stages.dedup import ngram_dedup_pairs
+
+    ds = _docs_with_dups()
+    docs = ds.to_pandas()
+    sets = {int(r.doc_id): set(rolling_hash_shingles(r.text, 8).tolist())
+            for r in docs.itertuples()}
+    want = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if uni and round(inter / uni, 6) >= 0.4:
+                want.add((a, b))
+    for P in (2, 5):
+        pairs = ngram_dedup_pairs(ds, threshold=0.4, df_cap=1000,
+                                  num_partitions=P).to_pandas()
+        got = set(zip(pairs["a"].astype(int), pairs["b"].astype(int)))
+        assert got == want, P
+
+
+def test_ngram_pairs_df_cap_prunes_hot_shingles():
+    """With df_cap=1 every shingle is 'hot' (df >= 2 for any shared one),
+    so candidate generation must emit nothing — pruning semantics, not a
+    star cap."""
+    from ccl_ray.stages.dedup import ngram_exact_candidates
+
+    out = ngram_exact_candidates(_docs_with_dups(), df_cap=1).to_pandas()
+    assert len(out) == 0
