@@ -908,6 +908,69 @@ def q_tdigest_value(sf_dir: str):
     )
 
 
+def q_tdigest_group(sf_dir: str):
+    """Per-group t-digest quantiles (stages/sketch.tdigest_by — one blob
+    per key per block, blob rows merge by key; the per-key analog of
+    tdigest_value): median and p90 of events.value per event_type. The
+    per-group mass (exact row count) carries the SQL value check; each
+    estimate's exact rank interval within its group (one distributed
+    counting pass, per-key thresholds broadcast — key cardinality is 5)
+    is asserted ≤ 0.01 engine-side."""
+    from ccl_ray.stages.sketch import td_unpack, tdigest_by, tdigest_quantile
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    qs = np.array([0.5, 0.9])
+    tds = tdigest_by(ev, "event_type", "value").to_pandas()
+    est = {
+        k: tdigest_quantile(td_unpack(b), qs) for k, b in zip(tds["event_type"], tds["td"])
+    }
+    ns = {k: td_unpack(b)["n"] for k, b in zip(tds["event_type"], tds["td"])}
+    import ray
+
+    est_ref = ray.put(est)
+
+    def rank_partials(df: pd.DataFrame) -> pa.Table:
+        e = ray.get(est_ref)
+        ks, qi, lt, le = [], [], [], []
+        for k, sub in df.groupby("event_type", sort=False):
+            v = sub["value"].to_numpy(np.float64)
+            t = e[str(k)]
+            ks += [str(k)] * len(qs)
+            qi += list(range(len(qs)))
+            lt += list((v[:, None] < t[None, :]).sum(0).astype(np.int64))
+            le += list((v[:, None] <= t[None, :]).sum(0).astype(np.int64))
+        return pa.table(
+            {
+                "event_type": pa.array(ks, pa.string()),
+                "qi": pa.array(qi, pa.int64()),
+                "lt": pa.array(lt, pa.int64()),
+                "le": pa.array(le, pa.int64()),
+            }
+        )
+
+    ranks = (
+        partial_sum_agg(
+            ev.map_batches(rank_partials, batch_format="pandas"),
+            ["event_type", "qi"],
+            {"lt": "lt", "le": "le"},
+        )
+        .to_pandas()
+        .sort_values(["event_type", "qi"])
+    )
+    n = ranks["event_type"].map(ns).to_numpy(np.float64)
+    q_arr = qs[ranks["qi"].to_numpy()]
+    lo, hi = ranks["lt"].to_numpy() / n, ranks["le"].to_numpy() / n
+    ok = np.maximum(lo - q_arr, q_arr - hi).clip(min=0) <= 0.01
+    return pa.table(
+        {
+            "event_type": pa.array(ranks["event_type"], pa.string()),
+            "q": pa.array(q_arr, pa.float64()),
+            "n_rows": pa.array(n.astype(np.int64)),
+            "td_rank_ok": pa.array(ok.astype(bool)),
+        }
+    )
+
+
 def q_bloom_semijoin(sf_dir: str):
     """Bloom-prefiltered exact semi-join (stages/sketch.bloom_build /
     bloom_prefilter): events per event_type for users in the BUILDING
@@ -2078,6 +2141,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "bloom_semijoin": q_bloom_semijoin,
     "tdigest_value": q_tdigest_value,
+    "tdigest_group": q_tdigest_group,
     "bottomk_sample": q_bottomk_sample,
     "scc": q_scc,
     "scc_condensation": q_scc_condensation,
@@ -2423,6 +2487,10 @@ ORACLE_SQL = {
         SELECT q, (SELECT count(*) FROM events)::BIGINT AS n_events,
                true AS td_rank_ok
         FROM (SELECT unnest([0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]) AS q)""",
+    "tdigest_group": """
+        SELECT event_type, q, count(*)::BIGINT AS n_rows, true AS td_rank_ok
+        FROM events CROSS JOIN (SELECT unnest([0.5, 0.9]) AS q)
+        GROUP BY 1, 2""",
     "bloom_semijoin": """
         SELECT event_type, count(*)::BIGINT AS n_events
         FROM events e

@@ -469,3 +469,67 @@ def tdigest_quantile(td: dict, qs) -> np.ndarray:
     xs = np.concatenate([[0.0], cum, [n]])
     ys = np.concatenate([[td["min"]], m, [td["max"]]])
     return np.interp(qs * n, xs, ys)
+
+
+def tdigest_by(
+    ds: "rd.Dataset",
+    key_col: str,
+    col: str,
+    *,
+    delta: int = 400,
+) -> "rd.Dataset":
+    """Per-group t-digests: Dataset (key, td binary) — one mergeable
+    digest blob per key, the per-key analog of tdigest_build and the
+    same exchange shape as hll_distinct_by: each block emits ONE ≤ ~δ/2-
+    centroid blob per key PRESENT in that block, then blob rows merge by
+    key (the groupby moves key-cardinality × block-count tiny rows, never
+    values). Caller contract: categorical keys (a blob per key per block
+    must be cheap). Decode estimates with tdigest_quantile on
+    {"mean", "weight", "min", "max", "n"} from _td_unpack."""
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table(
+                {key_col: pa.array([], pa.string()), "td": pa.array([], pa.binary())}
+            )
+        k = df[key_col].to_numpy(dtype=object).astype(str)
+        v = df[col].to_numpy(np.float64)
+        assert not np.isnan(v).any(), "tdigest_by: null/NaN values"
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        uniq, starts = np.unique(k, return_index=True)
+        bounds = np.concatenate([starts, [len(k)]])
+        blobs = []
+        for i in range(len(uniq)):
+            seg = v[bounds[i]: bounds[i + 1]]
+            m, w = _cluster(seg, np.ones(len(seg), np.float64), delta)
+            blobs.append(_td_encode(m, w, seg[0], seg[-1]))
+        return pa.table({key_col: pa.array(uniq, pa.string()), "td": pa.array(blobs, pa.binary())})
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        parts = [_td_decode(b) for b in df["td"]]
+        m = np.concatenate([p[0] for p in parts])
+        w = np.concatenate([p[1] for p in parts])
+        lo = min(p[2] for p in parts)
+        hi = max(p[3] for p in parts)
+        order = np.lexsort((w, m))
+        m2, w2 = _cluster(m[order], w[order], delta)
+        return pa.table(
+            {
+                key_col: pa.array([str(df[key_col].iloc[0])], pa.string()),
+                "td": pa.array([_td_encode(m2, w2, lo, hi)], pa.binary()),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(key_col)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def td_unpack(blob: bytes) -> dict:
+    """Decode one td blob into the tdigest_quantile input dict."""
+    m, w, lo, hi = _td_decode(blob)
+    return {"mean": m, "weight": w, "min": lo, "max": hi, "n": float(w.sum())}

@@ -232,3 +232,29 @@ def test_tdigest_edge_cases():
     bad = rd.from_arrow(pa.table({"x": pa.array([1.0, float("nan")], pa.float64())}))
     with pytest.raises(Exception, match="NaN"):
         tdigest_build(bad, "x")
+
+
+def test_tdigest_by_groups_rank_bounds():
+    import pandas as pd
+
+    from ccl_ray.stages.sketch import td_unpack, tdigest_by, tdigest_quantile
+
+    rng = np.random.default_rng(23)
+    n = 40_000
+    keys = np.where(rng.random(n) < 0.7, "x", "y")
+    vals = np.where(keys == "x", rng.normal(0, 1, n), rng.lognormal(0, 1, n))
+    ds = rd.from_pandas(pd.DataFrame({"k": keys, "v": vals})).repartition(6)
+    out = tdigest_by(ds, "k", "v").to_pandas()
+    assert sorted(out["k"]) == ["x", "y"]
+    qs = np.array([0.05, 0.5, 0.95])
+    for k in ("x", "y"):
+        sv = np.sort(vals[keys == k])
+        td = td_unpack(out.set_index("k")["td"][k])
+        assert td["n"] == len(sv)
+        est = tdigest_quantile(td, qs)
+        lo = np.searchsorted(sv, est, side="left") / len(sv)
+        hi = np.searchsorted(sv, est, side="right") / len(sv)
+        err = np.maximum(lo - qs, qs - hi).clip(min=0)
+        assert (err < 0.01).all(), (k, err)
+        assert tdigest_quantile(td, [0.0])[0] == sv[0]
+        assert tdigest_quantile(td, [1.0])[0] == sv[-1]
