@@ -338,6 +338,30 @@ def run_bench() -> dict:
         "settled_cyclic": sum(m.get("settled", 0) for m in scc_res.metrics),
     }
 
+    # --- deterministic walk corpus over the same oriented graph: seeds =
+    # every 256th vid (non-negative — the SQL-replayable hash contract),
+    # 4 steps; adjacency CSR-sharded once, only frontiers ship per step
+    t0 = time.perf_counter()
+    import pyarrow.compute as pc_  # noqa: N813
+
+    from ccl_ray.stages.walks import deterministic_walks
+
+    wseeds = verts.map_batches(
+        lambda t: t.filter(
+            pc_.and_(
+                pc_.greater_equal(t.column("vid"), 0),
+                pc_.equal(pc_.bit_wise_and(t.column("vid"), 255), 0),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    corpus = deterministic_walks(
+        edges.map_batches(_orient, batch_format="pyarrow"), wseeds, 4, cfg=cfg
+    )
+    n_corpus = corpus.count()
+    queries["transcript_walks"] = time.perf_counter() - t0
+    extra["walks"] = {"corpus_rows": n_corpus, "walk_len": 4}
+
     # --- events graph at $GRAFT_SF_DIR (correctness-scale pipelines)
     t0 = time.perf_counter()
     eedges = build_event_edges(SF_DIR).materialize()

@@ -561,6 +561,62 @@ def _event_seeds(sf_dir: str):
     return seeds_src.map_batches(pick, batch_format="pyarrow")
 
 
+def q_ego_edges(sf_dir: str):
+    """2-hop ego-subgraph extraction: the edges induced on the radius-2
+    ball around the 4 smallest event ids — the debugging/sampling primitive
+    for inspecting a neighborhood of a 100 TB graph without materializing
+    it. Engine shape: per-block min-4 partials pick the seeds (one tiny
+    final block), a CAPPED multi-source BFS (2 waves, cap_ok — no fixpoint
+    work beyond the ball), then the induced edges via pair-dedupe +
+    two hash joins against the ball vertex set (ball is |V|-scale in the
+    worst case — never broadcast). Exact unrolled 2-hop SQL twin."""
+    from ccl_ray.stages.bfs import bfs_hops
+    from ccl_ray.stages.exchange import hash_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def block_min4(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(4, "event_id")
+
+    seeds = (
+        ev.map_batches(block_min4, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda df: block_min4(df).rename(columns={"event_id": "vid"}),
+            batch_format="pandas",
+        )
+    )
+    # min-plus waves settle true distance d at wave d, so 2 capped waves
+    # finalize the radius-2 ball; deeper vertices stay unreached/null
+    res = bfs_hops(
+        _edges_memo(sf_dir), seeds, cfg=_cfg(), shards=_bundle_memo(sf_dir),
+        max_rounds=2, cap_ok=True,
+    )
+    ball = res.dists.map_batches(
+        lambda t: pa.table(
+            {
+                "ball_v": t.filter(
+                    pc.and_(
+                        pc.is_valid(t.column("dist")),
+                        pc.less_equal(t.column("dist"), 2),
+                    )
+                ).column("vid")
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    dedup = partial_sum_agg(
+        _edges_memo(sf_dir).select_columns(["src", "dst"]), ["src", "dst"], {},
+        count_as="_n",
+    ).select_columns(["src", "dst"])
+    j1 = hash_join(dedup, ball, left_on="src", right_on="ball_v", num_partitions=8)
+    j2 = hash_join(
+        j1, ball.rename_columns({"ball_v": "ball_w"}),
+        left_on="dst", right_on="ball_w", num_partitions=8,
+    )
+    return j2.select_columns(["src", "dst"])
+
+
 def q_ppr_fixed(sf_dir: str):
     """Personalized PageRank for EXACTLY 20 iterations (tol=0), teleport set
     = events with event_id % 97 == 0, uniform weights. The SQL twin is the
@@ -2149,6 +2205,7 @@ QUERIES = {
     "reciprocity": q_reciprocity,
     "walk_corpus": q_walk_corpus,
     "ngram_pairs": q_ngram_pairs,
+    "ego_edges": q_ego_edges,
     "rollup_qty": q_rollup_qty,
     "two_hop": q_two_hop,
     "assortativity": q_assortativity,
@@ -2582,6 +2639,17 @@ ORACLE_SQL = {
           SELECT c.d, p.d + 1 FROM paths p JOIN cond c ON c.s = p.v)
         SELECT v AS scc, max(d)::BIGINT AS level FROM paths GROUP BY 1""",
     "walk_corpus": _WALK_SQL,
+    "ego_edges": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        h0 AS (SELECT event_id AS v FROM events ORDER BY event_id LIMIT 4),
+        sym AS (SELECT src AS s, dst AS d FROM edgu
+                UNION ALL SELECT dst, src FROM edgu),
+        h1 AS (SELECT DISTINCT e.d AS v FROM sym e JOIN h0 ON e.s = h0.v),
+        h2 AS (SELECT DISTINCT e.d AS v FROM sym e JOIN h1 ON e.s = h1.v),
+        ball AS (SELECT DISTINCT v FROM (
+            SELECT v FROM h0 UNION ALL SELECT v FROM h1 UNION ALL SELECT v FROM h2))
+        SELECT e.src, e.dst
+        FROM edgu e JOIN ball a ON a.v = e.src JOIN ball b ON b.v = e.dst""",
     "reciprocity": f"""
         WITH RECURSIVE {_EDGES_CTE},
         oriented AS (
