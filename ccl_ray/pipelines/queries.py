@@ -617,6 +617,28 @@ def q_ego_edges(sf_dir: str):
     return j2.select_columns(["src", "dst"])
 
 
+def q_label_centroid(sf_dir: str):
+    """Per-label mean embedding (stages/similarity.grouped_mean_embedding):
+    each block reduces vectors to (label, dim, sum, n) partial rows, one
+    exchange at label × dim cardinality, vectorized divide. float64
+    accumulation matches the SQL twin's DOUBLE sums; means rounded to 1e-6
+    on both sides."""
+    from ccl_ray.stages.similarity import grouped_mean_embedding
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "label": pc.cast(t.column("label"), pa.int64()),
+                "embedding": t.column("embedding"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_mean_embedding(emb, "label")
+
+
 def q_ppr_fixed(sf_dir: str):
     """Personalized PageRank for EXACTLY 20 iterations (tol=0), teleport set
     = events with event_id % 97 == 0, uniform weights. The SQL twin is the
@@ -2206,6 +2228,7 @@ QUERIES = {
     "walk_corpus": q_walk_corpus,
     "ngram_pairs": q_ngram_pairs,
     "ego_edges": q_ego_edges,
+    "label_centroid": q_label_centroid,
     "rollup_qty": q_rollup_qty,
     "two_hop": q_two_hop,
     "assortativity": q_assortativity,
@@ -2544,6 +2567,11 @@ ORACLE_SQL = {
         SELECT q, (SELECT count(*) FROM events)::BIGINT AS n_events,
                true AS td_rank_ok
         FROM (SELECT unnest([0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]) AS q)""",
+    "label_centroid": """
+        SELECT label::BIGINT AS label, i AS dim,
+               round(sum(embedding[i + 1]::DOUBLE) / count(*), 6) AS centroid
+        FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i)
+        GROUP BY 1, 2""",
     "tdigest_group": """
         SELECT event_type, q, count(*)::BIGINT AS n_rows, true AS td_rank_ok
         FROM events CROSS JOIN (SELECT unnest([0.5, 0.9]) AS q)

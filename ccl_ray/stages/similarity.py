@@ -323,3 +323,72 @@ def ivf_topk(
         return df
 
     return cands.groupby("a").map_groups(topk, batch_format="pandas")
+
+
+def grouped_mean_embedding(
+    ds: "rd.Dataset",
+    key_col: str,
+    vec_col: str = "embedding",
+    *,
+    round_to: int = 6,
+) -> "rd.Dataset":
+    """Per-key mean embedding (centroid): Dataset (key, dim, centroid) in
+    long form — the embedding-aggregation primitive behind class
+    centroids, IVF seeding and mean-pooled group representations.
+
+    Scale shape: each block reduces to (key, dim, s, n) partial rows —
+    present-key count × dim per block, never the vectors — then one
+    partial-agg exchange at key × dim cardinality and a vectorized divide.
+    Sums run in float64 regardless of the stored float32 (both for
+    accuracy and to match the SQL twin's DOUBLE accumulation).
+    """
+    import pyarrow as pa
+
+    from ccl_ray.stages.aggregates import partial_sum_agg
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        X = _arrow_list_matrix(t.column(vec_col))
+        d = X.shape[1]
+        order = np.argsort(keys, kind="stable")
+        keys, X = keys[order], X[order]
+        uniq, starts = np.unique(keys, return_index=True)
+        sums = np.add.reduceat(X, starts, axis=0)
+        counts = np.diff(np.concatenate([starts, [len(keys)]]))
+        return pa.table(
+            {
+                key_col: pa.array(np.repeat(uniq, d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uniq))),
+                "s": pa.array(sums.ravel(), pa.float64()),
+                "n": pa.array(np.repeat(counts, d).astype(np.int64)),
+            }
+        )
+
+    agg = partial_sum_agg(
+        ds.select_columns([key_col, vec_col]).map_batches(partials, batch_format="pyarrow"),
+        [key_col, "dim"],
+        {"s": "s", "n": "n"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                "dim": t.column("dim"),
+                "centroid": pa.array(np.round(s / n, round_to), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

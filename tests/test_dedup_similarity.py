@@ -344,3 +344,23 @@ def test_ngram_pairs_df_cap_prunes_hot_shingles():
 
     out = ngram_exact_candidates(_docs_with_dups(), df_cap=1).to_pandas()
     assert len(out) == 0
+
+
+def test_grouped_mean_embedding_matches_numpy():
+    from ccl_ray.stages.similarity import grouped_mean_embedding
+
+    rng = np.random.default_rng(31)
+    n, d = 900, 16
+    X = rng.normal(0, 1, (n, d)).astype(np.float32)
+    lab = rng.integers(0, 5, n).astype(np.int64)
+    tbl = pa.table({"label": pa.array(lab),
+                    "embedding": pa.array(list(X), pa.list_(pa.float32()))})
+    for P in (1, 6):
+        out = grouped_mean_embedding(
+            rd.from_arrow(tbl).repartition(P), "label"
+        ).to_pandas()
+        assert len(out) == 5 * d
+        for k in range(5):
+            want = np.round(X[lab == k].astype(np.float64).mean(axis=0), 6)
+            got = out[out["label"] == k].sort_values("dim")["centroid"].to_numpy()
+            assert np.allclose(got, want, atol=1e-9), (P, k)
