@@ -1843,6 +1843,62 @@ def q_token_count(sf_dir: str):
     return token_count(_docs(sf_dir))
 
 
+def q_split_assign(sf_dir: str):
+    """Deterministic train/val/test split assignment — the standard
+    hash-bucket split every training pipeline needs: md5(doc_id) % 100 →
+    train (<90) / val (<95) / test. Pure per-row map (no exchange, no
+    state); stable across reruns, partitionings and cluster sizes, and
+    SQL-replicable via md5_number_lower (the stratified_sample hash
+    contract)."""
+    from ccl_ray.stages.sample import _md5_low64
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def assign(df: pd.DataFrame) -> pa.Table:
+        b = (_md5_low64(df["doc_id"].values) % np.uint64(100)).astype(np.int64)
+        split = np.where(b < 90, "train", np.where(b < 95, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].values.astype(np.int64)),
+                "split": pa.array(split.astype(object), pa.string()),
+            }
+        )
+
+    return docs.map_batches(assign, batch_format="pandas")
+
+
+def q_token_buckets(sf_dir: str):
+    """Sequence-length bucketing for batch packing: docs and token mass
+    per power-of-2 token-count bucket (floor(log2 n); empty docs bucket
+    -1). Engine shape: the vectorized token counter feeds per-block
+    histogram partials; one exchange at bucket cardinality (≤ ~40 rows)."""
+    tc = token_count(_docs(sf_dir))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.full(len(n), -1, np.int64)
+        pos = n > 0
+        b[pos] = np.floor(np.log2(n[pos])).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        bs, ns = b[order], n[order]
+        u, starts = np.unique(bs, return_index=True)
+        sums = np.add.reduceat(ns, starts) if len(ns) else np.empty(0, np.int64)
+        cnts = np.diff(np.concatenate([starts, [len(ns)]]))
+        return pa.table(
+            {
+                "bucket": pa.array(u),
+                "n_docs": pa.array(cnts.astype(np.int64)),
+                "n_tokens": pa.array(sums.astype(np.int64)),
+            }
+        )
+
+    return partial_sum_agg(
+        tc.map_batches(bucketize, batch_format="pyarrow"),
+        ["bucket"],
+        {"n_docs": "n_docs", "n_tokens": "n_tokens"},
+    )
+
+
 def q_quality_score(sf_dir: str):
     return quality_score(_docs(sf_dir))
 
@@ -2229,6 +2285,8 @@ QUERIES = {
     "ngram_pairs": q_ngram_pairs,
     "ego_edges": q_ego_edges,
     "label_centroid": q_label_centroid,
+    "split_assign": q_split_assign,
+    "token_buckets": q_token_buckets,
     "rollup_qty": q_rollup_qty,
     "two_hop": q_two_hop,
     "assortativity": q_assortativity,
@@ -2567,6 +2625,20 @@ ORACLE_SQL = {
         SELECT q, (SELECT count(*) FROM events)::BIGINT AS n_events,
                true AS td_rank_ok
         FROM (SELECT unnest([0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]) AS q)""",
+    "split_assign": """
+        SELECT doc_id,
+               CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90
+                    THEN 'train'
+                    WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 95
+                    THEN 'val' ELSE 'test' END AS split
+        FROM documents""",
+    "token_buckets": """
+        WITH tc AS (SELECT len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n
+                    FROM documents)
+        SELECT CASE WHEN n = 0 THEN -1
+                    ELSE CAST(floor(log2(n)) AS BIGINT) END AS bucket,
+               count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens
+        FROM tc GROUP BY 1""",
     "label_centroid": """
         SELECT label::BIGINT AS label, i AS dim,
                round(sum(embedding[i + 1]::DOUBLE) / count(*), 6) AS centroid
