@@ -339,22 +339,22 @@ def run_bench() -> dict:
     }
 
     # --- deterministic walk corpus over the same oriented graph: seeds =
-    # every 256th vid (non-negative — the SQL-replayable hash contract),
-    # 4 steps; adjacency CSR-sharded once, only frontiers ship per step
+    # hash-selected ~1/256 of vids (low-bit selection would pick every
+    # turn-0 vid — the vid layout is conv·2^22 + turn), non-negative per
+    # the SQL-replayable hash contract; 4 steps; adjacency CSR-sharded
+    # once, only frontiers ship per step
     t0 = time.perf_counter()
-    import pyarrow.compute as pc_  # noqa: N813
-
+    from ccl_ray.functions.hashing import stable_hash64_np as _sh64
     from ccl_ray.stages.walks import deterministic_walks
 
-    wseeds = verts.map_batches(
-        lambda t: t.filter(
-            pc_.and_(
-                pc_.greater_equal(t.column("vid"), 0),
-                pc_.equal(pc_.bit_wise_and(t.column("vid"), 255), 0),
-            )
-        ),
-        batch_format="pyarrow",
-    )
+    def _pick_seeds(t: "pa.Table") -> "pa.Table":
+        import numpy as np
+
+        v = t.column("vid").to_numpy(zero_copy_only=False)
+        keep = (v >= 0) & (_sh64(v.view(np.uint64)) % np.uint64(256) == 0)
+        return pa.table({"vid": pa.array(v[keep])})
+
+    wseeds = verts.map_batches(_pick_seeds, batch_format="pyarrow")
     corpus = deterministic_walks(
         edges.map_batches(_orient, batch_format="pyarrow"), wseeds, 4, cfg=cfg
     )

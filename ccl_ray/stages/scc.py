@@ -222,6 +222,23 @@ def _settle_marked(state):
 
 
 @ray.remote
+def _restore_state(vids, loaded):
+    """Rebuild a shard's live state from a checkpointed column dict.
+
+    color/marked are per-outer-round scratch (reset_round reinitializes
+    them before use), so only label/active/degrees persist."""
+    return {
+        "vids": vids,
+        "label": loaded["label"].astype(np.int64, copy=False),
+        "active": loaded["active"].astype(bool, copy=False),
+        "color": vids.copy(),
+        "indeg": loaded["indeg"].astype(np.int64, copy=False),
+        "outdeg": loaded["outdeg"].astype(np.int64, copy=False),
+        "marked": np.zeros(len(vids), dtype=bool),
+    }
+
+
+@ray.remote
 def _scc_table(state):
     import pyarrow as pa
 
@@ -278,6 +295,8 @@ def strongly_connected_components(
     dst_col: str = "dst",
     max_outer: int = 512,
     max_inner: int = 100_000,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
 ) -> SCCResult:
     """Exact SCC labels (min vid per SCC) of a DIRECTED edge Dataset.
 
@@ -285,6 +304,14 @@ def strongly_connected_components(
     (parallel duplicates deduped, self-loops dropped: neither changes SCC
     membership). ``vertices``: optional explicit vid Dataset (isolated
     vertices are their own SCCs). Runs in the original int64 vid domain.
+
+    ``checkpoint_dir``: per-outer-round StateCheckpoint of the persistent
+    shard state (label/active/indeg/outdeg — color and marks are per-round
+    scratch), written at the post-TRIM consistency point with the usual
+    atomic-manifest commit; a killed run resumes from the newest complete
+    round after the resume validates partition count and vid fingerprint
+    against the rebuilt shards. Deterministic waves → bitwise-identical
+    labels on resume.
     """
     cfg = cfg or EngineConfig()
     P = cfg.num_partitions
@@ -301,18 +328,30 @@ def strongly_connected_components(
     fwd_cplans = combine_plans(vid_refs, fwd_plans, P)
     bwd_cplans = combine_plans(vid_refs, bwd_plans, P)
 
-    states = [_init_state.remote(v) for v in vid_refs]
-    waves = 0
-    # dense degree init: fwd edges deliver to dsts (in-degree), bwd to
-    # srcs (out-degree)
-    states, _, _ = _wave(fwd_plans, fwd_cplans, states, "deg", "deg_in", None, P, grouped)
-    states, _, _ = _wave(bwd_plans, bwd_cplans, states, "deg", "deg_out", None, P, grouped)
-    waves += 2
+    ckpt = None
+    resumed = None
+    if checkpoint_dir is not None:
+        from ccl_ray.state.checkpoint import StateCheckpoint, vid_fingerprint
+
+        ckpt = StateCheckpoint(checkpoint_dir, ["label", "active", "indeg", "outdeg"])
+        resumed = ckpt.latest(expected_parts=P, expected_vid_fp=vid_fingerprint(vid_refs))
 
     metrics: list[dict] = []
-    outer = 0
-    # settled-this-step frontier pending degree deltas (None = nothing yet)
-    pending = None
+    pending = None  # settled-this-step frontier pending degree deltas
+    if resumed is not None:
+        outer, loaded_refs, extra = resumed
+        states = [_restore_state.remote(vid_refs[p], loaded_refs[p]) for p in range(P)]
+        waves = int(extra.get("waves", 0))
+    else:
+        states = [_init_state.remote(v) for v in vid_refs]
+        waves = 0
+        # dense degree init: fwd edges deliver to dsts (in-degree), bwd to
+        # srcs (out-degree)
+        states, _, _ = _wave(fwd_plans, fwd_cplans, states, "deg", "deg_in", None, P, grouped)
+        states, _, _ = _wave(bwd_plans, bwd_cplans, states, "deg", "deg_out", None, P, grouped)
+        waves += 2
+        outer = 0
+
     while outer < max_outer:
         # ---- TRIM to fixpoint (incremental degree deltas)
         n_trim = 0
@@ -332,6 +371,10 @@ def strongly_connected_components(
                 pending = None
                 break
             pending = [r[2] for r in res]
+        # ---- post-TRIM consistency point: persistent state is exactly
+        # (label, active, indeg, outdeg); color/marks are not yet live
+        if ckpt is not None and outer % checkpoint_every == 0:
+            ckpt.save(outer, vid_refs, states, extra={"waves": waves, "trimmed": n_trim})
         # ---- any active left?
         res = [_reset_round.remote(s) for s in states]
         states = [r[0] for r in res]

@@ -181,3 +181,106 @@ class ShardCheckpoint:
             for p in range(manifest["parts"])
         ]
         return best, refs
+
+
+# ------------------------------------------------- multi-column variant
+
+@ray.remote
+def _write_state_shard(path: str, vids: np.ndarray, state: dict, cols: list):
+    t = pa.table({"vid": pa.array(vids), **{c: pa.array(state[c]) for c in cols}})
+    pq.write_table(t, path)
+    fp = 0
+    if len(vids):
+        acc = stable_hash64_np(_bits64(vids) * np.uint64(31))
+        for c in cols:
+            acc = acc ^ stable_hash64_np(_bits64(np.asarray(state[c])))
+        fp = int(np.bitwise_xor.reduce(acc))
+    return len(vids), fp, _vid_fp_np(vids)
+
+
+@ray.remote
+def _read_state_shard(path: str, cols: list) -> dict:
+    t = pq.read_table(path)
+    return {c: t.column(c).to_numpy(zero_copy_only=False) for c in cols}
+
+
+class StateCheckpoint:
+    """Per-round MULTI-COLUMN shard checkpoints — same manifest/commit
+    contract as ShardCheckpoint (tmp+rename manifest LAST, partition count
+    + vid fingerprint validated on resume), for BSP stages whose per-shard
+    state is several aligned arrays (SCC: label/active/indeg/outdeg)
+    rather than one value column."""
+
+    def __init__(self, root: str, cols: list[str]):
+        self.root = root
+        self.cols = list(cols)
+        os.makedirs(root, exist_ok=True)
+
+    def _iter_dir(self, it: int) -> str:
+        return os.path.join(self.root, f"round={it:05d}")
+
+    def save(self, it: int, vid_refs: list, state_refs: list, extra: dict | None = None):
+        """``state_refs``: per-shard refs of dicts holding self.cols arrays
+        aligned with vid_refs[p] (extra keys in the dict are ignored)."""
+        d = self._iter_dir(it)
+        os.makedirs(d, exist_ok=True)
+        outs = [
+            _write_state_shard.remote(
+                os.path.join(d, f"part-{p:03d}.parquet"), vid_refs[p], state_refs[p], self.cols
+            )
+            for p in range(len(vid_refs))
+        ]
+        results = ray.get(outs)
+        fp = 0
+        for _, f, _vf in results:
+            fp ^= f
+        manifest = {
+            "round": it,
+            "parts": len(vid_refs),
+            "rows": sum(r[0] for r in results),
+            "cols": self.cols,
+            "fingerprint": fp,
+            "vid_fp": _combine_fps([r[2] for r in results]),
+            "extra": extra or {},
+        }
+        tmp = os.path.join(d, ".manifest.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(d, "manifest.json"))
+        with open(os.path.join(self.root, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps({"round": it, **(extra or {})}) + "\n")
+
+    def latest(self, *, expected_parts: int, expected_vid_fp: int):
+        """(round, [per-shard state-dict refs], extra) of the newest complete
+        checkpoint, or None. Mismatched partition count, vid fingerprint or
+        column set is REFUSED (fresh start) — never positionally-misaligned
+        or schema-drifted state."""
+        import warnings
+
+        best = None
+        if not os.path.isdir(self.root):
+            return None
+        for name in os.listdir(self.root):
+            d = os.path.join(self.root, name)
+            if name.startswith("round=") and os.path.exists(os.path.join(d, "manifest.json")):
+                it = int(name.split("=")[1])
+                best = it if best is None else max(best, it)
+        if best is None:
+            return None
+        d = self._iter_dir(best)
+        with open(os.path.join(d, "manifest.json")) as f:
+            manifest = json.load(f)
+        if manifest["parts"] != expected_parts:
+            warnings.warn(f"state checkpoint {d}: parts mismatch; ignoring")
+            return None
+        if manifest.get("vid_fp") != expected_vid_fp:
+            warnings.warn(f"state checkpoint {d}: vid fingerprint mismatch; ignoring")
+            return None
+        if manifest.get("cols") != self.cols:
+            warnings.warn(f"state checkpoint {d}: column-set mismatch; ignoring")
+            return None
+        refs = [
+            _read_state_shard.remote(os.path.join(d, f"part-{p:03d}.parquet"), self.cols)
+            for p in range(manifest["parts"])
+        ]
+        return best, refs, manifest.get("extra", {})

@@ -81,3 +81,49 @@ def test_scc_chain_of_cycles():
     got, res = _run(src, dst, P=3)
     assert got == want
     assert res.outer_rounds >= 1
+
+
+def test_scc_checkpoint_resume_bitwise_identical(tmp_path):
+    """Kill-after-round-k resume: a partial run (max_outer=2) leaves
+    per-round checkpoints; the resumed run starts from the newest complete
+    round and produces the identical label map; a partition-count change
+    refuses the checkpoint (fresh start, still identical labels)."""
+    rng = np.random.RandomState(11)
+    n, m = 300, 700
+    src = rng.randint(0, n, m).astype(np.int64)
+    dst = rng.randint(0, n, m).astype(np.int64)
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    )
+    verts = rd.from_arrow(pa.table({"vid": pa.array(np.arange(n, dtype=np.int64))}))
+    cfg = EngineConfig(num_partitions=4)
+
+    base = strongly_connected_components(edges, vertices=verts, cfg=cfg)
+    want = dict(zip(*[base.labels.to_pandas()[c].tolist() for c in ("vid", "label")]))
+    assert base.outer_rounds >= 2, "graph must need >=2 outer rounds for this test"
+
+    ck = str(tmp_path / "scc_ck")
+    partial = strongly_connected_components(
+        edges, vertices=verts, cfg=cfg, max_outer=2, checkpoint_dir=ck,
+    )
+    assert partial.outer_rounds == 2
+
+    resumed = strongly_connected_components(
+        edges, vertices=verts, cfg=cfg, checkpoint_dir=ck,
+    )
+    got = dict(zip(*[resumed.labels.to_pandas()[c].tolist() for c in ("vid", "label")]))
+    assert got == want
+    # resumed from round >= 1: fewer live outer rounds than the full run
+    assert resumed.outer_rounds <= base.outer_rounds
+
+    # partition-count change: checkpoint refused, fresh run, same labels
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        other = strongly_connected_components(
+            edges, vertices=verts, cfg=EngineConfig(num_partitions=2),
+            checkpoint_dir=ck,
+        )
+    got2 = dict(zip(*[other.labels.to_pandas()[c].tolist() for c in ("vid", "label")]))
+    assert got2 == want
