@@ -28,10 +28,14 @@ def main(argv=None) -> int:
         default="flagship",
         choices=["flagship", "cc", "pagerank", "labelprop", "triangles",
                  "hits", "communities", "ktruss", "modularity",
-                 "betweenness", "eigenvector", "scc"],
+                 "betweenness", "eigenvector", "scc", "walks"],
     )
     ap.add_argument("--seed-type", default="signup",
                     help="labelprop: events of this event_type seed their own id")
+    ap.add_argument("--walk-len", type=int, default=4,
+                    help="walks: steps per walk")
+    ap.add_argument("--seed-rate", type=int, default=256,
+                    help="walks: hash-select 1/N of vertices as walk seeds")
     ap.add_argument("--seeds", default=None,
                     help="betweenness: comma-separated source vids "
                          "(default: the 4 smallest vertex ids)")
@@ -267,12 +271,38 @@ def main(argv=None) -> int:
         directed = edges.select_columns(["src", "dst"]).map_batches(
             orient, batch_format="pyarrow"
         )
-        res = strongly_connected_components(directed, vertices=verts, cfg=cfg)
+        res = strongly_connected_components(
+            directed, vertices=verts, cfg=cfg, checkpoint_dir=args.checkpoint_dir
+        )
         path = os.path.join(args.out, "scc")
         res.labels.write_parquet(path)
         manifest["tables"]["scc"] = {
             "path": path, "rows": res.labels.count(),
             "outer_rounds": res.outer_rounds, "waves": res.waves,
+        }
+
+    if args.pipeline == "walks":
+        import numpy as np
+        import pyarrow as pa
+
+        from ccl_ray.functions.hashing import stable_hash64_np
+        from ccl_ray.stages.walks import deterministic_walks
+
+        def pick_seeds(t: "pa.Table") -> "pa.Table":
+            v = t.column("vid").to_numpy(zero_copy_only=False)
+            keep = (v >= 0) & (
+                stable_hash64_np(v.view(np.uint64)) % np.uint64(args.seed_rate) == 0
+            )
+            return pa.table({"vid": pa.array(v[keep])})
+
+        wseeds = verts.map_batches(pick_seeds, batch_format="pyarrow")
+        corpus = deterministic_walks(
+            edges.select_columns(["src", "dst"]), wseeds, args.walk_len, cfg=cfg
+        )
+        path = os.path.join(args.out, "walks")
+        corpus.write_parquet(path)
+        manifest["tables"]["walks"] = {
+            "path": path, "rows": corpus.count(), "walk_len": args.walk_len,
         }
 
     manifest["wall_s"] = round(time.perf_counter() - t0, 3)
