@@ -550,6 +550,53 @@ def q_pagerank_close(sf_dir: str):
     )
 
 
+def q_pagerank_incremental(sf_dir: str):
+    """Warm-start (incremental) PageRank: converge on a 95% edge subset,
+    then converge on the FULL graph twice — cold (uniform start) and warm
+    (init_scores = the subset fixpoint). Asserts engine-side that (a) the
+    warm run converges in FEWER iterations (the incremental-recompute
+    payoff after a small edge delta) and (b) warm and cold fixpoints agree
+    within 20·tol/(1-d) (both are tol-converged to the same operator's
+    fixpoint). The cc_incremental pattern for scores; constant-true SQL
+    pins the shape (gate-only driver compare at sf0.01 scale, the
+    pagerank_close contract)."""
+    cfg = _cfg()
+    edges = _edges_memo(sf_dir).select_columns(["src", "dst"])
+
+    def base_only(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        from ccl_ray.functions.hashing import stable_hash64_np
+
+        with np.errstate(over="ignore"):
+            h = stable_hash64_np(
+                s.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + d.view(np.uint64)
+            )
+        keep = (h % np.uint64(20)) != 0
+        return pa.table({"src": pa.array(s[keep]), "dst": pa.array(d[keep])})
+
+    base = edges.map_batches(base_only, batch_format="pyarrow").materialize()
+    prev = pagerank_bsp(base, vertices=_verts_memo(sf_dir), cfg=cfg, symmetrize=True)
+    shards = _bundle_memo(sf_dir)
+    cold = pagerank_bsp(edges, cfg=cfg, symmetrize=True, shards=shards)
+    warm = pagerank_bsp(
+        edges, cfg=cfg, symmetrize=True, shards=shards, init_scores=prev.scores
+    )
+    c = cold.scores.to_pandas().set_index("vid")["score"]
+    w = warm.scores.to_pandas().set_index("vid")["score"]
+    gap = float((w - c).abs().max())
+    bound = 20 * cfg.pr_tol / (1 - cfg.pr_damping)
+    return pa.table(
+        {
+            "n_vertices": pa.array([len(c)], pa.int64()),
+            "warm_fewer_iters": pa.array(
+                [bool(warm.iterations < cold.iterations)], pa.bool_()
+            ),
+            "fixpoints_agree": pa.array([bool(gap <= bound)], pa.bool_()),
+        }
+    )
+
+
 def _event_seeds(sf_dir: str):
     """Deterministic SQL-expressible seed set: event_id % 97 == 0 (~1%)."""
     seeds_src = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
@@ -2287,6 +2334,7 @@ QUERIES = {
     "label_centroid": q_label_centroid,
     "split_assign": q_split_assign,
     "token_buckets": q_token_buckets,
+    "pagerank_incremental": q_pagerank_incremental,
     "rollup_qty": q_rollup_qty,
     "two_hop": q_two_hop,
     "assortativity": q_assortativity,
@@ -2625,6 +2673,10 @@ ORACLE_SQL = {
         SELECT q, (SELECT count(*) FROM events)::BIGINT AS n_events,
                true AS td_rank_ok
         FROM (SELECT unnest([0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]) AS q)""",
+    "pagerank_incremental": """
+        SELECT count(*)::BIGINT AS n_vertices, true AS warm_fewer_iters,
+               true AS fixpoints_agree
+        FROM events""",
     "split_assign": """
         SELECT doc_id,
                CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90

@@ -150,6 +150,7 @@ def pagerank_bsp(
     symmetrize: bool = False,
     shards: dict | None = None,
     personalization=None,
+    init_scores=None,
 ) -> PRResult:
     """PageRank on directed edges (src->dst). ``symmetrize=True`` treats the
     edge table as undirected (each edge contributes both directions).
@@ -164,7 +165,14 @@ def pagerank_bsp(
     recursive-SQL oracle). Seeds are routed to owning shards by the same
     exchange that built the vid shards (state.align) — never materialized
     on the driver. Vids not in the graph are dropped; total weight must be
-    positive."""
+    positive.
+
+    ``init_scores``: optional Dataset (vid, score) to WARM-START the power
+    iteration from (normalized to total mass 1; vids absent from the graph
+    dropped, graph vertices absent from the set start at 0 — the teleport
+    term re-injects their mass). The incremental-recompute path: after a
+    small edge delta, converging from the previous fixpoint takes far fewer
+    iterations than from uniform. Ignored when a checkpoint resume wins."""
     cfg = cfg or EngineConfig()
     P = cfg.num_partitions
     grouped = cfg.exchange == "grouped"
@@ -207,6 +215,16 @@ def pagerank_bsp(
         )
         if resumed is not None:
             start_iter, score_refs = resumed
+    if score_refs is None and init_scores is not None:
+        from ccl_ray.state.align import align_vertex_values
+
+        raw = align_vertex_values(
+            shards, init_scores, value_col="score", default=0.0, combine="add"
+        )
+        total = float(sum(ray.get([_vec_sum.remote(r) for r in raw])))
+        if total <= 0.0:
+            raise ValueError("init_scores has no positive mass on any graph vertex")
+        score_refs = [_vec_scale.remote(r, 1.0 / total) for r in raw]
     if score_refs is None:
         if personalization is not None:
             score_refs = list(restart_refs)

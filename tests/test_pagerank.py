@@ -73,3 +73,31 @@ def test_fanout_exchange_matches_oracle():
     got = dict(zip(df["vid"].astype(int), df["score"]))
     want = pagerank_oracle(src, dst, np.arange(n))
     _assert_close(got, want)
+
+
+def test_pagerank_warm_start_converges_fast_and_agrees():
+    """init_scores = the fixpoint itself → convergence in O(1) iterations;
+    warm start from a slightly different graph's fixpoint agrees with the
+    cold fixpoint within the tol envelope and uses fewer iterations."""
+    rng = np.random.RandomState(17)
+    n, m = 300, 900
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    cfg = EngineConfig(num_partitions=4)
+    cold = pagerank_bsp(_ds(src, dst), cfg=cfg)
+    hot = pagerank_bsp(_ds(src, dst), cfg=cfg, init_scores=cold.scores)
+    assert hot.iterations <= 3, hot.iterations
+    c = cold.scores.to_pandas().set_index("vid")["score"]
+    h = hot.scores.to_pandas().set_index("vid")["score"]
+    assert float((h - c).abs().max()) <= 20 * cfg.pr_tol / (1 - cfg.pr_damping)
+
+    # warm start after an edge delta: fewer iterations, same fixpoint
+    keep = rng.random(m) > 0.05
+    prev = pagerank_bsp(_ds(src[keep], dst[keep]),
+                        vertices=rd.from_arrow(
+                            pa.table({"vid": pa.array(np.arange(n), pa.int64())})),
+                        cfg=cfg)
+    warm = pagerank_bsp(_ds(src, dst), cfg=cfg, init_scores=prev.scores)
+    assert warm.iterations < cold.iterations
+    w = warm.scores.to_pandas().set_index("vid")["score"]
+    assert float((w - c).abs().max()) <= 20 * cfg.pr_tol / (1 - cfg.pr_damping)
