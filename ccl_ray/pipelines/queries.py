@@ -1315,6 +1315,84 @@ def q_condensation_levels(sf_dir: str):
     )
 
 
+def q_directed_triangles(sf_dir: str):
+    """Directed 3-cycle census of the oriented event graph: count of
+    u→v→w→u cycles (each counted once; rotations collapse by /3). Engine
+    shape: dedupe directed edges through the pair partial-agg, one
+    hash join builds length-2 paths u→v→w (partitioned on the shared
+    middle vertex), then a hash join on a splitmix pair key with exact
+    (w,u) verification closes the cycle — joins all the way down, no
+    broadcast, no driver path. Exact single-row SQL twin."""
+    from ccl_ray.functions.hashing import stable_hash64_np
+    from ccl_ray.stages.exchange import hash_join
+
+    directed = _scc_memo(sf_dir)[0]
+    dedup = partial_sum_agg(
+        directed, ["src", "dst"], {}, count_as="_n"
+    ).select_columns(["src", "dst"])
+
+    def drop_self(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t.column("src"), t.column("dst")))
+
+    e = dedup.map_batches(drop_self, batch_format="pyarrow").materialize()
+
+    def _pair_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return stable_hash64_np(
+                a.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + b.view(np.uint64)
+            ).astype(np.int64)
+
+    # length-2 paths u->v->w, keyed for the closing edge (w, u)
+    paths = hash_join(
+        e.map_batches(
+            lambda t: pa.table({"u": t.column("src"), "mid": t.column("dst")}),
+            batch_format="pyarrow",
+        ),
+        e.map_batches(
+            lambda t: pa.table({"mid2": t.column("src"), "w": t.column("dst")}),
+            batch_format="pyarrow",
+        ),
+        left_on="mid",
+        right_on="mid2",
+        num_partitions=8,
+    )
+
+    def path_key(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        keep = w != u  # u->v->u is a 2-cycle, not a triangle wedge
+        u, w = u[keep], w[keep]
+        return pa.table(
+            {"pk": pa.array(_pair_key(w, u)), "pu": pa.array(u), "pw": pa.array(w)}
+        )
+
+    def edge_key(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"ek": pa.array(_pair_key(s, d)), "es": pa.array(s), "ed": pa.array(d)}
+        )
+
+    closed = hash_join(
+        paths.map_batches(path_key, batch_format="pyarrow"),
+        e.map_batches(edge_key, batch_format="pyarrow"),
+        left_on="pk",
+        right_on="ek",
+        num_partitions=8,
+    )
+
+    def verify_count(t: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.equal(t.column("pw"), t.column("es")),
+            pc.equal(t.column("pu"), t.column("ed")),
+        )
+        n = int(pc.sum(pc.cast(ok, pa.int64())).as_py() or 0)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    total = closed.map_batches(verify_count, batch_format="pyarrow").sum("n") or 0
+    return pa.table({"n_directed_triangles": pa.array([int(total) // 3], pa.int64())})
+
+
 def q_reciprocity(sf_dir: str):
     """Dyad census / reciprocity of the directed event graph (the _scc_memo
     orientation): mutual vs asymmetric dyads and Garlaschelli-style
@@ -2328,6 +2406,7 @@ QUERIES = {
     "scc_condensation": q_scc_condensation,
     "condensation_levels": q_condensation_levels,
     "reciprocity": q_reciprocity,
+    "directed_triangles": q_directed_triangles,
     "walk_corpus": q_walk_corpus,
     "ngram_pairs": q_ngram_pairs,
     "ego_edges": q_ego_edges,
@@ -2802,6 +2881,22 @@ ORACLE_SQL = {
             SELECT v FROM h0 UNION ALL SELECT v FROM h1 UNION ALL SELECT v FROM h2))
         SELECT e.src, e.dst
         FROM edgu e JOIN ball a ON a.v = e.src JOIN ball b ON b.v = e.dst""",
+    "directed_triangles": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        oriented AS (
+          SELECT src, dst,
+                 md5_number_lower(CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)) % 3 AS h
+          FROM edgu WHERE src % 2 = 0 AND dst % 2 = 0),
+        dedges AS (
+          SELECT CASE WHEN h = 1 THEN dst ELSE src END AS s,
+                 CASE WHEN h = 1 THEN src ELSE dst END AS d FROM oriented
+          UNION ALL
+          SELECT dst, src FROM oriented WHERE h = 2),
+        de AS (SELECT DISTINCT s, d FROM dedges WHERE s <> d)
+        SELECT (count(*) / 3)::BIGINT AS n_directed_triangles
+        FROM de a
+        JOIN de b ON b.s = a.d AND b.d <> a.s
+        JOIN de c ON c.s = b.d AND c.d = a.s""",
     "reciprocity": f"""
         WITH RECURSIVE {_EDGES_CTE},
         oriented AS (
