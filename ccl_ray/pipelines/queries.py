@@ -1964,6 +1964,20 @@ def q_dedup_exact(sf_dir: str):
     return exact_dedup(_docs(sf_dir))
 
 
+def q_funnel(sf_dir: str):
+    """Sequential funnel signup → view → purchase (stages/window.
+    funnel_counts): users completing each prefix in strict ts order via
+    the earliest-completion chain. One hash(user) exchange, one vectorized
+    segmented-min pass per partition, stage counts reduce through the
+    partial-agg combiner. Exact chained min-join SQL twin."""
+    from ccl_ray.stages.window import funnel_counts
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel_counts(ev, ["signup", "view", "purchase"])
+
+
 def q_token_count(sf_dir: str):
     return token_count(_docs(sf_dir))
 
@@ -2414,6 +2428,7 @@ QUERIES = {
     "split_assign": q_split_assign,
     "token_buckets": q_token_buckets,
     "pagerank_incremental": q_pagerank_incremental,
+    "funnel": q_funnel,
     "rollup_qty": q_rollup_qty,
     "two_hop": q_two_hop,
     "assortativity": q_assortativity,
@@ -2752,6 +2767,19 @@ ORACLE_SQL = {
         SELECT q, (SELECT count(*) FROM events)::BIGINT AS n_events,
                true AS td_rank_ok
         FROM (SELECT unnest([0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]) AS q)""",
+    "funnel": """
+        WITH a AS (SELECT user_id, min(ts) AS t FROM events
+                   WHERE event_type = 'signup' GROUP BY 1),
+        b AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN a ON a.user_id = e.user_id AND e.ts > a.t
+              WHERE e.event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN b ON b.user_id = e.user_id AND e.ts > b.t
+              WHERE e.event_type = 'purchase' GROUP BY 1)
+        SELECT 1::BIGINT AS stage, 'signup' AS step,
+               (SELECT count(*) FROM a)::BIGINT AS n_users
+        UNION ALL SELECT 2, 'view', (SELECT count(*) FROM b)
+        UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM c)""",
     "pagerank_incremental": """
         SELECT count(*)::BIGINT AS n_vertices, true AS warm_fewer_iters,
                true AS fixpoints_agree

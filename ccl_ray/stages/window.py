@@ -332,3 +332,79 @@ def sessionize(
         .groupby("part")
         .map_groups(sess_part, batch_format="pandas")
     )
+
+
+def funnel_counts(
+    events: "rd.Dataset",
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """Sequential funnel: users who performed ``steps`` in order, each step
+    STRICTLY after the previous one (the earliest-completion chain — stage
+    k's threshold is the minimal ts completing stages 1..k, so a user
+    counts iff any ordered chain exists). Returns (stage, step, n_users),
+    stage 1..len(steps), n_users monotonically non-increasing.
+
+    Scale shape: one hash(user) exchange (a user's events land in one
+    partition), then a single vectorized per-partition pass — segmented
+    min per step via np.minimum.at over factorized user codes, no sort and
+    no per-user Python loop; per-partition stage counts reduce through the
+    partial-agg combiner.
+    """
+    from ccl_ray.config import resolve_partitions
+    from ccl_ray.functions.hashing import hash_strings_np, stable_hash64_np
+    from ccl_ray.stages.aggregates import partial_sum_agg
+
+    P = resolve_partitions(num_partitions)
+    NEG, POS = -(2**62), 2**62
+
+    def route(t: pa.Table) -> pa.Table:
+        col = t.column(user_col)
+        v = col.to_numpy(zero_copy_only=False)
+        if v.dtype == object:
+            h = hash_strings_np(v)
+        else:
+            h = stable_hash64_np(v.astype(np.int64).view(np.uint64))
+        return t.append_column("part", pa.array((h % np.uint64(P)).astype(np.int64)))
+
+    out_schema = pa.schema(
+        [("stage", pa.int64()), ("step", pa.string()), ("n_users", pa.int64())]
+    )
+
+    def funnel_part(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return out_schema.empty_table()
+        codes, _ = pd.factorize(df[user_col].values, sort=False)
+        ts = df[ts_col].values.astype("datetime64[us]").astype(np.int64)
+        et = df[type_col].values
+        nseg = int(codes.max()) + 1
+        thr = np.full(nseg, NEG, np.int64)
+        reached = np.ones(nseg, bool)
+        counts = []
+        for step in steps:
+            m = (et == step) & (ts > thr[codes]) & reached[codes]
+            cand = np.where(m, ts, POS)
+            new = np.full(nseg, POS, np.int64)
+            np.minimum.at(new, codes, cand)
+            reached &= new < POS
+            thr = new
+            counts.append(int(reached.sum()))
+        return pa.table(
+            {
+                "stage": pa.array(np.arange(1, len(steps) + 1, dtype=np.int64)),
+                "step": pa.array(list(steps), pa.string()),
+                "n_users": pa.array(counts, pa.int64()),
+            }
+        )
+
+    parts = (
+        events.select_columns([user_col, ts_col, type_col])
+        .map_batches(route, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(funnel_part, batch_format="pandas")
+    )
+    return partial_sum_agg(parts, ["stage", "step"], {"n_users": "n_users"})
