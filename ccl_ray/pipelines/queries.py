@@ -1964,6 +1964,17 @@ def q_dedup_exact(sf_dir: str):
     return exact_dedup(_docs(sf_dir))
 
 
+def q_lang_top_terms(sf_dir: str):
+    """Top-5 tokens per language (stages/text.grouped_top_terms): per-batch
+    (lang, term, count) partials, key×term partial-agg, partition-grouped
+    per-key rank. Exact row_number SQL twin (total tie order n desc, term
+    asc)."""
+    from ccl_ray.stages.text import grouped_top_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    return grouped_top_terms(docs, "lang", 5)
+
+
 def q_funnel(sf_dir: str):
     """Sequential funnel signup → view → purchase (stages/window.
     funnel_counts): users completing each prefix in strict ts order via
@@ -2429,6 +2440,7 @@ QUERIES = {
     "token_buckets": q_token_buckets,
     "pagerank_incremental": q_pagerank_incremental,
     "funnel": q_funnel,
+    "lang_top_terms": q_lang_top_terms,
     "rollup_qty": q_rollup_qty,
     "two_hop": q_two_hop,
     "assortativity": q_assortativity,
@@ -2767,6 +2779,16 @@ ORACLE_SQL = {
         SELECT q, (SELECT count(*) FROM events)::BIGINT AS n_events,
                true AS td_rank_ok
         FROM (SELECT unnest([0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]) AS q)""",
+    "lang_top_terms": """
+        WITH tok AS (
+          SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents),
+        c AS (SELECT lang, term, count(*) AS n FROM tok GROUP BY 1, 2),
+        rk AS (SELECT lang, term, n,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY n DESC, term) AS rn
+               FROM c)
+        SELECT lang, term, n, rn FROM rk WHERE rn <= 5""",
     "funnel": """
         WITH a AS (SELECT user_id, min(ts) AS t FROM events
                    WHERE event_type = 'signup' GROUP BY 1),

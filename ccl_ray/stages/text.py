@@ -569,3 +569,103 @@ def repetition_score(docs: "rd.Dataset") -> "rd.Dataset":
 
 def lang_id(docs: "rd.Dataset") -> "rd.Dataset":
     return docs.map_batches(LangId, batch_format="pandas", concurrency=(1, 8), max_restarts=0)
+
+
+def grouped_top_terms(
+    docs: "rd.Dataset",
+    key_col: str = "lang",
+    k: int = 5,
+    *,
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """(key, term, n, rn): the k most frequent tokens PER GROUP — the
+    per-language vocabulary profile (corpus mix analysis, lang-ID sanity).
+
+    Per-batch explode collapses to (key, term, count) partials immediately
+    (token stream never leaves the task), partial-agg sums them at
+    key × term cardinality, then the per-key top-k runs partition-grouped
+    (route by hash(key), one lexsort + segmented rank per partition — the
+    top_n_per_group shape, no per-key Python round-trips). Tie order
+    (n desc, term asc) is total, so the cut is deterministic."""
+    import pyarrow as pa
+
+    from ccl_ray.config import resolve_partitions
+    from ccl_ray.functions.hashing import hash_strings_np
+    from ccl_ray.stages.aggregates import partitioned_groupby_agg
+
+    P = resolve_partitions(num_partitions)
+
+    class GroupTermCounts:
+        def __init__(self):
+            import re
+
+            self.tok = re.compile(TOKEN_RE)
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            keys, terms = [], []
+            for kv, t in zip(df[key_col], df["text"]):
+                ws = self.tok.findall(t.lower())
+                terms.extend(ws)
+                keys.extend([kv] * len(ws))
+            if not terms:
+                return pa.table(
+                    {key_col: pa.array([], pa.string()),
+                     "term": pa.array([], pa.string()),
+                     "n": pa.array([], pa.int64())}
+                )
+            g = (
+                pd.DataFrame({key_col: keys, "term": terms})
+                .groupby([key_col, "term"], sort=False)
+                .size()
+                .reset_index(name="n")
+            )
+            return pa.table(
+                {key_col: pa.array(g[key_col].values, pa.string()),
+                 "term": pa.array(g["term"].values, pa.string()),
+                 "n": pa.array(g["n"].values.astype(np.int64))}
+            )
+
+    agg = partitioned_groupby_agg(
+        docs.select_columns([key_col, "text"]).map_batches(
+            GroupTermCounts, batch_format="pandas", concurrency=(1, 8), max_restarts=0
+        ),
+        [key_col, "term"],
+        {"n": ("n", "sum")},
+    )
+
+    def route(t: pa.Table) -> pa.Table:
+        h = hash_strings_np(t.column(key_col).to_numpy(zero_copy_only=False))
+        return t.append_column("part", pa.array((h % np.uint64(P)).astype(np.int64)))
+
+    out_schema = pa.schema(
+        [(key_col, pa.string()), ("term", pa.string()),
+         ("n", pa.int64()), ("rn", pa.int64())]
+    )
+
+    def topk_part(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return out_schema.empty_table()
+        kcodes, _ = pd.factorize(df[key_col].values, sort=True)
+        n = df["n"].values.astype(np.int64)
+        terms = df["term"].values
+        order = np.lexsort((terms, -n, kcodes))
+        kc, nn, tt = kcodes[order], n[order], terms[order]
+        keys = df[key_col].values[order]
+        m = len(kc)
+        start = np.empty(m, bool)
+        start[0] = True
+        start[1:] = kc[1:] != kc[:-1]
+        rn = np.arange(m) - np.maximum.accumulate(np.where(start, np.arange(m), 0))
+        kept = rn < k
+        return pa.table(
+            {key_col: pa.array(keys[kept], pa.string()),
+             "term": pa.array(tt[kept], pa.string()),
+             "n": pa.array(nn[kept]),
+             "rn": pa.array((rn[kept] + 1).astype(np.int64))}
+        )
+
+    return (
+        agg.map_batches(route, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(topk_part, batch_format="pandas")
+    )
