@@ -58,12 +58,13 @@ def _corpus_table(wid: np.ndarray, step: int, vid: np.ndarray) -> pa.Table:
 
 
 @ray.remote
-def _route_seeds(block, P: int):
-    """One seed block → P-list of (wid, cur) pieces routed by part(vid).
+def _route_seeds(block, P: int, fanout: bool):
+    """One seed block → P (wid, cur) pieces routed by part(vid).
 
-    Shipped grouped (one list object per block; receivers index their
-    slot) — the same plasma-shared-memory exchange mode as the BSP stages.
-    """
+    grouped: ONE list object per block, receivers index their slot
+    (plasma shared memory makes this zero-copy single-node); fanout:
+    P separate returns so only a node's own slice ships to it — the same
+    two exchange modes as every BSP stage (cfg.exchange)."""
     t = as_arrow_block(block)
     v = t.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
     assert (v >= 0).all(), "deterministic_walks: negative vid"
@@ -71,41 +72,52 @@ def _route_seeds(block, P: int):
     order = np.argsort(parts, kind="stable")
     v, parts = v[order], parts[order]
     bounds = np.searchsorted(parts, np.arange(P + 1))
-    return [
+    pieces = [
         (v[bounds[p]: bounds[p + 1]], v[bounds[p]: bounds[p + 1]]) for p in range(P)
     ]
+    if fanout:
+        return pieces[0] if P == 1 else tuple(pieces)
+    return pieces
 
 
 @ray.remote
-def _seed_corpus(q: int, *msgs):
-    pieces = [m[q] for m in msgs]
+def _seed_corpus(grouped: bool, q: int, *msgs):
+    pieces = [m[q] for m in msgs] if grouped else list(msgs)
     wid = np.concatenate([p[0] for p in pieces]) if pieces else np.empty(0, np.int64)
     return _corpus_table(wid, 0, wid)
 
 
-@ray.remote(num_returns=3)
-def _walk_step(csr, t: int, P: int, q: int, *msgs):
+@ray.remote
+def _walk_step(csr, t: int, P: int, grouped: bool, q: int, *msgs):
     """Advance shard q's frontier one step.
 
-    Returns (routed P-list, corpus_table, n_advanced): walks whose cur has
-    no out-edge here die; survivors' (wid, nxt) route by part(nxt).
+    grouped: returns (routed P-list, corpus_table, n_advanced) — 3 refs;
+    fanout: returns (*routed pieces, corpus_table, n_advanced) — P+2 refs.
+    Walks whose cur has no out-edge here die; survivors' (wid, nxt) route
+    by part(nxt).
     """
-    pieces = [m[q] for m in msgs]
+
+    def _pack(routed, corpus, n):
+        if grouped:
+            return routed, corpus, n
+        return (*routed, corpus, n)
+
+    pieces = [m[q] for m in msgs] if grouped else list(msgs)
     wid = np.concatenate([p[0] for p in pieces]) if pieces else np.empty(0, np.int64)
     cur = np.concatenate([p[1] for p in pieces]) if pieces else np.empty(0, np.int64)
     if len(wid) == 0 or csr["srcs"].size == 0:
-        return [_EMPTY_PIECE] * P, _corpus_table(wid[:0], t, wid[:0]), 0
+        return _pack([_EMPTY_PIECE] * P, _corpus_table(wid[:0], t, wid[:0]), 0)
     idx = np.searchsorted(csr["srcs"], cur)
     ok = (idx < len(csr["srcs"])) & (csr["srcs"][np.minimum(idx, len(csr["srcs"]) - 1)] == cur)
     wid, cur, idx = wid[ok], cur[ok], idx[ok]
     if len(wid) == 0:
-        return [_EMPTY_PIECE] * P, _corpus_table(wid, t, wid), 0
+        return _pack([_EMPTY_PIECE] * P, _corpus_table(wid, t, wid), 0)
     starts = csr["indptr"][idx]
     counts = csr["outdeg"][idx]
     live = counts > 0
     wid, cur, starts, counts = wid[live], cur[live], starts[live], counts[live]
     if len(wid) == 0:
-        return [_EMPTY_PIECE] * P, _corpus_table(wid, t, wid), 0
+        return _pack([_EMPTY_PIECE] * P, _corpus_table(wid, t, wid), 0)
     ends = np.cumsum(counts)
     total = int(ends[-1])
     sel = np.repeat(starts - (ends - counts), counts) + np.arange(total)
@@ -132,7 +144,7 @@ def _walk_step(csr, t: int, P: int, q: int, *msgs):
     routed = [
         (wid[bounds[p]: bounds[p + 1]], nxt[bounds[p]: bounds[p + 1]]) for p in range(P)
     ]
-    return routed, corpus, len(nxt)
+    return _pack(routed, corpus, len(nxt))
 
 
 def deterministic_walks(
@@ -158,20 +170,55 @@ def deterministic_walks(
     cfg = cfg or EngineConfig()
     P = resolve_partitions(cfg.num_partitions)
 
+    grouped = cfg.exchange == "grouped"
+
     csr = shard_edges_csr(edges, P, symmetrize=False, dedupe=True,
                           drop_self=False, src_col=src_col, dst_col=dst_col)
 
-    # frontier_msgs: refs, each a P-list of (wid, cur) pieces; receivers
-    # index slot q (grouped exchange — zero-copy on shared plasma)
-    frontier_msgs = [_route_seeds.remote(b, P) for b in seeds.to_arrow_refs()]
+    from ccl_ray.state.shards import as_piece_list
 
-    corpus_refs = [_seed_corpus.remote(q, *frontier_msgs) for q in range(P)]
-    for t in range(1, walk_len + 1):
-        outs = [
-            _walk_step.remote(csr[q], t, P, q, *frontier_msgs) for q in range(P)
+    if grouped:
+        # msgs: refs, each a P-list of (wid, cur) pieces; receivers index
+        # slot q (zero-copy on single-node shared plasma)
+        msgs = [[_route_seeds.remote(b, P, False)] for b in seeds.to_arrow_refs()]
+        msgs = [m[0] for m in msgs]
+        frontier = [list(msgs)] * P  # every shard sees every block's list
+        corpus_refs = [_seed_corpus.remote(True, q, *msgs) for q in range(P)]
+    else:
+        # fanout: each block routes into P separate returns; shard q gets
+        # only its own slices (the multi-node mode — value bytes to the
+        # owning node only)
+        matrix = [
+            as_piece_list(
+                _route_seeds.options(num_returns=P).remote(b, P, True), P
+            )
+            for b in seeds.to_arrow_refs()
         ]
-        corpus_refs += [o[1] for o in outs]
-        if sum(ray.get([o[2] for o in outs])) == 0:
-            break
-        frontier_msgs = [o[0] for o in outs]
+        frontier = [[row[q] for row in matrix] for q in range(P)]
+        corpus_refs = [_seed_corpus.remote(False, q, *frontier[q]) for q in range(P)]
+
+    for t in range(1, walk_len + 1):
+        if grouped:
+            outs = [
+                _walk_step.options(num_returns=3).remote(
+                    csr[q], t, P, True, q, *frontier[q]
+                )
+                for q in range(P)
+            ]
+            corpus_refs += [o[1] for o in outs]
+            if sum(ray.get([o[2] for o in outs])) == 0:
+                break
+            nxt_msgs = [o[0] for o in outs]
+            frontier = [list(nxt_msgs)] * P
+        else:
+            outs = [
+                _walk_step.options(num_returns=P + 2).remote(
+                    csr[q], t, P, False, q, *frontier[q]
+                )
+                for q in range(P)
+            ]
+            corpus_refs += [o[P] for o in outs]
+            if sum(ray.get([o[P + 1] for o in outs])) == 0:
+                break
+            frontier = [[outs[p][q] for p in range(P)] for q in range(P)]
     return rd.from_arrow_refs(corpus_refs)

@@ -48,12 +48,12 @@ def test_walks_match_oracle_across_partitionings():
     seeds = np.unique(src)[:20]
     want = _oracle_walks(src, dst, seeds, 5)
     sd = rd.from_arrow(pa.table({"vid": pa.array(seeds, pa.int64())}))
-    for P in (1, 4):
+    for P, ex in ((1, "grouped"), (4, "grouped"), (3, "fanout"), (1, "fanout")):
         got = deterministic_walks(
-            _ds(src, dst), sd, 5, cfg=EngineConfig(num_partitions=P)
+            _ds(src, dst), sd, 5, cfg=EngineConfig(num_partitions=P, exchange=ex)
         ).to_pandas()
         rows = sorted(zip(got["wid"], got["step"], got["vid"]))
-        assert [tuple(map(int, r)) for r in rows] == want, P
+        assert [tuple(map(int, r)) for r in rows] == want, (P, ex)
 
 
 def test_walks_dead_ends_and_duplicate_edges():
