@@ -2357,6 +2357,31 @@ def q_dup_clusters(sf_dir: str):
     return duplicate_clusters(_docs(sf_dir), threshold=0.5, cfg=_cfg())
 
 
+def q_dup_manifest(sf_dir: str):
+    """Dedup retention manifest: one row per nontrivial near-dup cluster —
+    (canonical doc = the cluster's min doc_id, n_members, n_removed) —
+    what a dedup pass keeps and how much it deletes. Composition: the
+    LSH→CC clusters feed the partial-agg combiner at cluster cardinality;
+    min-label CC makes the canonical id the cluster label itself."""
+    from ccl_ray.stages.dedup import duplicate_clusters
+
+    clusters = duplicate_clusters(_docs(sf_dir), threshold=0.5, cfg=_cfg())
+    agg = partial_sum_agg(clusters, ["cluster"], {}, count_as="n_members")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("n_members"), 2))
+        n = t.column("n_members").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "canonical_doc": t.column("cluster"),
+                "n_members": t.column("n_members"),
+                "n_removed": pa.array((n - 1).astype(np.int64)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_media_meta(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"])
     return media_meta(docs_to_media(docs), fake=True)
@@ -2441,6 +2466,7 @@ QUERIES = {
     "pagerank_incremental": q_pagerank_incremental,
     "funnel": q_funnel,
     "lang_top_terms": q_lang_top_terms,
+    "dup_manifest": q_dup_manifest,
     "rollup_qty": q_rollup_qty,
     "two_hop": q_two_hop,
     "assortativity": q_assortativity,
@@ -3500,6 +3526,17 @@ ORACLE_SQL = {
           UNION
           SELECT p.v, r.l FROM dreach r JOIN und p ON p.u = r.u)
         SELECT u AS doc_id, min(l) AS cluster FROM dreach GROUP BY u""",
+    "dup_manifest": f"""
+        WITH RECURSIVE {_JACCARD_CTE},
+        und AS (SELECT a AS u, b AS v FROM jpairs UNION SELECT b, a FROM jpairs),
+        dreach(u, l) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT p.v, r.l FROM dreach r JOIN und p ON p.u = r.u),
+        cl AS (SELECT u AS doc_id, min(l) AS cluster FROM dreach GROUP BY u)
+        SELECT cluster AS canonical_doc, count(*)::BIGINT AS n_members,
+               (count(*) - 1)::BIGINT AS n_removed
+        FROM cl GROUP BY 1 HAVING count(*) >= 2""",
     "simhash": f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM simsig",
     "simhash_pairs": f"""
         WITH {_SIMHASH_CTE}
