@@ -1393,6 +1393,37 @@ def q_directed_triangles(sf_dir: str):
     return pa.table({"n_directed_triangles": pa.array([int(total) // 3], pa.int64())})
 
 
+def q_directed_reach(sf_dir: str):
+    """Forward reachability closure on the oriented event graph from the
+    4 smallest even event ids (stages/dag.reachable_from — indicator-OR
+    propagation, every wave O(frontier edges), converges on cyclic
+    graphs). Returns the reached vertex set; exact recursive-closure SQL
+    twin."""
+    from ccl_ray.stages.dag import reachable_from
+
+    directed, _labels = _scc_memo(sf_dir)
+    verts = _verts_memo(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("vid"), 1), 0)),
+        batch_format="pyarrow",
+    )
+
+    def min4(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(4, "vid")
+
+    seeds = (
+        verts.map_batches(min4, batch_format="pandas")
+        .repartition(1)
+        .map_batches(min4, batch_format="pandas")
+    )
+    labels, _n, _w = reachable_from(directed, seeds, vertices=verts, cfg=_cfg())
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"vid": t.filter(pc.equal(t.column("reached"), 1)).column("vid")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_reciprocity(sf_dir: str):
     """Dyad census / reciprocity of the directed event graph (the _scc_memo
     orientation): mutual vs asymmetric dyads and Garlaschelli-style
@@ -2457,6 +2488,7 @@ QUERIES = {
     "condensation_levels": q_condensation_levels,
     "reciprocity": q_reciprocity,
     "directed_triangles": q_directed_triangles,
+    "directed_reach": q_directed_reach,
     "walk_corpus": q_walk_corpus,
     "ngram_pairs": q_ngram_pairs,
     "ego_edges": q_ego_edges,
@@ -2957,6 +2989,24 @@ ORACLE_SQL = {
             SELECT v FROM h0 UNION ALL SELECT v FROM h1 UNION ALL SELECT v FROM h2))
         SELECT e.src, e.dst
         FROM edgu e JOIN ball a ON a.v = e.src JOIN ball b ON b.v = e.dst""",
+    "directed_reach": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        oriented AS (
+          SELECT src, dst,
+                 md5_number_lower(CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)) % 3 AS h
+          FROM edgu WHERE src % 2 = 0 AND dst % 2 = 0),
+        dedges AS (
+          SELECT CASE WHEN h = 1 THEN dst ELSE src END AS s,
+                 CASE WHEN h = 1 THEN src ELSE dst END AS d FROM oriented
+          UNION ALL
+          SELECT dst, src FROM oriented WHERE h = 2),
+        sverts AS (SELECT event_id AS v FROM events WHERE event_id % 2 = 0),
+        s0 AS (SELECT v FROM sverts ORDER BY v LIMIT 4),
+        reach(v) AS (
+          SELECT v FROM s0
+          UNION
+          SELECT e.d FROM reach r JOIN dedges e ON e.s = r.v)
+        SELECT v AS vid FROM reach""",
     "directed_triangles": f"""
         WITH RECURSIVE {_EDGES_CTE},
         oriented AS (

@@ -82,3 +82,43 @@ def test_dag_levels_cycle_raises():
     # self-loop is a cycle too
     with pytest.raises(ValueError, match="cycle"):
         dag_levels(_ds([1, 2], [1, 3]), cfg=EngineConfig(num_partitions=1))
+
+
+def test_reachable_from_matches_closure():
+    from ccl_ray.stages.dag import reachable_from
+
+    rng = np.random.default_rng(13)
+    n, m = 150, 400
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)  # cyclic in general
+    seeds = np.array([0, 7, 33], np.int64)
+
+    adj = {}
+    for a, b in zip(src, dst):
+        adj.setdefault(int(a), set()).add(int(b))
+    want, stack = set(seeds.tolist()), list(seeds.tolist())
+    while stack:
+        for w in adj.get(stack.pop(), ()):
+            if w not in want:
+                want.add(w)
+                stack.append(w)
+
+    sd = rd.from_arrow(pa.table({"vid": pa.array(seeds)}))
+    vs = rd.from_arrow(pa.table({"vid": pa.array(np.arange(n, dtype=np.int64))}))
+    for P, ex in ((1, "grouped"), (4, "grouped"), (3, "fanout")):
+        labels, n_reached, waves = reachable_from(
+            _ds(src, dst), sd, vertices=vs,
+            cfg=EngineConfig(num_partitions=P, exchange=ex),
+        )
+        df = labels.to_pandas()
+        got = set(df[df["reached"] == 1]["vid"].astype(int))
+        assert got == want, (P, ex)
+        assert n_reached == len(want)
+
+    # seeds not in the graph are ignored; empty seed set reaches nothing
+    labels, n_reached, _ = reachable_from(
+        _ds(src, dst),
+        rd.from_arrow(pa.table({"vid": pa.array([99999], pa.int64())})),
+        vertices=vs, cfg=EngineConfig(num_partitions=2),
+    )
+    assert n_reached == 0
