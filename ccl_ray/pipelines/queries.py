@@ -1393,6 +1393,85 @@ def q_directed_triangles(sf_dir: str):
     return pa.table({"n_directed_triangles": pa.array([int(total) // 3], pa.int64())})
 
 
+def q_powerlaw_alpha(sf_dir: str):
+    """Continuous-MLE power-law exponent of the degree distribution
+    (Clauset-Shalizi-Newman): α = 1 + n / Σ ln(d / (dmin − ½)) over
+    vertices with degree ≥ dmin = 2 — the one-scalar heavy-tail summary of
+    a link graph. Per-block (n, Σln) partials over the memoized degree
+    table reduce to one row; float64 log-sum matches the SQL twin within
+    the gate's 1e-9 allclose (order-independent to ~1e-12 at gate scale),
+    α rounded to 1e-6 on both sides."""
+    DMIN = 2
+    deg = _deg_memo(sf_dir)
+
+    def partials(t: pa.Table) -> pa.Table:
+        d = t.column("degree").to_numpy(zero_copy_only=False).astype(np.float64)
+        d = d[d >= DMIN]
+        return pa.table(
+            {
+                "n": pa.array([len(d)], pa.int64()),
+                "s": pa.array([float(np.log(d / (DMIN - 0.5)).sum())], pa.float64()),
+            }
+        )
+
+    tot = (
+        deg.map_batches(partials, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(lambda df: df.sum().to_frame().T, batch_format="pandas")
+        .to_pandas()
+    )
+    n, s = float(tot["n"].iloc[0]), float(tot["s"].iloc[0])
+    alpha = round(1.0 + n / s, 6) if s > 0 else 0.0
+    return pa.table(
+        {
+            "n_tail": pa.array([int(n)], pa.int64()),
+            "alpha": pa.array([alpha], pa.float64()),
+        }
+    )
+
+
+def q_type_mixing(sf_dir: str):
+    """Attribute mixing matrix: undirected event edges counted by the
+    UNORDERED pair of endpoint event_types — the categorical-assortativity
+    companion to the degree assortativity scalar. Two hash joins route
+    each endpoint to its attribute owner (the attribute table is
+    |V|-sized — never broadcast), canonical (lo, hi) type pair, counts
+    through the partial-agg combiner. Exact SQL twin."""
+    from ccl_ray.stages.exchange import hash_join
+
+    edges = partial_sum_agg(
+        _edges_memo(sf_dir).select_columns(["src", "dst"]), ["src", "dst"], {},
+        count_as="_n",
+    ).select_columns(["src", "dst"])
+    types = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+    j1 = hash_join(
+        edges,
+        types.rename_columns({"event_id": "sv", "event_type": "stype"}),
+        left_on="src", right_on="sv", num_partitions=8,
+    )
+    j2 = hash_join(
+        j1,
+        types.rename_columns({"event_id": "dv", "event_type": "dtype"}),
+        left_on="dst", right_on="dv", num_partitions=8,
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column("stype").to_numpy(zero_copy_only=False).astype(object)
+        b = t.column("dtype").to_numpy(zero_copy_only=False).astype(object)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pa.table(
+            {"type_a": pa.array(lo, pa.string()), "type_b": pa.array(hi, pa.string())}
+        )
+
+    return partial_sum_agg(
+        j2.map_batches(canon, batch_format="pyarrow"), ["type_a", "type_b"], {},
+        count_as="n_edges",
+    )
+
+
 def q_directed_reach(sf_dir: str):
     """Forward reachability closure on the oriented event graph from the
     4 smallest even event ids (stages/dag.reachable_from — indicator-OR
@@ -2489,6 +2568,8 @@ QUERIES = {
     "reciprocity": q_reciprocity,
     "directed_triangles": q_directed_triangles,
     "directed_reach": q_directed_reach,
+    "type_mixing": q_type_mixing,
+    "powerlaw_alpha": q_powerlaw_alpha,
     "walk_corpus": q_walk_corpus,
     "ngram_pairs": q_ngram_pairs,
     "ego_edges": q_ego_edges,
@@ -2989,6 +3070,25 @@ ORACLE_SQL = {
             SELECT v FROM h0 UNION ALL SELECT v FROM h1 UNION ALL SELECT v FROM h2))
         SELECT e.src, e.dst
         FROM edgu e JOIN ball a ON a.v = e.src JOIN ball b ON b.v = e.dst""",
+    "powerlaw_alpha": f"""
+        WITH {_EDGES_CTE},
+        deg AS (
+          SELECT v, count(*) AS d
+          FROM (SELECT src AS v FROM edgu UNION ALL SELECT dst FROM edgu)
+          GROUP BY 1),
+        tail AS (SELECT d FROM deg WHERE d >= 2)
+        SELECT count(*)::BIGINT AS n_tail,
+               round(1.0 + count(*) / sum(ln(d / 1.5)), 6) AS alpha
+        FROM tail""",
+    "type_mixing": f"""
+        WITH RECURSIVE {_EDGES_CTE}
+        SELECT least(a.event_type, b.event_type) AS type_a,
+               greatest(a.event_type, b.event_type) AS type_b,
+               count(*)::BIGINT AS n_edges
+        FROM edgu e
+        JOIN events a ON a.event_id = e.src
+        JOIN events b ON b.event_id = e.dst
+        GROUP BY 1, 2""",
     "directed_reach": f"""
         WITH RECURSIVE {_EDGES_CTE},
         oriented AS (
