@@ -51,6 +51,28 @@ def cc_oracle(src: np.ndarray, dst: np.ndarray, vids: np.ndarray | None = None) 
     return {v: roots[uf.find(v)] for v in uf.parent}
 
 
+def kruskal_oracle(
+    src: np.ndarray, dst: np.ndarray, w: np.ndarray
+) -> list[tuple[int, int, float]]:
+    """The unique minimum spanning forest under the strict total edge order
+    (w, min(u,v), max(u,v)) — the same order the Borůvka engine uses, so
+    the edge SETS must match exactly. Self-loops drop; parallel edges keep
+    the min key. Returns sorted (a, b, w) canonical triples."""
+    a = np.minimum(src, dst).astype(np.int64)
+    b = np.maximum(src, dst).astype(np.int64)
+    keep = a != b
+    a, b, w = a[keep], b[keep], np.asarray(w, np.float64)[keep]
+    order = np.lexsort((b, a, w))
+    uf = UnionFind()
+    out: list[tuple[int, int, float]] = []
+    for i in order.tolist():
+        u, v = int(a[i]), int(b[i])
+        if uf.find(u) != uf.find(v):
+            uf.union(u, v)
+            out.append((u, v, float(w[i])))
+    return sorted(out)
+
+
 def pagerank_oracle(
     src: np.ndarray,
     dst: np.ndarray,

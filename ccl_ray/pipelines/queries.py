@@ -2159,6 +2159,93 @@ def q_token_buckets(sf_dir: str):
     )
 
 
+def q_chunk_pack(sf_dir: str):
+    """Concat-and-chunk sequence packing (the GPT-style pre-training
+    layout): documents in doc_id order form one token stream sliced into
+    2048-token windows; each doc reports its global start offset and the
+    first/last window it touches. Engine shape: distributed ordered
+    prefix sum — range routing, per-range totals as P scalars, exclusive
+    scan, one shuffle (stages/pack.py). SQL twin: a plain window cumsum."""
+    from ccl_ray.stages.pack import chunk_pack
+
+    return chunk_pack(token_count(_docs(sf_dir)), cap=2048)
+
+
+def q_kmeans_close(sf_dir: str):
+    """Driver-visible cross-check for distributed k-means over the
+    embeddings table (iterative — legitimately non-SQL, the pagerank_close
+    pattern): engine centroids/inertia vs the driver numpy twin with
+    identical deterministic bottom-k-hash init, update and tie rules.
+    Booleans rather than raw hashes because distributed float64 partial
+    sums commute only to ~1e-15 relative. Constant SQL pins the shape.
+    Gate-only: pulls sf0.01-scale embeddings to the driver by design."""
+    from ccl_ray.stages.cluster import kmeans_embed, kmeans_oracle
+
+    k, iters = 8, 6
+    emb = _emb(sf_dir)
+    _, cents, inertia, _ = kmeans_embed(emb, k=k, iters=iters)
+    df = emb.to_pandas()
+    ids = df["vec_id"].values.astype(np.int64)
+    x = np.stack(df["embedding"].values)
+    _, want_c, want_in = kmeans_oracle(ids, x, k=k, iters=iters)
+    return pa.table(
+        {
+            "n_points": pa.array([len(df)], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "centroids_close": pa.array(
+                [bool(np.allclose(cents, want_c, atol=1e-8))], pa.bool_()
+            ),
+            "inertia_rel_ok": pa.array(
+                [bool(abs(inertia - want_in) <= 1e-9 * max(want_in, 1.0))],
+                pa.bool_(),
+            ),
+        }
+    )
+
+
+def q_msf_close(sf_dir: str):
+    """Distributed Borůvka minimum spanning forest over the weighted event
+    edges (w = 1 + (src+dst) % 7, the sssp_weighted rule). The MSF is
+    unique under the engine's strict total edge order, so the edge SET is
+    compared exactly against the driver Kruskal twin (iterative union-find
+    — legitimately non-SQL); n_vertices and the forest edge count
+    (= n_vertices − n_components) ARE SQL-expressible and the oracle pins
+    them via the recursive-CTE component count. Labels must equal the CC
+    engine's min-vid labels. Gate-only driver pull for the comparison."""
+    from ccl_ray.oracle.unionfind import kruskal_oracle
+    from ccl_ray.stages.msf import minimum_spanning_forest
+
+    edges = _edges_memo(sf_dir)
+    wedges = edges.map_batches(_add_weight, batch_format="pyarrow")
+    forest, labels, _rounds = minimum_spanning_forest(
+        wedges, weight_col="w", vertices=_verts_memo(sf_dir), cfg=_cfg()
+    )
+    got = forest.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    e = edges.to_pandas()
+    w = (1 + (e["src"].values + e["dst"].values) % 7).astype(np.float64)
+    want = kruskal_oracle(e["src"].values, e["dst"].values, w)
+    got_set = list(zip(got["a"].tolist(), got["b"].tolist(), got["w"].tolist()))
+    lab = labels.to_pandas().sort_values("vid").reset_index(drop=True)
+    cc = _labels(sf_dir).to_pandas()
+    # cc labels are (vid [event_id], label); align on vid
+    cc = cc.sort_values("vid").reset_index(drop=True)
+    return pa.table(
+        {
+            "n_vertices": pa.array([len(lab)], pa.int64()),
+            "n_forest_edges": pa.array([len(got)], pa.int64()),
+            "forest_matches_kruskal": pa.array([got_set == want], pa.bool_()),
+            "labels_match_cc": pa.array(
+                [bool(
+                    len(lab) == len(cc)
+                    and (lab["vid"].values == cc["vid"].values).all()
+                    and (lab["label"].values == cc["label"].values).all()
+                )],
+                pa.bool_(),
+            ),
+        }
+    )
+
+
 def q_quality_score(sf_dir: str):
     return quality_score(_docs(sf_dir))
 
@@ -2576,6 +2663,9 @@ QUERIES = {
     "label_centroid": q_label_centroid,
     "split_assign": q_split_assign,
     "token_buckets": q_token_buckets,
+    "chunk_pack": q_chunk_pack,
+    "kmeans_close": q_kmeans_close,
+    "msf_close": q_msf_close,
     "pagerank_incremental": q_pagerank_incremental,
     "funnel": q_funnel,
     "lang_top_terms": q_lang_top_terms,
@@ -2897,6 +2987,30 @@ ORACLE_SQL = {
         SELECT count(*)::BIGINT AS n_vertices, 4::BIGINT AS n_seeds,
                0::BIGINT AS n_exceed_tol, 0.0::DOUBLE AS max_rel_gap_r4
         FROM events""",
+    "kmeans_close": """
+        SELECT count(*)::BIGINT AS n_points, 8::BIGINT AS k,
+               true AS centroids_close, true AS inertia_rel_ok
+        FROM embeddings""",
+    # the forest/labels comparisons happen inside q_msf_close (union-find is
+    # non-SQL); the SQL pins n_vertices and n_forest_edges = V - components
+    # via the same recursive reachability CTE as the cc_labels oracle
+    "msf_close": """
+        WITH RECURSIVE
+        grp AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+                FROM events),
+        upair AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+                  FROM grp a JOIN grp b
+                  ON a.event_type = b.event_type AND a.hr = b.hr),
+        reach(u, l) AS (
+          SELECT DISTINCT user_id, user_id FROM events
+          UNION
+          SELECT p.v, r.l FROM reach r JOIN upair p ON p.u = r.u),
+        ulab AS (SELECT u, min(l) AS comp FROM reach GROUP BY u)
+        SELECT (SELECT count(*) FROM events)::BIGINT AS n_vertices,
+               (SELECT count(*) FROM events)::BIGINT
+                 - (SELECT count(DISTINCT comp) FROM ulab)::BIGINT
+                 AS n_forest_edges,
+               true AS forest_matches_kruskal, true AS labels_match_cc""",
     "mis": _mis_oracle_sql(8),
     "hll_users": """
         SELECT count(DISTINCT user_id)::BIGINT AS n_users_exact,
@@ -2959,6 +3073,19 @@ ORACLE_SQL = {
                     ELSE CAST(floor(log2(n)) AS BIGINT) END AS bucket,
                count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens
         FROM tc GROUP BY 1""",
+    "chunk_pack": """
+        WITH tc AS (SELECT doc_id,
+                           len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n
+                    FROM documents),
+        s AS (SELECT doc_id, n,
+                     COALESCE(SUM(n) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0)::BIGINT AS start_off
+              FROM tc WHERE n > 0)
+        SELECT doc_id, n AS n_tokens, start_off,
+               start_off // 2048 AS first_pack,
+               (start_off + n - 1) // 2048 AS last_pack
+        FROM s""",
     "label_centroid": """
         SELECT label::BIGINT AS label, i AS dim,
                round(sum(embedding[i + 1]::DOUBLE) / count(*), 6) AS centroid
