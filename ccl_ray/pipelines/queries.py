@@ -2246,6 +2246,45 @@ def q_msf_close(sf_dir: str):
     )
 
 
+def q_hyperball_close(sf_dir: str):
+    """Driver-visible cross-check for HyperBall (per-vertex HLL
+    neighborhood function / effective diameter — iterative sketch,
+    legitimately non-SQL): the engine's registers and per-round NF are
+    fully deterministic (splitmix64 vid hashing, no RNG), so the numpy
+    twin must match the register multiset EXACTLY and the rounded NF
+    table value-for-value; rounds = graph diameter must agree too.
+    Constant SQL pins n_vertices. Gate-only driver pull."""
+    from ccl_ray.stages.hyperball import hyperball, hyperball_oracle
+
+    edges = _edges_memo(sf_dir)
+    nf_ds, reg_refs, rounds = hyperball(
+        edges, p=6, vertices=_verts_memo(sf_dir), cfg=_cfg()
+    )
+    got_nf = nf_ds.to_pandas()
+    import ray as _ray
+
+    regs = np.concatenate(_ray.get(reg_refs), axis=0)
+    e = edges.to_pandas()
+    verts = _verts_memo(sf_dir).to_pandas()["vid"].values.astype(np.int64)
+    want_nf, want_reg = hyperball_oracle(
+        e["src"].values, e["dst"].values, verts, p=6
+    )
+    nf_match = got_nf["t"].tolist() == [t for t, _ in want_nf] and got_nf[
+        "nf_est"
+    ].tolist() == [round(v, 4) for _, v in want_nf]
+    return pa.table(
+        {
+            "n_vertices": pa.array([len(regs)], pa.int64()),
+            "rounds_match": pa.array([rounds == len(want_nf) - 1], pa.bool_()),
+            "registers_match": pa.array(
+                [sorted(map(bytes, regs)) == sorted(map(bytes, want_reg))],
+                pa.bool_(),
+            ),
+            "nf_match": pa.array([bool(nf_match)], pa.bool_()),
+        }
+    )
+
+
 def q_quality_score(sf_dir: str):
     return quality_score(_docs(sf_dir))
 
@@ -2666,6 +2705,7 @@ QUERIES = {
     "chunk_pack": q_chunk_pack,
     "kmeans_close": q_kmeans_close,
     "msf_close": q_msf_close,
+    "hyperball_close": q_hyperball_close,
     "pagerank_incremental": q_pagerank_incremental,
     "funnel": q_funnel,
     "lang_top_terms": q_lang_top_terms,
@@ -3011,6 +3051,10 @@ ORACLE_SQL = {
                  - (SELECT count(DISTINCT comp) FROM ulab)::BIGINT
                  AS n_forest_edges,
                true AS forest_matches_kruskal, true AS labels_match_cc""",
+    "hyperball_close": """
+        SELECT count(*)::BIGINT AS n_vertices, true AS rounds_match,
+               true AS registers_match, true AS nf_match
+        FROM events""",
     "mis": _mis_oracle_sql(8),
     "hll_users": """
         SELECT count(DISTINCT user_id)::BIGINT AS n_users_exact,

@@ -1,0 +1,206 @@
+"""HyperBall: neighborhood function + effective diameter via per-vertex HLL.
+
+The canonical web-scale distance sketch (Boldi–Rosa–Vigna's HyperBall /
+HyperANF, the algorithm behind the published web- and social-graph
+effective-diameter numbers): every vertex carries a HyperLogLog sketch of
+the set of vertices within distance t; one BSP round unions each vertex's
+sketch with its neighbors' (elementwise register max), so after t rounds
+register state describes the radius-t ball. The neighborhood function
+NF(t) = Σ_v |ball_t(v)| then falls out as the sum of per-vertex HLL
+estimates, and the effective diameter is the smallest t with
+NF(t) ≥ q·NF(∞). Exact per-pair distances never materialize — the state
+is V·2^p bytes and each round ships one register row per unique (shard,
+dst), which is what makes the operator feasible at 10^12-turn scale where
+all-pairs BFS is not.
+
+Engine shape: the same one-time scatter/combine plans as CC/PageRank
+(state.shards), with 2D uint8 register payloads — np.maximum.reduceat
+pre-reduces per (shard, dst) before anything ships, owners elementwise-max
+into their state, convergence = zero changed registers (then t has reached
+the graph's diameter and NF is exact-in-the-sketch). Message volume per
+round is O(unique dst · 2^p) bytes.
+
+Everything is DETERMINISTIC given the vid set (splitmix64 vid hashing, no
+RNG), so the gate twin replicates the registers bit-for-bit in numpy and
+the comparison is exact equality, not a tolerance band; sketch ACCURACY
+vs the true neighborhood function is pinned separately by a small-graph
+BFS test (tests/test_hyperball.py).
+
+Reference analog: none (the reference has no distance operators); this is
+the scale path the exact sampled-BFS queries (closeness_sample,
+diameter_sweep) cannot take.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ccl_ray.config import EngineConfig
+from ccl_ray.state.shards import (
+    scatter_plans,
+    shard_edges_csr,
+    shard_vertices,
+)
+
+
+def _mix64(v: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a full-avalanche 64-bit mix (public-domain
+    constant set), vectorized over uint64. Plain odd-constant multiplies
+    keep low-bit structure (vid parity would bias the bucket choice)."""
+    z = v.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _clz64(w: np.ndarray) -> np.ndarray:
+    """Count of leading zero bits (returns 63 for 0 — callers cap rho)."""
+    n = np.zeros(len(w), np.int64)
+    x = w.copy()
+    one = np.uint64(1)
+    for s in (32, 16, 8, 4, 2, 1):
+        mask = x < (one << np.uint64(64 - s))
+        n[mask] += s
+        x[mask] = x[mask] << np.uint64(s)
+    return np.minimum(n, 63)
+
+
+def init_registers(vids: np.ndarray, p: int) -> np.ndarray:
+    """(n, 2^p) uint8 registers for the singleton sets {v}."""
+    m = 1 << p
+    reg = np.zeros((len(vids), m), np.uint8)
+    if not len(vids):
+        return reg
+    h = _mix64(vids)
+    bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h << np.uint64(p)
+    rho = np.minimum(_clz64(w) + 1, 64 - p + 1).astype(np.uint8)
+    reg[np.arange(len(vids)), bucket] = rho
+    return reg
+
+
+def hll_estimates(reg: np.ndarray, p: int) -> np.ndarray:
+    """Standard HLL estimate per row (with the small-range linear-counting
+    correction; no large-range correction — 64-bit hashes don't saturate).
+    Fully deterministic: the numpy twin reproduces it exactly."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    s = np.power(2.0, -reg.astype(np.float64)).sum(axis=1)
+    raw = alpha * m * m / s
+    zeros = (reg == 0).sum(axis=1)
+    small = (raw <= 2.5 * m) & (zeros > 0)
+    out = raw.copy()
+    if small.any():
+        out[small] = m * np.log(m / zeros[small].astype(np.float64))
+    return out
+
+
+@ray.remote
+def _hb_init(vids, p):
+    return init_registers(vids, p)
+
+
+@ray.remote
+def _hb_scatter(plan, reg, P, m):
+    """Per-dst elementwise register max, routed (2D reduce_routed)."""
+    if plan["n_edges"] == 0:
+        return [np.empty((0, m), np.uint8)] * P
+    vals = reg[plan["edge_src_idx"]][plan["dst_order"]]
+    red = np.maximum.reduceat(vals, plan["seg_starts"], axis=0)
+    routed = red[plan["uniq_perm"]]
+    b = plan["bounds"]
+    return [routed[b[q] : b[q + 1]] for q in range(P)]
+
+
+@ray.remote(num_returns=2)
+def _hb_combine(q, cplan, reg, *msg_objs):
+    """max-merge incoming register rows; count changed vertices."""
+    if reg.shape[0] == 0 or cplan["total"] == 0:
+        return reg, 0
+    pieces = [m[q] for m in msg_objs]
+    vals = np.concatenate(pieces, axis=0)
+    red = np.maximum.reduceat(vals[cplan["order"]], cplan["starts"], axis=0)
+    new = reg.copy()
+    pos = cplan["pos"]
+    merged = np.maximum(new[pos], red)
+    changed = int((merged != new[pos]).any(axis=1).sum())
+    new[pos] = merged
+    return new, changed
+
+
+@ray.remote
+def _hb_nf(reg, p) -> float:
+    return float(hll_estimates(reg, p).sum()) if reg.shape[0] else 0.0
+
+
+def hyperball(
+    edges,
+    *,
+    p: int = 6,
+    vertices=None,
+    cfg: EngineConfig | None = None,
+    max_rounds: int = 128,
+    round_to: int = 4,
+):
+    """(per-round Dataset (t, nf_est), final per-shard register refs,
+    rounds) for the undirected graph of ``edges``. NF(0) counts the
+    singletons; the loop stops when no register changes (t = diameter)."""
+    import ray.data as rd
+
+    cfg = cfg or EngineConfig()
+    P = cfg.num_partitions
+    m = 1 << p
+    csr = shard_edges_csr(edges, P, symmetrize=True, dedupe=True, drop_self=True)
+    vid_refs = shard_vertices(edges, P, vertices_ds=vertices)
+    plans = scatter_plans(csr, vid_refs, P)
+    from ccl_ray.state.shards import combine_plans
+
+    cplans = combine_plans(vid_refs, plans, P)
+
+    reg = [_hb_init.remote(vid_refs[q], p) for q in range(P)]
+    nf = [(0, float(sum(ray.get([_hb_nf.remote(r, p) for r in reg]))))]
+    t = 0
+    while t < max_rounds:
+        t += 1
+        outs = [_hb_scatter.remote(plans[q], reg[q], P, m) for q in range(P)]
+        res = [_hb_combine.remote(q, cplans[q], reg[q], *outs) for q in range(P)]
+        reg = [r[0] for r in res]
+        changed = int(sum(ray.get([r[1] for r in res])))
+        if changed == 0:
+            break
+        nf.append((t, float(sum(ray.get([_hb_nf.remote(r, p) for r in reg])))))
+
+    table = pa.table(
+        {
+            "t": pa.array([x[0] for x in nf], pa.int64()),
+            "nf_est": pa.array([round(x[1], round_to) for x in nf], pa.float64()),
+        }
+    )
+    return rd.from_arrow(table), reg, len(nf) - 1
+
+
+def hyperball_oracle(
+    src: np.ndarray, dst: np.ndarray, vids: np.ndarray, *, p: int = 6,
+    max_rounds: int = 128,
+) -> tuple[list[tuple[int, float]], np.ndarray]:
+    """Driver numpy twin — identical hashing, merge and estimate rules.
+    Returns (per-round (t, nf) list, final registers aligned to sorted
+    vids)."""
+    vids = np.sort(np.asarray(vids, np.int64))
+    s = np.searchsorted(vids, np.concatenate([src, dst]).astype(np.int64))
+    d = np.searchsorted(vids, np.concatenate([dst, src]).astype(np.int64))
+    keep = s != d
+    s, d = s[keep], d[keep]
+    reg = init_registers(vids, p)
+    nf = [(0, float(hll_estimates(reg, p).sum()))]
+    for t in range(1, max_rounds + 1):
+        new = reg.copy()
+        np.maximum.at(new, d, reg[s])
+        if (new == reg).all():
+            break
+        reg = new
+        nf.append((t, float(hll_estimates(reg, p).sum())))
+    return nf, reg

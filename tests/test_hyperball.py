@@ -1,0 +1,88 @@
+"""HyperBall: exact register equality vs the numpy twin; sketch accuracy
+vs an exact BFS neighborhood function on a small graph."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ccl_ray.config import EngineConfig
+from ccl_ray.stages.hyperball import hll_estimates, hyperball, hyperball_oracle
+
+
+def _ds(src, dst, blocks=4):
+    t = pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    return rd.from_arrow(t).repartition(blocks)
+
+
+def test_hyperball_matches_numpy_twin(ray_session):
+    rng = np.random.default_rng(2)
+    n, m = 300, 900
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    nf_ds, reg_refs, rounds = hyperball(
+        _ds(src, dst), p=6, cfg=EngineConfig(num_partitions=4)
+    )
+    want_nf, want_reg = hyperball_oracle(src, dst, np.unique(np.concatenate([src, dst])), p=6)
+    got = nf_ds.to_pandas()
+    assert got["t"].tolist() == [t for t, _ in want_nf]
+    # the engine table rounds to 4; round the twin with the same function
+    assert got["nf_est"].tolist() == [round(v, 4) for _, v in want_nf]
+    assert rounds == len(want_nf) - 1
+    import ray
+
+    regs = np.concatenate(ray.get(reg_refs), axis=0)
+    # engine shards are hash-partitioned; align by re-sorting rows via vids
+    # order: reconstruct by comparing against twin per sorted-vid position
+    # (twin rows are sorted-vid aligned; engine concat is shard order) —
+    # compare as multisets of register rows instead
+    assert sorted(map(bytes, regs)) == sorted(map(bytes, want_reg))
+
+
+def test_hyperball_path_graph_diameter(ray_session):
+    # path 0-1-2-...-9: registers stabilize after exactly 9 rounds
+    src = np.arange(9, dtype=np.int64)
+    dst = src + 1
+    nf_ds, _, rounds = hyperball(_ds(src, dst, blocks=2), p=6,
+                                 cfg=EngineConfig(num_partitions=3))
+    assert rounds == 9
+    nf = nf_ds.to_pandas()["nf_est"].values
+    assert (np.diff(nf) > 0).all()  # balls strictly grow along a path
+
+
+def test_hyperball_accuracy_vs_exact_bfs(ray_session):
+    rng = np.random.default_rng(4)
+    n = 200
+    src = rng.integers(0, n, 500).astype(np.int64)
+    dst = rng.integers(0, n, 500).astype(np.int64)
+    nf_ds, _, _ = hyperball(_ds(src, dst), p=6, cfg=EngineConfig(num_partitions=2))
+    got = nf_ds.to_pandas().set_index("t")["nf_est"]
+
+    # exact NF via dense boolean BFS closure
+    vids = np.unique(np.concatenate([src, dst]))
+    idx = {v: i for i, v in enumerate(vids)}
+    adj = np.eye(len(vids), dtype=bool)
+    for a, b in zip(src, dst):
+        if a != b:
+            adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = True
+    reach = np.eye(len(vids), dtype=bool)
+    t = 0
+    while True:
+        new = reach @ adj
+        if (new == reach).all():
+            break
+        reach, t = new, t + 1
+        if t in got.index:
+            exact = float(reach.sum())
+            assert abs(got[t] - exact) / exact < 0.2, (t, got[t], exact)
+
+
+def test_hll_estimate_sanity():
+    from ccl_ray.stages.hyperball import init_registers
+
+    # union of k singleton sketches estimates ~k
+    ids = np.arange(5000, dtype=np.int64)
+    reg = init_registers(ids, 6)
+    merged = reg.max(axis=0, keepdims=True)
+    est = hll_estimates(merged, 6)[0]
+    assert abs(est - 5000) / 5000 < 0.2, est
