@@ -362,6 +362,69 @@ def run_bench() -> dict:
     queries["transcript_walks"] = time.perf_counter() - t0
     extra["walks"] = {"corpus_rows": n_corpus, "walk_len": 4}
 
+    # --- round-4 session-4 additions: Borůvka MSF (weighted, own weighted
+    # CSR — setup in the wall) and HyperBall (p=6 HLL neighborhood
+    # function; per-round payload = 64 B/unique dst). Both run on a
+    # deterministic 1/16 hash-subsample of the transcript edge multiset
+    # (~4M rows): at the full 64M-row graph MSF needs >10 min and
+    # HyperBall ~55 s/round (measured in-session — per-round volume is
+    # O(unique dst · 2^p) bytes), which would dominate the whole bench
+    # wall; the subsample keeps both in the tens of seconds while still
+    # exercising every exchange at millions-of-edges scale.
+    from ccl_ray.functions.hashing import stable_hash64_np
+
+    msf_div = int(os.environ.get("GRAFT_MSF_SUBSAMPLE", "16"))
+
+    def _sub_weighted(t: "pa.Table") -> "pa.Table":
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = (
+            stable_hash64_np((s * 1315423911 + d).view(np.uint64))
+            % np.uint64(msf_div)
+        ) == 0
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "src": pa.array(s),
+                "dst": pa.array(d),
+                "w": pa.array((1 + (s + d) % 7).astype(np.float64)),
+            }
+        )
+
+    t0 = time.perf_counter()
+    from ccl_ray.stages.msf import minimum_spanning_forest
+
+    sub_edges = edges.map_batches(_sub_weighted, batch_format="pyarrow").materialize()
+    n_sub = sub_edges.count()
+    msf_forest, _msf_labels, msf_rounds = minimum_spanning_forest(
+        sub_edges, weight_col="w", cfg=cfg
+    )
+    n_forest = msf_forest.count()
+    queries["transcript_msf"] = time.perf_counter() - t0
+    extra["msf"] = {
+        "rounds": msf_rounds,
+        "forest_edges": int(n_forest),
+        "input_rows": int(n_sub),
+        "subsample_div": msf_div,
+    }
+
+    t0 = time.perf_counter()
+    from ccl_ray.stages.hyperball import hyperball
+
+    hb_rounds_cap = int(os.environ.get("GRAFT_HB_ROUNDS", "8"))
+    hb_nf, _hb_regs, hb_rounds = hyperball(
+        sub_edges.select_columns(["src", "dst"]), p=6, cfg=cfg,
+        max_rounds=hb_rounds_cap,
+    )
+    hb_df = hb_nf.to_pandas()
+    queries["transcript_hyperball"] = time.perf_counter() - t0
+    extra["hyperball"] = {
+        "rounds": hb_rounds,
+        "rounds_cap": hb_rounds_cap,
+        "nf_final": float(hb_df["nf_est"].iloc[-1]),
+        "input_rows": int(n_sub),
+    }
+
     # --- events graph at $GRAFT_SF_DIR (correctness-scale pipelines)
     t0 = time.perf_counter()
     eedges = build_event_edges(SF_DIR).materialize()
@@ -433,6 +496,20 @@ def run_bench() -> dict:
 
     embedding_dedup_pairs(emb, threshold=0.45, n_clusters=16, assign_top=4).count()
     queries["embedding_dedup"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.stages.cluster import kmeans_embed
+
+    km_assign, _km_c, _km_inertia, _ = kmeans_embed(emb, k=8, iters=6)
+    km_assign.count()
+    queries["kmeans_embed"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.stages.pack import chunk_pack
+    from ccl_ray.stages.text import token_count
+
+    chunk_pack(token_count(docs), cap=2048).count()
+    queries["chunk_pack"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     from ccl_ray.stages.text import tfidf_top_terms

@@ -901,6 +901,235 @@ def _mis_oracle_sql(k: int = 8) -> str:
     )
 
 
+def q_postings(sf_dir: str):
+    """Inverted index over documents — (term, df, top_docs): document
+    frequency plus the first 10 doc_ids ascending, comma-joined
+    (stages/text.postings)."""
+    from ccl_ray.stages.text import postings
+
+    return postings(_docs(sf_dir), cap=10)
+
+
+def q_dup_ngrams(sf_dir: str):
+    """Cross-document duplicate 5-grams — (gram, n_docs, n_occ), top-50 by
+    occurrences (stages/text.dup_ngrams): the exact-substring duplication
+    signal over the documents table."""
+    from ccl_ray.stages.text import dup_ngrams
+
+    return dup_ngrams(_docs(sf_dir), n=5, min_docs=2, k=50)
+
+
+# the fixed BM25 query — common synthetic-vocab terms, present at every sf
+_BM25_TERMS = ["scan", "join", "window"]
+
+
+def q_bm25_topk(sf_dir: str):
+    """Okapi BM25 top-20 documents for the fixed query {scan, join,
+    window} (stages/text.bm25_topk; k1=1.2, b=0.75, Lucene plus-one idf).
+    Scores rounded to 6 before ranking on both sides."""
+    from ccl_ray.stages.text import bm25_topk
+
+    return bm25_topk(_docs(sf_dir), _BM25_TERMS, k=20)
+
+
+# unroll depth of the matching SQL twin; the engine asserts its mutual-min
+# fixpoint lands within this many rounds at gate scale
+_MATCH_K = 16
+
+
+def q_matching(sf_dir: str):
+    """Deterministic maximal matching over the events graph — canonical
+    matched pairs (src, dst). The injective packed-pair priority
+    (stages/matching.py) makes every mutual-minimum round a pure function
+    of the graph, so the unrolled SQL twin computes the identical
+    matching. The engine asserts convergence within the twin's unroll."""
+    from ccl_ray.stages.matching import maximal_matching
+
+    ds, rounds = maximal_matching(
+        _edges_memo(sf_dir), cfg=_cfg(), max_rounds=_MATCH_K
+    )
+    return ds
+
+
+def _matching_oracle_sql(k: int = _MATCH_K) -> str:
+    """k-round unrolled deterministic maximal matching (stages/matching.py
+    twin): per round, an alive edge whose priority is the min at both
+    endpoints joins; its endpoints leave. Priority arithmetic in HUGEINT
+    matches the engine's packed uint64 mixing bit-for-bit (edgu is already
+    canonical src < dst). Rounds past the fixpoint are no-ops."""
+    parts = [
+        "unde AS MATERIALIZED (SELECT src AS a, dst AS b,"
+        " ((src::HUGEINT * 4294967296 + dst) * 11400714819323198485)"
+        " % 18446744073709551616 AS p FROM edgu WHERE src <> dst)",
+        "m0 AS MATERIALIZED (SELECT a AS v FROM unde WHERE false)",
+        "s0 AS MATERIALIZED (SELECT a, b FROM unde WHERE false)",
+    ]
+    for i in range(1, k + 1):
+        parts += [
+            f"al{i} AS MATERIALIZED (SELECT a, b, p FROM unde"
+            f" WHERE a NOT IN (SELECT v FROM m{i-1})"
+            f" AND b NOT IN (SELECT v FROM m{i-1}))",
+            f"vm{i} AS MATERIALIZED (SELECT v, min(p) AS mp FROM"
+            f" (SELECT a AS v, p FROM al{i} UNION ALL SELECT b, p FROM al{i})"
+            f" GROUP BY v)",
+            f"win{i} AS MATERIALIZED (SELECT e.a, e.b FROM al{i} e"
+            f" JOIN vm{i} x ON x.v = e.a AND x.mp = e.p"
+            f" JOIN vm{i} y ON y.v = e.b AND y.mp = e.p)",
+            f"m{i} AS MATERIALIZED (SELECT v FROM m{i-1}"
+            f" UNION ALL SELECT a FROM win{i} UNION ALL SELECT b FROM win{i})",
+            f"s{i} AS MATERIALIZED (SELECT a, b FROM s{i-1}"
+            f" UNION ALL SELECT a, b FROM win{i})",
+        ]
+    return (
+        "WITH " + _EDGES_CTE + ",\n" + ",\n".join(parts) + f"""
+        SELECT a AS src, b AS dst FROM s{k}"""
+    )
+
+
+# unroll depth of the coloring SQL twin; the engine asserts the JP
+# schedule fires everything within this many rounds at gate scale
+_COLOR_K = 40
+
+
+def q_coloring(sf_dir: str):
+    """Deterministic greedy coloring (Jones-Plassmann schedule) over the
+    events graph — (event_id, color). Equals the sequential greedy
+    coloring in descending injective-priority order, so the unrolled SQL
+    twin computes identical colors. The engine asserts convergence within
+    the twin's unroll depth."""
+    from ccl_ray.stages.coloring import greedy_coloring
+
+    ds, rounds = greedy_coloring(
+        _edges_memo(sf_dir), vertices=_verts_memo(sf_dir), cfg=_cfg(),
+        max_rounds=_COLOR_K,
+    )
+    return ds.rename_columns({"vid": "event_id"})
+
+
+def _coloring_oracle_sql(k: int = _COLOR_K) -> str:
+    """k-round unrolled Jones-Plassmann greedy coloring (stages/coloring.py
+    twin): round i fires every uncolored vertex with no uncolored
+    higher-priority neighbor, assigning the mex of its (already colored)
+    neighbors' colors — mex computed as the min candidate in
+    {0} ∪ {c+1 : used c} that is not itself used. Priorities are the MIS
+    HUGEINT mixing (injective, ties impossible). Rounds past the fixpoint
+    fire nothing, so any unroll ≥ the engine's round count is exact."""
+    parts = [
+        "evp AS MATERIALIZED (SELECT event_id AS v,"
+        " (event_id::HUGEINT * 11400714819323198485) % 18446744073709551616"
+        " AS p FROM events)",
+        "undm AS MATERIALIZED (SELECT src AS u, dst AS v FROM edgu"
+        " WHERE src <> dst UNION SELECT dst, src FROM edgu WHERE src <> dst)",
+        "col0 AS MATERIALIZED (SELECT v, 0 AS c FROM evp WHERE false)",
+    ]
+    for i in range(1, k + 1):
+        parts += [
+            f"unc{i} AS MATERIALIZED (SELECT e.v, e.p FROM evp e"
+            f" WHERE e.v NOT IN (SELECT v FROM col{i-1}))",
+            f"fire{i} AS MATERIALIZED (SELECT u.v FROM unc{i} u"
+            f" WHERE NOT EXISTS (SELECT 1 FROM undm JOIN unc{i} x"
+            f" ON x.v = undm.v WHERE undm.u = u.v AND x.p > u.p))",
+            f"usednb{i} AS MATERIALIZED (SELECT DISTINCT f.v, c.c AS color"
+            f" FROM fire{i} f JOIN undm ON undm.u = f.v"
+            f" JOIN col{i-1} c ON c.v = undm.v)",
+            f"cand{i} AS MATERIALIZED (SELECT v, 0 AS x FROM fire{i}"
+            f" UNION ALL SELECT v, color + 1 FROM usednb{i})",
+            f"mex{i} AS MATERIALIZED (SELECT c.v, min(c.x) AS c FROM cand{i} c"
+            f" LEFT JOIN usednb{i} u2 ON u2.v = c.v AND u2.color = c.x"
+            f" WHERE u2.color IS NULL GROUP BY c.v)",
+            f"col{i} AS MATERIALIZED (SELECT v, c FROM col{i-1}"
+            f" UNION ALL SELECT v, c FROM mex{i})",
+        ]
+    return (
+        "WITH " + _EDGES_CTE + ",\n" + ",\n".join(parts) + f"""
+        SELECT v AS event_id, c::BIGINT AS color FROM col{k}"""
+    )
+
+
+# unroll depth of the coreness SQL twin; the engine asserts its H-index
+# fixpoint lands within this many rounds at gate scale (measured: see
+# q_coreness docstring)
+_CORE_K = 24
+
+
+def _core_memo(sf_dir: str):
+    """(vid, coreness) Dataset — shared by coreness and degeneracy."""
+    key = ("coreness", sf_dir)
+    if key not in _MEMO:
+        from ccl_ray.stages.coreness import core_decomposition
+
+        ds, rounds = core_decomposition(
+            _edges_memo(sf_dir), vertices=_verts_memo(sf_dir), cfg=_cfg(),
+            max_rounds=_CORE_K,
+        )
+        _MEMO[key] = ds.materialize()
+    return _MEMO[key]
+
+
+def q_coreness(sf_dir: str):
+    """Full core decomposition of the events graph — (event_id, coreness)
+    via the iterated-H-index fixpoint (stages/coreness.py). Deterministic
+    and synchronous, so the unrolled SQL twin computes identical values;
+    the engine asserts convergence within the twin's unroll depth
+    (measured: 5 rounds at sf0.001, 7 at sf0.01; unroll 24)."""
+    return _core_memo(sf_dir).rename_columns({"vid": "event_id"})
+
+
+def q_degeneracy(sf_dir: str):
+    """Graph degeneracy (max coreness) + the size of the innermost core —
+    two scalars derived from the coreness fixpoint."""
+    c = _core_memo(sf_dir).to_pandas()["coreness"].to_numpy()
+    mx = int(c.max()) if len(c) else 0
+    return pa.table(
+        {
+            "degeneracy": pa.array([mx], pa.int64()),
+            "n_at_max": pa.array([int((c == mx).sum())], pa.int64()),
+        }
+    )
+
+
+def _coreness_oracle_sql(k: int = _CORE_K) -> str:
+    """k-round unrolled iterated H-index (stages/coreness.py twin).
+
+    Round i: cᵢ(v) = min(cᵢ₋₁(v), H-index of neighbors' cᵢ₋₁), where the
+    H-index is max(least(value, row_number ordered by value DESC)) — the
+    classic rank formulation. Converges to the core number (Lü et al.
+    2016); extra rounds past the fixpoint are no-ops, so any unroll depth
+    ≥ the engine's measured round count is exact. Every per-round CTE is
+    MATERIALIZED (DuckDB otherwise inlines the chain exponentially)."""
+    parts = [
+        "undm AS MATERIALIZED (SELECT src AS u, dst AS v FROM edgu"
+        " UNION SELECT dst, src FROM edgu)",
+        "degq AS MATERIALIZED (SELECT u AS v, count(*) AS c FROM undm GROUP BY 1)",
+        "c0 AS MATERIALIZED (SELECT e.event_id AS v, coalesce(d.c, 0) AS c"
+        " FROM events e LEFT JOIN degq d ON d.v = e.event_id)",
+    ]
+    for i in range(1, k + 1):
+        parts += [
+            f"h{i} AS MATERIALIZED (SELECT v, max(least(c, rn)) AS h FROM"
+            f" (SELECT undm.u AS v, x.c AS c,"
+            f" row_number() OVER (PARTITION BY undm.u ORDER BY x.c DESC) AS rn"
+            f" FROM undm JOIN c{i-1} x ON x.v = undm.v) GROUP BY v)",
+            f"c{i} AS MATERIALIZED (SELECT p.v,"
+            f" least(p.c, coalesce(h.h, p.c)) AS c"
+            f" FROM c{i-1} p LEFT JOIN h{i} h ON h.v = p.v)",
+        ]
+    return (
+        "WITH " + _EDGES_CTE + ",\n" + ",\n".join(parts) + f"""
+        SELECT v AS event_id, c::BIGINT AS coreness FROM c{k}"""
+    )
+
+
+def _degeneracy_oracle_sql(k: int = _CORE_K) -> str:
+    core = _coreness_oracle_sql(k)
+    return f"""
+        WITH core AS ({core})
+        SELECT max(coreness)::BIGINT AS degeneracy,
+               count(*) FILTER (WHERE coreness = (SELECT max(coreness) FROM core))::BIGINT
+                 AS n_at_max
+        FROM core"""
+
+
 def q_hll_users(sf_dir: str):
     """Distributed HyperLogLog cardinality sketch (stages/sketch.py — one
     pass, no key exchange) checked against the engine's exact distributed
@@ -1181,6 +1410,45 @@ def q_rollup_qty(sf_dir: str):
         return df[["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]]
 
     return rolled.map_batches(finish, batch_format="pandas")
+
+
+def q_cube_qty(sf_dir: str):
+    """GROUP BY CUBE (stages/aggregates.cube_sum): lineitem quantity
+    summed at all four grouping sets of (returnflag, linestatus) — the
+    rollup_qty idiom plus the (linestatus-only) set. Exact integer 1e-2
+    fixed point on both sides."""
+    from ccl_ray.stages.aggregates import cube_sum
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def fixed(t: pa.Table) -> pa.Table:
+        q = np.round(
+            t.column("l_quantity").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty_e2": pa.array(q),
+            }
+        )
+
+    cubed = cube_sum(
+        li.map_batches(fixed, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {"qty_e2": "qty_e2"},
+        count_as="n_rows",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sum_qty"] = df["qty_e2"] / 100.0
+        return df[["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]]
+
+    return cubed.map_batches(finish, batch_format="pandas")
 
 
 def _scc_memo(sf_dir: str):
@@ -1469,6 +1737,83 @@ def q_type_mixing(sf_dir: str):
     return partial_sum_agg(
         j2.map_batches(canon, batch_format="pyarrow"), ["type_a", "type_b"], {},
         count_as="n_edges",
+    )
+
+
+def q_graph_summary(sf_dir: str):
+    """One-row scalar summary of the events graph — n_vertices, n_edges
+    (simple undirected), max_degree, n_isolated, avg_degree, density.
+    Pure composition over the memoized degree table (block partials +
+    one tiny aggregate; no shuffle)."""
+    import ray.data.aggregate as A
+
+    deg = _deg_memo(sf_dir)
+    agg = deg.aggregate(A.Count(), A.Sum("degree"), A.Max("degree"))
+    n = int(agg["count()"])
+    sd = int(agg["sum(degree)"] or 0)
+    mx = int(agg["max(degree)"] or 0)
+
+    def iso_partial(t: pa.Table) -> pa.Table:
+        d = t.column("degree").to_numpy(zero_copy_only=False)
+        return pa.table({"z": pa.array([int((d == 0).sum())], pa.int64())})
+
+    n_iso = int(
+        deg.map_batches(iso_partial, batch_format="pyarrow").aggregate(A.Sum("z"))["sum(z)"]
+        or 0
+    )
+    return pa.table(
+        {
+            "n_vertices": pa.array([n], pa.int64()),
+            "n_edges": pa.array([sd // 2], pa.int64()),
+            "max_degree": pa.array([mx], pa.int64()),
+            "n_isolated": pa.array([n_iso], pa.int64()),
+            "avg_degree": pa.array([round(sd / n, 6) if n else 0.0], pa.float64()),
+            "density": pa.array(
+                [round(sd / (n * (n - 1)), 9) if n > 1 else 0.0], pa.float64()
+            ),
+        }
+    )
+
+
+def q_rich_club(sf_dir: str):
+    """Rich-club coefficient φ(k) = 2·E_k / (n_k(n_k−1)) for k ∈ {4, 8,
+    16}: how densely the >k-degree vertices connect among themselves.
+    Composition: pair-deduped edges ⋈ rich-vertex set on BOTH endpoints
+    (two hash joins per k — the rich set is |V|-scale worst case, never
+    broadcast), counts via Dataset aggregates. Exact SQL twin."""
+    from ccl_ray.stages.exchange import hash_join
+
+    edges = partial_sum_agg(
+        _edges_memo(sf_dir).select_columns(["src", "dst"]), ["src", "dst"], {},
+        count_as="_n",
+    ).select_columns(["src", "dst"]).materialize()
+    deg = _deg_memo(sf_dir)
+    ks, nks, eks, phis = [], [], [], []
+    for k in (4, 8, 16):
+        def rich_f(t: pa.Table, _k=k) -> pa.Table:
+            d = t.column("degree").to_numpy(zero_copy_only=False)
+            keep = d > _k
+            return pa.table({"rv": t.column("vid").filter(pa.array(keep))})
+
+        rich = deg.map_batches(rich_f, batch_format="pyarrow").materialize()
+        n_k = rich.count()
+        j1 = hash_join(edges, rich, left_on="src", right_on="rv", num_partitions=8)
+        j2 = hash_join(
+            j1, rich.rename_columns({"rv": "rv2"}),
+            left_on="dst", right_on="rv2", num_partitions=8,
+        )
+        e_k = j2.count()
+        ks.append(k)
+        nks.append(n_k)
+        eks.append(e_k)
+        phis.append(round(2.0 * e_k / (n_k * (n_k - 1)), 6) if n_k >= 2 else 0.0)
+    return pa.table(
+        {
+            "k": pa.array(ks, pa.int64()),
+            "n_k": pa.array(nks, pa.int64()),
+            "e_k": pa.array(eks, pa.int64()),
+            "phi": pa.array(phis, pa.float64()),
+        }
     )
 
 
@@ -2285,6 +2630,31 @@ def q_hyperball_close(sf_dir: str):
     )
 
 
+def q_harmonic_close(sf_dir: str):
+    """Driver-visible cross-check for HyperANF harmonic centrality
+    (per-vertex Σ_t Δ|B_t|/t from the HyperBall register stream —
+    iterative sketch, legitimately non-SQL): fully deterministic, so the
+    numpy twin must match every rounded per-vertex value exactly.
+    Constant SQL pins n_vertices. Gate-only driver pull."""
+    from ccl_ray.stages.hyperball import hyperball_harmonic, hyperball_harmonic_oracle
+
+    edges = _edges_memo(sf_dir)
+    ds, rounds = hyperball_harmonic(
+        edges, p=6, vertices=_verts_memo(sf_dir), cfg=_cfg()
+    )
+    got = ds.to_pandas()
+    e = edges.to_pandas()
+    verts = _verts_memo(sf_dir).to_pandas()["vid"].values.astype(np.int64)
+    want = hyperball_harmonic_oracle(e["src"].values, e["dst"].values, verts, p=6)
+    got_map = {int(v): float(h) for v, h in zip(got["vid"], got["harmonic"])}
+    return pa.table(
+        {
+            "n_vertices": pa.array([len(got)], pa.int64()),
+            "values_match": pa.array([got_map == want], pa.bool_()),
+        }
+    )
+
+
 def q_quality_score(sf_dir: str):
     return quality_score(_docs(sf_dir))
 
@@ -2680,6 +3050,13 @@ QUERIES = {
     "eigenvector_close": q_eigenvector_close,
     "betweenness_close": q_betweenness_close,
     "mis": q_mis,
+    "coreness": q_coreness,
+    "degeneracy": q_degeneracy,
+    "matching": q_matching,
+    "coloring": q_coloring,
+    "postings": q_postings,
+    "bm25_topk": q_bm25_topk,
+    "dup_ngrams": q_dup_ngrams,
     "hll_users": q_hll_users,
     "hll_group_users": q_hll_group_users,
     "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -2695,6 +3072,8 @@ QUERIES = {
     "directed_triangles": q_directed_triangles,
     "directed_reach": q_directed_reach,
     "type_mixing": q_type_mixing,
+    "graph_summary": q_graph_summary,
+    "rich_club": q_rich_club,
     "powerlaw_alpha": q_powerlaw_alpha,
     "walk_corpus": q_walk_corpus,
     "ngram_pairs": q_ngram_pairs,
@@ -2706,11 +3085,13 @@ QUERIES = {
     "kmeans_close": q_kmeans_close,
     "msf_close": q_msf_close,
     "hyperball_close": q_hyperball_close,
+    "harmonic_close": q_harmonic_close,
     "pagerank_incremental": q_pagerank_incremental,
     "funnel": q_funnel,
     "lang_top_terms": q_lang_top_terms,
     "dup_manifest": q_dup_manifest,
     "rollup_qty": q_rollup_qty,
+    "cube_qty": q_cube_qty,
     "two_hop": q_two_hop,
     "assortativity": q_assortativity,
     "value_quantiles": q_value_quantiles,
@@ -2906,6 +3287,38 @@ _WALK_SQL = _walk_sql()
 
 ORACLE_SQL = {
     "edges_build": f"WITH {_EDGES_CTE} SELECT src, dst, etype, w FROM edg",
+    "graph_summary": f"""
+        WITH {_EDGES_CTE},
+        deg AS (SELECT v, count(*) AS degree
+                FROM (SELECT src AS v FROM edgu UNION ALL SELECT dst FROM edgu)
+                GROUP BY 1),
+        alln AS (SELECT e.event_id, coalesce(d.degree, 0) AS degree
+                 FROM events e LEFT JOIN deg d ON d.v = e.event_id)
+        SELECT count(*)::BIGINT AS n_vertices,
+               (sum(degree) / 2)::BIGINT AS n_edges,
+               max(degree)::BIGINT AS max_degree,
+               (count(*) FILTER (WHERE degree = 0))::BIGINT AS n_isolated,
+               round(sum(degree)::DOUBLE / count(*), 6) AS avg_degree,
+               round(sum(degree)::DOUBLE / (count(*) * (count(*) - 1.0)), 9)
+                 AS density
+        FROM alln""",
+    "rich_club": f"""
+        WITH {_EDGES_CTE},
+        deg AS (SELECT v, count(*) AS degree
+                FROM (SELECT src AS v FROM edgu UNION ALL SELECT dst FROM edgu)
+                GROUP BY 1),
+        base AS (
+          SELECT k,
+                 (SELECT count(*) FROM deg WHERE degree > k) AS n_k,
+                 (SELECT count(*) FROM edgu e
+                    JOIN deg a ON a.v = e.src JOIN deg b ON b.v = e.dst
+                  WHERE a.degree > k AND b.degree > k) AS e_k
+          FROM (VALUES (4), (8), (16)) t(k))
+        SELECT k::BIGINT AS k, n_k::BIGINT AS n_k, e_k::BIGINT AS e_k,
+               CASE WHEN n_k >= 2
+                    THEN round(2.0 * e_k / (n_k * (n_k - 1.0)), 6)
+                    ELSE 0.0 END AS phi
+        FROM base""",
     "degree": f"""
         WITH {_EDGES_CTE}
         SELECT e.event_id AS vid, coalesce(d.degree, 0) AS degree
@@ -3055,7 +3468,59 @@ ORACLE_SQL = {
         SELECT count(*)::BIGINT AS n_vertices, true AS rounds_match,
                true AS registers_match, true AS nf_match
         FROM events""",
+    "harmonic_close": """
+        SELECT count(*)::BIGINT AS n_vertices, true AS values_match
+        FROM events""",
     "mis": _mis_oracle_sql(8),
+    "coreness": _coreness_oracle_sql(),
+    "degeneracy": _degeneracy_oracle_sql(),
+    "matching": _matching_oracle_sql(),
+    "coloring": _coloring_oracle_sql(),
+    "postings": """
+        WITH tok AS (SELECT DISTINCT doc_id, t FROM
+          (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+           FROM documents)),
+        t2 AS (SELECT t, doc_id,
+                      row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+               FROM tok),
+        p AS (SELECT t, count(*) AS df FROM tok GROUP BY 1),
+        l AS (SELECT t, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS top_docs
+              FROM t2 WHERE rn <= 10 GROUP BY 1)
+        SELECT p.t AS term, p.df, l.top_docs FROM p JOIN l USING (t)""",
+    "dup_ngrams": """
+        WITH tok AS (SELECT doc_id, unnest(l) AS t,
+                            unnest(generate_series(1, len(l))) AS pos
+                     FROM (SELECT doc_id,
+                                  regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+                           FROM documents)),
+        g AS (SELECT doc_id,
+                     t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w
+                       || ' ' || lead(t, 3) OVER w || ' ' || lead(t, 4) OVER w
+                       AS gram
+              FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+              QUALIFY lead(t, 4) OVER w IS NOT NULL),
+        d AS (SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+              FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+        SELECT gram, n_docs, n_occ FROM d
+        ORDER BY n_occ DESC, gram LIMIT 50""",
+    "bm25_topk": """
+        WITH tok AS (SELECT doc_id,
+                            unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+                     FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM documents),
+        ad AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM nn) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, t, count(*) AS tf FROM tok
+               WHERE t IN ('scan', 'join', 'window') GROUP BY 1, 2),
+        dft AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        sc AS (SELECT tf.doc_id,
+                      sum(ln(((SELECT n FROM nn) - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                          * tf.tf * (1.2 + 1.0)
+                          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+                                            / (SELECT avgdl FROM ad)))) AS s
+               FROM tf JOIN dft USING (t) JOIN dl USING (doc_id) GROUP BY 1)
+        SELECT doc_id, round(s, 6) AS score FROM sc
+        ORDER BY round(s, 6) DESC, doc_id LIMIT 20""",
     "hll_users": """
         SELECT count(DISTINCT user_id)::BIGINT AS n_users_exact,
                true AS hll_within_2pct
@@ -3155,6 +3620,13 @@ ORACLE_SQL = {
                count(*)::BIGINT AS n_rows
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "cube_qty": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+               count(*)::BIGINT AS n_rows
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)""",
     "scc": f"""
         WITH RECURSIVE {_EDGES_CTE},
         oriented AS (

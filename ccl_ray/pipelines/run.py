@@ -28,7 +28,8 @@ def main(argv=None) -> int:
         default="flagship",
         choices=["flagship", "cc", "pagerank", "labelprop", "triangles",
                  "hits", "communities", "ktruss", "modularity",
-                 "betweenness", "eigenvector", "scc", "walks"],
+                 "betweenness", "eigenvector", "scc", "walks",
+                 "coreness", "matching", "coloring"],
     )
     ap.add_argument("--seed-type", default="signup",
                     help="labelprop: events of this event_type seed their own id")
@@ -303,6 +304,42 @@ def main(argv=None) -> int:
         corpus.write_parquet(path)
         manifest["tables"]["walks"] = {
             "path": path, "rows": corpus.count(), "walk_len": args.walk_len,
+        }
+
+    if args.pipeline == "coreness":
+        from ccl_ray.stages.coreness import core_decomposition
+
+        out, rounds = core_decomposition(
+            edges.select_columns(["src", "dst"]), vertices=verts, cfg=cfg
+        )
+        path = os.path.join(args.out, "coreness")
+        out.write_parquet(path)
+        manifest["tables"]["coreness"] = {
+            "path": path, "rows": out.count(), "rounds": rounds,
+        }
+
+    if args.pipeline == "matching":
+        from ccl_ray.stages.matching import maximal_matching
+
+        out, rounds = maximal_matching(
+            edges.select_columns(["src", "dst"]), cfg=cfg
+        )
+        path = os.path.join(args.out, "matching")
+        out.write_parquet(path)
+        manifest["tables"]["matching"] = {
+            "path": path, "rows": out.count(), "rounds": rounds,
+        }
+
+    if args.pipeline == "coloring":
+        from ccl_ray.stages.coloring import greedy_coloring
+
+        out, rounds = greedy_coloring(
+            edges.select_columns(["src", "dst"]), vertices=verts, cfg=cfg
+        )
+        path = os.path.join(args.out, "coloring")
+        out.write_parquet(path)
+        manifest["tables"]["coloring"] = {
+            "path": path, "rows": out.count(), "rounds": rounds,
         }
 
     manifest["wall_s"] = round(time.perf_counter() - t0, 3)

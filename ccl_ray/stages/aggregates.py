@@ -561,3 +561,44 @@ def rollup_sum(
         return pd.concat(levels, ignore_index=True)
 
     return finest.repartition(1).map_batches(cascade, batch_format="pandas")
+
+
+def cube_sum(
+    ds: "rd.Dataset",
+    keys: list[str],
+    sums: dict[str, str],
+    *,
+    count_as: str | None = None,
+    all_token: str = "ALL",
+) -> "rd.Dataset":
+    """GROUP BY CUBE(keys): every one of the 2^k grouping sets, rolled-up
+    key columns carrying ``all_token`` (the rollup_sum sentinel contract).
+
+    Same scale shape as rollup_sum: the fact table aggregates ONCE at the
+    finest granularity; all coarser sets re-aggregate from that tiny
+    finest aggregate (cardinality = distinct key combinations), so the
+    2^k fan-out never touches fact rows."""
+    import itertools
+
+    import pandas as pd
+
+    val_cols = list(sums.values()) + ([count_as] if count_as else [])
+    finest = partial_sum_agg(ds, keys, sums, count_as=count_as)
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        levels = [df[keys + val_cols]]
+        for r in range(len(keys)):
+            for kept in itertools.combinations(keys, r):
+                cur = df.copy()
+                for c in keys:
+                    if c not in kept:
+                        cur[c] = all_token
+                grouped = (
+                    cur.groupby(keys, sort=False, dropna=False)[val_cols]
+                    .sum()
+                    .reset_index()
+                )
+                levels.append(grouped[keys + val_cols])
+        return pd.concat(levels, ignore_index=True)
+
+    return finest.repartition(1).map_batches(expand, batch_format="pandas")

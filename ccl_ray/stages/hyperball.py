@@ -204,3 +204,108 @@ def hyperball_oracle(
         reg = new
         nf.append((t, float(hll_estimates(reg, p).sum())))
     return nf, reg
+
+
+@ray.remote(num_returns=2)
+def _hb_harmonic_update(reg, prev_est, h_acc, t, p):
+    """(new per-vertex estimates, updated harmonic accumulator): the
+    HyperANF harmonic rule h += (|B_t| − |B_{t−1}|)/t per vertex."""
+    est = hll_estimates(reg, p)
+    return est, h_acc + (est - prev_est) / float(t)
+
+
+@ray.remote
+def _hb_harmonic_table(vids, h_acc, round_to):
+    return pa.table(
+        {
+            "vid": pa.array(vids),
+            "harmonic": pa.array(np.round(h_acc, round_to)),
+        }
+    )
+
+
+def hyperball_harmonic(
+    edges,
+    *,
+    p: int = 6,
+    vertices=None,
+    cfg: EngineConfig | None = None,
+    max_rounds: int = 128,
+    round_to: int = 6,
+):
+    """((vid, harmonic) Dataset, rounds) — per-vertex HARMONIC centrality
+    estimates from the HyperBall register stream (Boldi–Vigna HyperANF:
+    h(v) = Σ_t (|B_t(v)| − |B_{t−1}(v)|)/t, the sketch estimate of
+    Σ_{u≠v} 1/d(v,u)). Same deterministic register loop as hyperball();
+    the only extra per-round state is two float64 vectors per shard, so
+    the exchange volume is unchanged. Deterministic given the vid set —
+    the numpy twin reproduces values bit-for-bit."""
+    import ray.data as rd
+
+    cfg = cfg or EngineConfig()
+    P = cfg.num_partitions
+    m = 1 << p
+    csr = shard_edges_csr(edges, P, symmetrize=True, dedupe=True, drop_self=True)
+    vid_refs = shard_vertices(edges, P, vertices_ds=vertices)
+    plans = scatter_plans(csr, vid_refs, P)
+    from ccl_ray.state.shards import combine_plans
+
+    cplans = combine_plans(vid_refs, plans, P)
+
+    reg = [_hb_init.remote(vid_refs[q], p) for q in range(P)]
+
+    @ray.remote(num_returns=2)
+    def _init_acc(r, p):
+        est = hll_estimates(r, p)
+        return est, np.zeros(r.shape[0], np.float64)
+
+    init = [_init_acc.remote(reg[q], p) for q in range(P)]
+    prev = [i[0] for i in init]
+    acc = [i[1] for i in init]
+    t = 0
+    while t < max_rounds:
+        t += 1
+        outs = [_hb_scatter.remote(plans[q], reg[q], P, m) for q in range(P)]
+        res = [_hb_combine.remote(q, cplans[q], reg[q], *outs) for q in range(P)]
+        reg = [r[0] for r in res]
+        changed = int(sum(ray.get([r[1] for r in res])))
+        upd = [
+            _hb_harmonic_update.remote(reg[q], prev[q], acc[q], t, p)
+            for q in range(P)
+        ]
+        prev = [u[0] for u in upd]
+        acc = [u[1] for u in upd]
+        if changed == 0:
+            break
+
+    tables = [
+        _hb_harmonic_table.remote(vid_refs[q], acc[q], round_to) for q in range(P)
+    ]
+    return rd.from_arrow_refs(tables), t
+
+
+def hyperball_harmonic_oracle(
+    src: np.ndarray, dst: np.ndarray, vids: np.ndarray, *, p: int = 6,
+    max_rounds: int = 128, round_to: int = 6,
+) -> dict:
+    """Driver numpy twin of hyperball_harmonic — identical hashing, merge,
+    estimate and accumulation order. {vid: rounded harmonic}."""
+    vids = np.sort(np.asarray(vids, np.int64))
+    s = np.searchsorted(vids, np.concatenate([src, dst]).astype(np.int64))
+    d = np.searchsorted(vids, np.concatenate([dst, src]).astype(np.int64))
+    keep = s != d
+    s, d = s[keep], d[keep]
+    reg = init_registers(vids, p)
+    prev = hll_estimates(reg, p)
+    acc = np.zeros(len(vids), np.float64)
+    for t in range(1, max_rounds + 1):
+        new = reg.copy()
+        np.maximum.at(new, d, reg[s])
+        stop = (new == reg).all()
+        reg = new
+        est = hll_estimates(reg, p)
+        acc = acc + (est - prev) / float(t)
+        prev = est
+        if stop:
+            break
+    return {int(v): float(r) for v, r in zip(vids, np.round(acc, round_to))}

@@ -669,3 +669,250 @@ def grouped_top_terms(
         .groupby("part")
         .map_groups(topk_part, batch_format="pandas")
     )
+
+
+def postings(docs: "rd.Dataset", *, cap: int = 10,
+             num_partitions: int | None = None) -> "rd.Dataset":
+    """(term, df, top_docs): the inverted index — document frequency plus
+    the first ``cap`` doc_ids (ascending, comma-joined) per term.
+
+    Distributed shape: per-batch DISTINCT (doc_id, term) partials (the raw
+    token stream never leaves its task) → hash(term)-partition-grouped
+    finisher that computes df and the capped sorted posting head in one
+    lexsort per partition. Output cardinality is the vocabulary, not the
+    corpus; at scale the consumer writes it straight to partitioned
+    parquet (the posting LISTS are capped — a full index would keep the
+    (term, doc) pair table itself, which this stage's partials already
+    are).
+    """
+    import pyarrow as pa
+
+    from ccl_ray.config import resolve_partitions
+    from ccl_ray.functions.hashing import stable_hash64_np
+
+    P = resolve_partitions(num_partitions)
+
+    class DocTerms:
+        def __init__(self):
+            import re
+
+            self.tok = re.compile(TOKEN_RE)
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            ids, terms = [], []
+            for did, t in zip(df["doc_id"].values, df["text"]):
+                ws = sorted(set(self.tok.findall(t.lower())))
+                ids.append(np.full(len(ws), did, dtype=np.int64))
+                terms.append(np.array(ws, dtype=object))
+            if not ids:
+                return pa.table(
+                    {"doc_id": pa.array([], pa.int64()),
+                     "term": pa.array([], pa.string())}
+                )
+            return pa.table(
+                {"doc_id": pa.array(np.concatenate(ids), pa.int64()),
+                 "term": pa.array(np.concatenate(terms), pa.string())}
+            )
+
+    def route(b: pa.Table) -> pa.Table:
+        # stable across processes: hash() is salted — use the term bytes
+        import hashlib
+
+        h = np.array(
+            [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+             for t in b.column("term").to_pylist()],
+            dtype=np.uint64,
+        )
+        return b.append_column("part", pa.array((h % np.uint64(P)).astype(np.int64)))
+
+    out_schema = pa.schema(
+        [("term", pa.string()), ("df", pa.int64()), ("top_docs", pa.string())]
+    )
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return out_schema.empty_table()
+        tcodes, _ = pd.factorize(df["term"].values, sort=True)
+        did = df["doc_id"].values.astype(np.int64)
+        order = np.lexsort((did, tcodes))
+        tc, dd = tcodes[order], did[order]
+        terms = df["term"].values[order]
+        m = len(tc)
+        start = np.empty(m, bool)
+        start[0] = True
+        start[1:] = tc[1:] != tc[:-1]
+        starts = np.nonzero(start)[0]
+        dfreq = np.diff(np.append(starts, m)).astype(np.int64)
+        rn = np.arange(m) - np.repeat(starts, dfreq)
+        kept = rn < cap
+        g = pd.DataFrame({"term": terms[kept], "d": dd[kept].astype(str)})
+        lists = g.groupby("term", sort=True)["d"].agg(",".join)
+        return pa.table(
+            {"term": pa.array(terms[starts], pa.string()),
+             "df": pa.array(dfreq),
+             "top_docs": pa.array(lists.loc[terms[starts]].values, pa.string())}
+        )
+
+    pairs = docs.map_batches(DocTerms, batch_format="pandas",
+                             concurrency=(1, 8), max_restarts=0)
+    return (
+        pairs.map_batches(route, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def bm25_topk(docs: "rd.Dataset", query_terms: list[str], *, k: int = 20,
+              k1: float = 1.2, b: float = 0.75) -> "rd.Dataset":
+    """(doc_id, score): top-k documents by Okapi BM25 against a FIXED
+    query term set. idf = ln((N − df + 0.5)/(df + 0.5) + 1) (the Lucene
+    plus-one form, never negative); scores rounded to 6 BEFORE ranking so
+    the cut resolves identically in the SQL oracle (order: score desc,
+    doc_id asc).
+
+    Distributed shape: one tokenizing pass emits per-doc (dl, tf per query
+    term) — the query is a tiny broadcast list, the token stream never
+    leaves the task; N, Σdl (exact int64) and per-term df reduce to
+    scalars; a second vectorized pass scores every matching doc and a
+    global sort takes the head. No shuffle touches corpus-sized data.
+    """
+    import pyarrow as pa
+
+    qt = sorted(set(query_terms))
+
+    class TfPass:
+        def __init__(self):
+            import re
+
+            self.tok = re.compile(TOKEN_RE)
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            n = len(df)
+            dl = np.zeros(n, np.int64)
+            tfs = {t: np.zeros(n, np.int64) for t in qt}
+            for i, t in enumerate(df["text"]):
+                ws = self.tok.findall(t.lower())
+                dl[i] = len(ws)
+                if ws:
+                    vals, cnts = np.unique(np.array(ws, dtype=object),
+                                           return_counts=True)
+                    lut = dict(zip(vals, cnts))
+                    for q in qt:
+                        tfs[q][i] = lut.get(q, 0)
+            cols = {"doc_id": pa.array(df["doc_id"].values, pa.int64()),
+                    "dl": pa.array(dl)}
+            for q in qt:
+                cols[f"tf_{q}"] = pa.array(tfs[q])
+            return pa.table(cols)
+
+    stats = docs.map_batches(TfPass, batch_format="pandas",
+                             concurrency=(1, 8), max_restarts=0).materialize()
+    import ray.data.aggregate as agg
+
+    totals = stats.aggregate(agg.Count(), agg.Sum("dl"))
+    n_docs = int(totals["count()"])
+    sum_dl = int(totals["sum(dl)"])
+    avgdl = sum_dl / n_docs if n_docs else 0.0
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {f"df_{q}": pa.array(
+                [int((t.column(f"tf_{q}").to_numpy(zero_copy_only=False) > 0).sum())],
+                pa.int64(),
+            ) for q in qt}
+        )
+
+    dfs = stats.map_batches(df_partial, batch_format="pyarrow").aggregate(
+        *[agg.Sum(f"df_{q}") for q in qt]
+    )
+    idf = {
+        q: float(np.log(
+            (n_docs - int(dfs[f"sum(df_{q})"] or 0) + 0.5)
+            / (int(dfs[f"sum(df_{q})"] or 0) + 0.5) + 1.0
+        ))
+        for q in qt
+    }
+
+    def score(t: pa.Table) -> pa.Table:
+        dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        norm = k1 * (1.0 - b + b * dl / avgdl) if avgdl else k1
+        s = np.zeros(t.num_rows, np.float64)
+        for q in qt:
+            tf = t.column(f"tf_{q}").to_numpy(zero_copy_only=False).astype(np.float64)
+            s += idf[q] * tf * (k1 + 1.0) / (tf + norm)
+        keep = s > 0
+        return pa.table(
+            {"doc_id": pa.array(
+                t.column("doc_id").to_numpy(zero_copy_only=False)[keep]
+            ), "score": pa.array(np.round(s[keep], 6))}
+        )
+
+    return stats.map_batches(score, batch_format="pyarrow").sort(
+        ["score", "doc_id"], descending=[True, False]
+    ).limit(k)
+
+
+def dup_ngrams(docs: "rd.Dataset", *, n: int = 5, min_docs: int = 2,
+               k: int = 50) -> "rd.Dataset":
+    """(gram, n_docs, n_occ): token n-grams repeated across ≥ ``min_docs``
+    documents — the exact-substring duplication signal (the Lee et al.
+    2022 "Deduplicating Training Data" span heuristic at n-gram
+    granularity), top-k by total occurrences (ties: gram asc).
+
+    Distributed shape: each batch emits per-(doc, gram) COUNTS (a doc
+    lives in one row, so cross-batch (doc, gram) duplicates cannot
+    exist); one partial-agg groupby on gram then counts documents (rows)
+    and sums occurrences. The gram stream is corpus-sized but collapses
+    per batch before the exchange; only the aggregated gram table (≤
+    vocabulary^n but in practice near-linear) is sorted for the head.
+    """
+    import pyarrow as pa
+
+    from ccl_ray.stages.aggregates import partitioned_groupby_agg
+
+    class DocGrams:
+        def __init__(self):
+            import re
+
+            self.tok = re.compile(TOKEN_RE)
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            ids, grams, cnts = [], [], []
+            for did, t in zip(df["doc_id"].values, df["text"]):
+                ws = self.tok.findall(t.lower())
+                if len(ws) < n:
+                    continue
+                gs = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+                u, c = np.unique(np.array(gs, dtype=object), return_counts=True)
+                ids.append(np.full(len(u), did, np.int64))
+                grams.append(u)
+                cnts.append(c.astype(np.int64))
+            if not ids:
+                return pa.table(
+                    {"gram": pa.array([], pa.string()),
+                     "docs": pa.array([], pa.int64()),
+                     "occ": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {"gram": pa.array(np.concatenate(grams), pa.string()),
+                 "docs": pa.array(np.ones(sum(len(x) for x in ids), np.int64)),
+                 "occ": pa.array(np.concatenate(cnts))}
+            )
+
+    agg = partitioned_groupby_agg(
+        docs.map_batches(DocGrams, batch_format="pandas",
+                         concurrency=(1, 8), max_restarts=0),
+        ["gram"],
+        {"n_docs": ("docs", "sum"), "n_occ": ("occ", "sum")},
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t.column("n_docs"), min_docs))
+
+    return (
+        agg.map_batches(keep, batch_format="pyarrow")
+        .sort(["n_occ", "gram"], descending=[True, False])
+        .limit(k)
+    )

@@ -86,3 +86,59 @@ def test_hll_estimate_sanity():
     merged = reg.max(axis=0, keepdims=True)
     est = hll_estimates(merged, 6)[0]
     assert abs(est - 5000) / 5000 < 0.2, est
+
+
+def test_harmonic_matches_numpy_twin(ray_session):
+    from ccl_ray.stages.hyperball import hyperball_harmonic, hyperball_harmonic_oracle
+
+    rng = np.random.default_rng(13)
+    n, m = 250, 800
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    want = hyperball_harmonic_oracle(
+        src, dst, np.unique(np.concatenate([src, dst])), p=6
+    )
+    for P in (1, 4):
+        ds, rounds = hyperball_harmonic(
+            _ds(src, dst), p=6, cfg=EngineConfig(num_partitions=P)
+        )
+        df = ds.to_pandas()
+        got = {int(v): float(h) for v, h in zip(df["vid"], df["harmonic"])}
+        assert got == want, P
+
+
+def test_harmonic_accuracy_vs_exact(ray_session):
+    """Sketch harmonic tracks the exact harmonic centrality within the
+    p=6 error envelope on a small graph (aggregate relative error)."""
+    from ccl_ray.stages.hyperball import hyperball_harmonic
+
+    rng = np.random.default_rng(4)
+    n, m = 120, 500
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    # exact harmonic via BFS per vertex
+    nbrs = {v: set() for v in range(n)}
+    for a, b in zip(src, dst):
+        if a != b:
+            nbrs[int(a)].add(int(b))
+            nbrs[int(b)].add(int(a))
+    import collections
+
+    exact = np.zeros(n)
+    for s0 in range(n):
+        dist = {s0: 0}
+        q = collections.deque([s0])
+        while q:
+            u = q.popleft()
+            for w in nbrs[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        exact[s0] = sum(1.0 / d for v, d in dist.items() if d > 0)
+    ds, _ = hyperball_harmonic(_ds(src, dst), p=6,
+                               cfg=EngineConfig(num_partitions=4))
+    df = ds.to_pandas().sort_values("vid")
+    got = df["harmonic"].values
+    vids = df["vid"].values.astype(int)
+    rel = abs(got.sum() - exact[vids].sum()) / exact[vids].sum()
+    assert rel < 0.25, rel

@@ -1,0 +1,101 @@
+"""Maximal matching vs the sequential greedy oracle (same priority order).
+
+The mutual-minimum parallel rounds compute exactly the greedy maximal
+matching over edges sorted by the injective priority — the standard
+equivalence (each round matches every edge that is the minimum among its
+still-alive conflicts, which is the same fixpoint the sequential scan
+reaches)."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ccl_ray.config import EngineConfig
+from ccl_ray.stages.matching import PRIO_K, maximal_matching
+
+
+def greedy_oracle(src, dst):
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    a = np.minimum(src, dst)
+    b = np.maximum(src, dst)
+    pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+    prio = (
+        (pairs[:, 0].astype(np.uint64) << np.uint64(32))
+        | pairs[:, 1].astype(np.uint64)
+    ) * PRIO_K
+    order = np.argsort(prio)
+    matched = set()
+    out = []
+    for i in order:
+        u, v = int(pairs[i, 0]), int(pairs[i, 1])
+        if u not in matched and v not in matched:
+            matched.add(u)
+            matched.add(v)
+            out.append((u, v))
+    return sorted(out)
+
+
+def _edges_ds(src, dst, blocks=4):
+    t = pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    return rd.from_arrow(t).repartition(blocks)
+
+
+def _check(src, dst, P, exchange="grouped"):
+    cfg = EngineConfig(num_partitions=P, exchange=exchange)
+    ds, rounds = maximal_matching(_edges_ds(src, dst), cfg=cfg)
+    df = ds.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    got = list(zip(df["src"].tolist(), df["dst"].tolist()))
+    want = greedy_oracle(src, dst)
+    assert got == want, f"{got} vs {want}"
+    return rounds
+
+
+def test_path_and_triangle(ray_session):
+    # path 0-1-2-3 plus triangle 10-11-12
+    _check([0, 1, 2, 10, 11, 12], [1, 2, 3, 11, 12, 10], P=3)
+
+
+def test_star_matches_one_edge(ray_session):
+    src = [0] * 8
+    dst = list(range(1, 9))
+    cfg = EngineConfig(num_partitions=4)
+    ds, _ = maximal_matching(_edges_ds(src, dst), cfg=cfg)
+    assert ds.count() == 1
+
+
+def test_random_graph_all_partitions(ray_session):
+    rng = np.random.default_rng(23)
+    n, m = 200, 800
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    for P in (1, 4):
+        rounds = _check(src, dst, P=P)
+        assert rounds <= 32
+
+
+def test_fanout_exchange_parity(ray_session):
+    rng = np.random.default_rng(3)
+    n, m = 100, 350
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    _check(src, dst, P=3, exchange="fanout")
+
+
+def test_maximality(ray_session):
+    # no alive edge may remain: every edge has a matched endpoint
+    rng = np.random.default_rng(41)
+    n, m = 120, 500
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    cfg = EngineConfig(num_partitions=4)
+    ds, _ = maximal_matching(_edges_ds(src, dst), cfg=cfg)
+    df = ds.to_pandas()
+    matched = set(df["src"]) | set(df["dst"])
+    assert len(matched) == 2 * len(df)  # disjoint pairs
+    for u, v in zip(src.tolist(), dst.tolist()):
+        if u != v:
+            assert u in matched or v in matched
