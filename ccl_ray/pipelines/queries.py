@@ -951,7 +951,20 @@ def q_matching(sf_dir: str):
     return ds
 
 
-def _matching_oracle_sql(k: int = _MATCH_K) -> str:
+# the engine's packed uint64 mixing, bit-for-bit in HUGEINT
+_MATCH_PRIO_SQL = (
+    "((src::HUGEINT * 4294967296 + dst) * 11400714819323198485)"
+    " % 18446744073709551616"
+)
+# weighted variant: weight rank (descending) in the top 3 bits, 61 mix
+# bits below — matching.py's (levels−1−w) << 61 | mix >> 3
+_WMATCH_PRIO_SQL = (
+    f"(7 - (1 + (src + dst) % 7))::HUGEINT * 2305843009213693952"
+    f" + ({_MATCH_PRIO_SQL}) // 8"
+)
+
+
+def _matching_oracle_sql(k: int = _MATCH_K, prio_sql: str = _MATCH_PRIO_SQL) -> str:
     """k-round unrolled deterministic maximal matching (stages/matching.py
     twin): per round, an alive edge whose priority is the min at both
     endpoints joins; its endpoints leave. Priority arithmetic in HUGEINT
@@ -959,8 +972,7 @@ def _matching_oracle_sql(k: int = _MATCH_K) -> str:
     canonical src < dst). Rounds past the fixpoint are no-ops."""
     parts = [
         "unde AS MATERIALIZED (SELECT src AS a, dst AS b,"
-        " ((src::HUGEINT * 4294967296 + dst) * 11400714819323198485)"
-        " % 18446744073709551616 AS p FROM edgu WHERE src <> dst)",
+        f" {prio_sql} AS p FROM edgu WHERE src <> dst)",
         "m0 AS MATERIALIZED (SELECT a AS v FROM unde WHERE false)",
         "s0 AS MATERIALIZED (SELECT a, b FROM unde WHERE false)",
     ]
@@ -984,6 +996,30 @@ def _matching_oracle_sql(k: int = _MATCH_K) -> str:
         "WITH " + _EDGES_CTE + ",\n" + ",\n".join(parts) + f"""
         SELECT a AS src, b AS dst FROM s{k}"""
     )
+
+
+def q_weighted_matching(sf_dir: str):
+    """Greedy maximum-weight matching (½-approx) over the events graph
+    with integer weights w = 1 + (src+dst) % 7 — heavier edges first,
+    hash tie-break (stages/matching.py weighted priorities). Same
+    mutual-minimum rounds, so the unrolled SQL twin is exact."""
+    from ccl_ray.stages.matching import maximal_matching
+
+    def add_w(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"src": t.column("src"), "dst": t.column("dst"),
+             "w": pa.array((1 + (s + d) % 7).astype(np.float64))}
+        )
+
+    ds, rounds = maximal_matching(
+        _edges_memo(sf_dir).select_columns(["src", "dst"]).map_batches(
+            add_w, batch_format="pyarrow"
+        ),
+        cfg=_cfg(), max_rounds=_MATCH_K, weight_col="w",
+    )
+    return ds
 
 
 # unroll depth of the coloring SQL twin; the engine asserts the JP
@@ -1740,6 +1776,106 @@ def q_type_mixing(sf_dir: str):
     )
 
 
+def q_type_cosine(sf_dir: str):
+    """Pairwise cosine similarity between event types, each represented by
+    its per-user event-count vector — the item-item collaborative-
+    similarity shape. Composition: (type, user) counts via the partial-agg
+    combiner → pairwise per-user products via one self hash-join on user
+    (types are few; users never broadcast) → dots via one more partial-agg;
+    norms are a type-cardinality aggregate. Rounded to 6 on both sides."""
+    from ccl_ray.stages.aggregates import partitioned_groupby_agg
+    from ccl_ray.stages.exchange import hash_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    counts = partial_sum_agg(
+        ev, ["event_type", "user_id"], {}, count_as="n"
+    ).materialize()
+
+    def sq(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": t.column("event_type"), "n2": pa.array(n * n)})
+
+    norms = partial_sum_agg(
+        counts.map_batches(sq, batch_format="pyarrow"), ["event_type"], {"n2": "n2"}
+    ).to_pandas()
+    norm_map = {t: float(np.sqrt(v)) for t, v in zip(norms["event_type"], norms["n2"])}
+
+    j = hash_join(
+        counts,
+        counts.rename_columns(
+            {"event_type": "type_b", "user_id": "u2", "n": "nb"}
+        ),
+        left_on="user_id", right_on="u2", num_partitions=8,
+    )
+
+    def prods(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.less(t.column("event_type"), t.column("type_b"))
+        t = t.filter(keep)
+        na = t.column("n").to_numpy(zero_copy_only=False)
+        nb = t.column("nb").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"type_a": t.column("event_type"), "type_b": t.column("type_b"),
+             "dot": pa.array(na * nb)}
+        )
+
+    dots = partial_sum_agg(
+        j.map_batches(prods, batch_format="pyarrow"),
+        ["type_a", "type_b"], {"dot": "dot"},
+    ).to_pandas()
+    cos = [
+        round(d / (norm_map[a] * norm_map[b]), 6)
+        for a, b, d in zip(dots["type_a"], dots["type_b"], dots["dot"])
+    ]
+    out = pd.DataFrame(
+        {"type_a": dots["type_a"], "type_b": dots["type_b"],
+         "cosine": np.array(cos, np.float64)}
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Retention cohort matrix — (cohort_day, day_offset, n_users): users
+    grouped by their first active day, counted on each later active day.
+    Day ordinals are exact integers (µs // 86400e6) on both sides, so the
+    twin is exact. Composition: distinct (user, day) via the partial-agg
+    combiner → per-user min day → one hash join → one more partial-agg at
+    (cohort, offset) cardinality. Raw events aggregate once; nothing
+    user-cardinality ever reaches the driver."""
+    from ccl_ray.stages.aggregates import partitioned_groupby_agg
+    from ccl_ray.stages.exchange import hash_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"user_id": t.column("user_id"), "d": pa.array(us // _US_PER_DAY)}
+        )
+
+    act = partial_sum_agg(
+        ev.map_batches(days, batch_format="pyarrow"), ["user_id", "d"], {}
+    ).select_columns(["user_id", "d"]).materialize()
+    coh = partitioned_groupby_agg(act, ["user_id"], {"c": ("d", "min")})
+    j = hash_join(
+        act, coh.rename_columns({"user_id": "u2"}),
+        left_on="user_id", right_on="u2", num_partitions=8,
+    )
+
+    def offs(t: pa.Table) -> pa.Table:
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"cohort_day": pa.array(c), "day_offset": pa.array(d - c)}
+        )
+
+    return partial_sum_agg(
+        j.map_batches(offs, batch_format="pyarrow"),
+        ["cohort_day", "day_offset"], {}, count_as="n_users",
+    )
+
+
 def q_graph_summary(sf_dir: str):
     """One-row scalar summary of the events graph — n_vertices, n_edges
     (simple undirected), max_degree, n_isolated, avg_degree, density.
@@ -1969,6 +2105,39 @@ def q_eigenvector_close(sf_dir: str):
         {
             "n_vertices": pa.array([len(got)], pa.int64()),
             "iters_match": pa.array([bool(iters == want_it)], pa.bool_()),
+            "n_exceed_tol": pa.array([int((gaps > tol).sum())], pa.int64()),
+            "max_abs_gap_r4": pa.array([round(float(gaps.max()), 4)], pa.float64()),
+        }
+    )
+
+
+def q_katz_close(sf_dir: str):
+    """Driver-visible cross-check for Katz centrality (x ← α·Ax + β·1 to
+    an L1 fixpoint; α = 0.5/max_degree graph-derived so it always
+    converges — tol-based, legitimately non-SQL): engine scores vs the
+    dense numpy twin, iteration count and α asserted equal. Constant SQL
+    pins the shape. Gate-only driver pull."""
+    from ccl_ray.stages.katz import katz_centrality, katz_oracle
+
+    tol, max_iters = 1e-8, 100
+    edges = _edges_memo(sf_dir).select_columns(["src", "dst"])
+    ds, iters, alpha = katz_centrality(
+        edges, tol=tol, max_iters=max_iters, vertices=_verts_memo(sf_dir),
+        cfg=_cfg(), round_to=12,
+    )
+    got = ds.to_pandas()
+    e = edges.to_pandas()
+    want, want_it, want_alpha = katz_oracle(
+        e["src"].values, e["dst"].values, got["vid"].values.astype(np.int64),
+        tol=tol, max_iters=max_iters,
+    )
+    gaps = np.abs(got["katz"].values - np.array([want[int(v)] for v in got["vid"]]))
+    return pa.table(
+        {
+            "n_vertices": pa.array([len(got)], pa.int64()),
+            "iters_match": pa.array(
+                [bool(iters == want_it and alpha == want_alpha)], pa.bool_()
+            ),
             "n_exceed_tol": pa.array([int((gaps > tol).sum())], pa.int64()),
             "max_abs_gap_r4": pa.array([round(float(gaps.max()), 4)], pa.float64()),
         }
@@ -3048,11 +3217,13 @@ QUERIES = {
     "hits_close": q_hits_close,
     "pagerank_weighted_close": q_pagerank_weighted_close,
     "eigenvector_close": q_eigenvector_close,
+    "katz_close": q_katz_close,
     "betweenness_close": q_betweenness_close,
     "mis": q_mis,
     "coreness": q_coreness,
     "degeneracy": q_degeneracy,
     "matching": q_matching,
+    "weighted_matching": q_weighted_matching,
     "coloring": q_coloring,
     "postings": q_postings,
     "bm25_topk": q_bm25_topk,
@@ -3073,6 +3244,8 @@ QUERIES = {
     "directed_reach": q_directed_reach,
     "type_mixing": q_type_mixing,
     "graph_summary": q_graph_summary,
+    "retention_cohorts": q_retention_cohorts,
+    "type_cosine": q_type_cosine,
     "rich_club": q_rich_club,
     "powerlaw_alpha": q_powerlaw_alpha,
     "walk_corpus": q_walk_corpus,
@@ -3287,6 +3460,26 @@ _WALK_SQL = _walk_sql()
 
 ORACLE_SQL = {
     "edges_build": f"WITH {_EDGES_CTE} SELECT src, dst, etype, w FROM edg",
+    "type_cosine": """
+        WITH c AS (SELECT event_type, user_id, count(*) AS n
+                   FROM events GROUP BY 1, 2),
+        nrm AS (SELECT event_type, sum(n * n) AS n2 FROM c GROUP BY 1),
+        d AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     sum(a.n * b.n) AS dot
+              FROM c a JOIN c b ON a.user_id = b.user_id
+              WHERE a.event_type < b.event_type GROUP BY 1, 2)
+        SELECT d.type_a, d.type_b,
+               round(d.dot / (sqrt(x.n2) * sqrt(y.n2)), 6) AS cosine
+        FROM d JOIN nrm x ON x.event_type = d.type_a
+               JOIN nrm y ON y.event_type = d.type_b""",
+    "retention_cohorts": """
+        WITH act AS (SELECT DISTINCT user_id,
+                            CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+                     FROM events),
+        coh AS (SELECT user_id, min(d) AS c FROM act GROUP BY 1)
+        SELECT coh.c AS cohort_day, (act.d - coh.c)::BIGINT AS day_offset,
+               count(*)::BIGINT AS n_users
+        FROM act JOIN coh USING (user_id) GROUP BY 1, 2""",
     "graph_summary": f"""
         WITH {_EDGES_CTE},
         deg AS (SELECT v, count(*) AS degree
@@ -3436,6 +3629,10 @@ ORACLE_SQL = {
         SELECT count(*)::BIGINT AS n_vertices, true AS iters_match,
                0::BIGINT AS n_exceed_tol, 0.0::DOUBLE AS max_abs_gap_r4
         FROM events""",
+    "katz_close": """
+        SELECT count(*)::BIGINT AS n_vertices, true AS iters_match,
+               0::BIGINT AS n_exceed_tol, 0.0::DOUBLE AS max_abs_gap_r4
+        FROM events""",
     "betweenness_close": """
         SELECT count(*)::BIGINT AS n_vertices, 4::BIGINT AS n_seeds,
                0::BIGINT AS n_exceed_tol, 0.0::DOUBLE AS max_rel_gap_r4
@@ -3475,6 +3672,7 @@ ORACLE_SQL = {
     "coreness": _coreness_oracle_sql(),
     "degeneracy": _degeneracy_oracle_sql(),
     "matching": _matching_oracle_sql(),
+    "weighted_matching": _matching_oracle_sql(prio_sql=_WMATCH_PRIO_SQL),
     "coloring": _coloring_oracle_sql(),
     "postings": """
         WITH tok AS (SELECT DISTINCT doc_id, t FROM

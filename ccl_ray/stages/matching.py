@@ -45,9 +45,20 @@ _PMAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 _NO_MATE = np.int64(-1)
 
 
+# weighted priorities pack the (quantized) weight rank into the top 3
+# bits: prio = (levels−1−w) << 61 | mix >> 3 — heavier edges sort first,
+# the 61-bit mix remainder breaks ties. Injectivity among edges sharing a
+# source is ASSERTED (a tie between two incident edges would deadlock the
+# mutual-minimum rule); with 61 mix bits a collision needs ~2^30 edges on
+# one vertex.
+_W_LEVELS = 8
+_W_SHIFT = np.uint64(61)
+
+
 @ray.remote
-def _edge_prio(vids, csr, plan):
-    """Static per-edge priority for one shard: mix(canonical packed pair)."""
+def _edge_prio(vids, csr, plan, weighted):
+    """Static per-edge priority for one shard: mix(canonical packed pair),
+    optionally weight-ranked (greedy MAX-weight order) in the top bits."""
     if plan["n_edges"] == 0:
         return np.empty(0, np.uint64)
     src = vids[plan["edge_src_idx"].astype(np.int64)]
@@ -58,7 +69,26 @@ def _edge_prio(vids, csr, plan):
     )
     a = np.minimum(src, dst).astype(np.uint64)
     b = np.maximum(src, dst).astype(np.uint64)
-    return ((a << np.uint64(32)) | b) * PRIO_K
+    base = ((a << np.uint64(32)) | b) * PRIO_K
+    if not weighted:
+        return base
+    w = csr["w"]
+    wi = w.astype(np.int64)
+    assert (wi == w).all() and (wi >= 0).all() and (wi < _W_LEVELS).all(), (
+        f"weighted matching requires integer weights in [0, {_W_LEVELS})"
+    )
+    prio = ((np.uint64(_W_LEVELS - 1) - wi.astype(np.uint64)) << _W_SHIFT) | (
+        base >> np.uint64(3)
+    )
+    # no two edges sharing a SOURCE may collide (every edge incident to a
+    # vertex lives in that vertex's shard as a src=v row, so this check is
+    # globally complete)
+    sidx = plan["edge_src_idx"].astype(np.int64)
+    order = np.lexsort((dst, prio, sidx))
+    ss, pp, dd = sidx[order], prio[order], dst[order]
+    dup = (ss[1:] == ss[:-1]) & (pp[1:] == pp[:-1]) & (dd[1:] != dd[:-1])
+    assert not dup.any(), "weighted matching priority collision"
+    return prio
 
 
 def _vmin_pieces(plan, prio_e, unmatched, P):
@@ -205,20 +235,31 @@ def maximal_matching(
     vertices=None,
     cfg: EngineConfig | None = None,
     max_rounds: int = 64,
+    weight_col: str | None = None,
 ):
     """((src, dst) matched-pair Dataset (canonical src < dst), rounds run)
     — deterministic maximal matching of the undirected simple graph of
     ``edges`` (deduped, loop-free). Raises past ``max_rounds`` (callers
-    pairing this with an unrolled SQL twin pass the twin's depth)."""
+    pairing this with an unrolled SQL twin pass the twin's depth).
+
+    ``weight_col``: integer weights in [0, 8) — the greedy then prefers
+    HEAVIER edges (descending weight, hash tie-break), the classic
+    ½-approximation of maximum-weight matching; parallel edges keep the
+    MIN weight (the CSR dedupe rule), so weights that are a pure function
+    of the endpoints are unaffected."""
     import ray.data as rd
 
     cfg = cfg or EngineConfig()
     P = cfg.num_partitions
     grouped = cfg.exchange == "grouped"
-    csr = shard_edges_csr(edges, P, symmetrize=True, dedupe=True, drop_self=True)
+    csr = shard_edges_csr(edges, P, symmetrize=True, dedupe=True, drop_self=True,
+                          weight_col=weight_col)
     vid_refs = shard_vertices(edges, P, vertices_ds=vertices)
     plans = scatter_plans(csr, vid_refs, P)
-    prio = [_edge_prio.remote(vid_refs[p], csr[p], plans[p]) for p in range(P)]
+    prio = [
+        _edge_prio.remote(vid_refs[p], csr[p], plans[p], weight_col is not None)
+        for p in range(P)
+    ]
 
     @ray.remote(num_returns=2)
     def _init(vids):

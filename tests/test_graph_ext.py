@@ -965,3 +965,52 @@ def test_mis_isolated_and_empty():
     df = ds.to_pandas().set_index("vid").sort_index()
     assert bool(df.loc[3, "in_mis"]) and bool(df.loc[4, "in_mis"])
     assert int(df.loc[[0, 1, 2], "in_mis"].sum()) == 1
+
+
+def test_katz_matches_numpy_twin(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ccl_ray.config import EngineConfig
+    from ccl_ray.stages.katz import katz_centrality, katz_oracle
+
+    rng = np.random.default_rng(19)
+    n, m = 180, 700
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    want, want_it, want_alpha = katz_oracle(src, dst, np.unique(np.concatenate([src, dst])))
+    for P in (1, 4):
+        ds, iters, alpha = katz_centrality(
+            rd.from_arrow(t).repartition(4), cfg=EngineConfig(num_partitions=P)
+        )
+        assert iters == want_it and alpha == want_alpha, P
+        df = ds.to_pandas()
+        gaps = np.abs(df["katz"].values - np.array([want[int(v)] for v in df["vid"]]))
+        assert gaps.max() < 1e-8, (P, gaps.max())
+
+
+def test_katz_star_closed_form(ray_session):
+    """Star K_{1,k}: fixpoint center = β(1+αk)/(1−α²k), leaf =
+    β(1+α)/(1−α²k) with α = damping/k."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ccl_ray.config import EngineConfig
+    from ccl_ray.stages.katz import katz_centrality
+
+    k = 6
+    src = np.zeros(k, np.int64)
+    dst = np.arange(1, k + 1).astype(np.int64)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ds, _, alpha = katz_centrality(
+        rd.from_arrow(t), cfg=EngineConfig(num_partitions=3), tol=1e-12
+    )
+    df = ds.to_pandas().set_index("vid")["katz"]
+    denom = 1 - alpha * alpha * k
+    assert abs(df[0] - (1 + alpha * k) / denom) < 1e-6
+    assert abs(df[3] - (1 + alpha) / denom) < 1e-6

@@ -99,3 +99,74 @@ def test_maximality(ray_session):
     for u, v in zip(src.tolist(), dst.tolist()):
         if u != v:
             assert u in matched or v in matched
+
+
+def weighted_greedy_oracle(src, dst, wfun):
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    a = np.minimum(src, dst)
+    b = np.maximum(src, dst)
+    pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+    w = wfun(pairs[:, 0], pairs[:, 1])
+    base = (
+        (pairs[:, 0].astype(np.uint64) << np.uint64(32))
+        | pairs[:, 1].astype(np.uint64)
+    ) * PRIO_K
+    prio = ((np.uint64(7) - w.astype(np.uint64)) << np.uint64(61)) | (
+        base >> np.uint64(3)
+    )
+    order = np.argsort(prio)
+    matched = set()
+    out = []
+    for i in order:
+        u, v = int(pairs[i, 0]), int(pairs[i, 1])
+        if u not in matched and v not in matched:
+            matched.add(u)
+            matched.add(v)
+            out.append((u, v))
+    return sorted(out)
+
+
+def test_weighted_matching_prefers_heavy_edges(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ccl_ray.stages.matching import maximal_matching
+
+    # path 1-2-3: edge (2,3) has weight 7, (1,2) weight 1 -> (2,3) matches
+    t = pa.table(
+        {"src": pa.array([1, 2], pa.int64()), "dst": pa.array([2, 3], pa.int64()),
+         "w": pa.array([1.0, 7.0], pa.float64())}
+    )
+    ds, _ = maximal_matching(
+        rd.from_arrow(t), cfg=EngineConfig(num_partitions=2), weight_col="w"
+    )
+    assert ds.to_pandas().values.tolist() == [[2, 3]]
+
+
+def test_weighted_matching_matches_weighted_oracle(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ccl_ray.stages.matching import maximal_matching
+
+    rng = np.random.default_rng(31)
+    n, m = 150, 600
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    wfun = lambda a, b: (1 + (a + b) % 7).astype(np.int64)  # noqa: E731
+    want = weighted_greedy_oracle(src, dst, wfun)
+    t = pa.table(
+        {"src": pa.array(src), "dst": pa.array(dst),
+         "w": pa.array(wfun(np.minimum(src, dst), np.maximum(src, dst)).astype(np.float64))}
+    )
+    for P in (1, 4):
+        ds, rounds = maximal_matching(
+            rd.from_arrow(t).repartition(4),
+            cfg=EngineConfig(num_partitions=P), weight_col="w",
+        )
+        df = ds.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+        got = list(zip(df["src"].tolist(), df["dst"].tolist()))
+        assert got == want, P
