@@ -1855,12 +1855,14 @@ def q_retention_cohorts(sf_dir: str):
         )
 
     act = partial_sum_agg(
-        ev.map_batches(days, batch_format="pyarrow"), ["user_id", "d"], {}
+        ev.map_batches(days, batch_format="pyarrow"), ["user_id", "d"], {},
+        count_as="_n",
     ).select_columns(["user_id", "d"]).materialize()
     coh = partitioned_groupby_agg(act, ["user_id"], {"c": ("d", "min")})
     j = hash_join(
         act, coh.rename_columns({"user_id": "u2"}),
         left_on="user_id", right_on="u2", num_partitions=8,
+        right_schema=pa.schema([("u2", pa.int64()), ("c", pa.int64())]),
     )
 
     def offs(t: pa.Table) -> pa.Table:
