@@ -1776,6 +1776,30 @@ def q_type_mixing(sf_dir: str):
     )
 
 
+def q_value_ntile(sf_dir: str):
+    """Exact global rank + decile of every event under the total order
+    (value, event_id) — the distributed row_number/ntile primitive
+    (stages/rank.global_rank: one range sort, P integers to the driver).
+    Tile = ((rank−1)·10)//n + 1, the same expression in the SQL twin."""
+    from ccl_ray.stages.rank import global_rank
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    out = global_rank(ev, ["value", "event_id"], out="rnk", ntile=10)
+    return out.select_columns(["event_id", "rnk", "tile"])
+
+
+def q_doc_chunks(sf_dir: str):
+    """Context-window chunking (stages/pack.doc_chunks): overlapping
+    (max 512, stride 384) token segments per document from the token-count
+    table — pure arithmetic, exact SQL twin via generate_series."""
+    from ccl_ray.stages.pack import doc_chunks
+    from ccl_ray.stages.text import token_count
+
+    return doc_chunks(
+        token_count(_docs(sf_dir)), max_tokens=512, stride=384
+    )
+
+
 def q_type_cosine(sf_dir: str):
     """Pairwise cosine similarity between event types, each represented by
     its per-user event-count vector — the item-item collaborative-
@@ -3248,6 +3272,8 @@ QUERIES = {
     "graph_summary": q_graph_summary,
     "retention_cohorts": q_retention_cohorts,
     "type_cosine": q_type_cosine,
+    "value_ntile": q_value_ntile,
+    "doc_chunks": q_doc_chunks,
     "rich_club": q_rich_club,
     "powerlaw_alpha": q_powerlaw_alpha,
     "walk_corpus": q_walk_corpus,
@@ -3462,6 +3488,23 @@ _WALK_SQL = _walk_sql()
 
 ORACLE_SQL = {
     "edges_build": f"WITH {_EDGES_CTE} SELECT src, dst, etype, w FROM edg",
+    "value_ntile": """
+        WITH r AS (SELECT event_id,
+                          row_number() OVER (ORDER BY value, event_id) AS rnk,
+                          count(*) OVER () AS n
+                   FROM events)
+        SELECT event_id, rnk::BIGINT AS rnk,
+               (((rnk - 1) * 10) // n + 1)::BIGINT AS tile
+        FROM r""",
+    "doc_chunks": """
+        WITH tc AS (SELECT doc_id,
+                           len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n
+                    FROM documents WHERE len(regexp_extract_all(text, '[A-Za-z0-9]+')) > 0),
+        seg AS (SELECT doc_id, n, unnest(generate_series(0, (n + 383) // 384 - 1)) AS i
+                FROM tc)
+        SELECT doc_id, i::BIGINT AS seg_idx, (i * 384)::BIGINT AS tok_start,
+               least(512, n - i * 384)::BIGINT AS tok_len
+        FROM seg""",
     "type_cosine": """
         WITH c AS (SELECT event_type, user_id, count(*) AS n
                    FROM events GROUP BY 1, 2),

@@ -126,3 +126,45 @@ def chunk_pack(
         )
 
     return routed.groupby("part").map_groups(pack_part, batch_format="pandas")
+
+
+def doc_chunks(
+    doc_tokens: "rd.Dataset",
+    *,
+    max_tokens: int = 512,
+    stride: int = 384,
+    key: str = "doc_id",
+    val: str = "n_tokens",
+) -> "rd.Dataset":
+    """(doc_id, seg_idx, tok_start, tok_len): context-window chunking of
+    overlong documents — segment i starts at i·stride while that is
+    inside the document, length min(max_tokens, n − start), so adjacent
+    segments overlap by max_tokens − stride. Token-free docs emit no
+    segments. Pure per-batch arithmetic on the token-count table (one
+    np.repeat fan-out, no exchange, no state) — the streaming-safe shape
+    for sharding 100 TB of documents into training windows."""
+    import numpy as np
+    import pyarrow as pa
+
+    def expand(t: "pa.Table") -> "pa.Table":
+        n = t.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        k = np.where(n > 0, -(-n // stride), 0)
+        rep_id = np.repeat(ids, k)
+        rep_n = np.repeat(n, k)
+        total = int(k.sum())
+        ends = np.cumsum(k)
+        seg = np.arange(total) - np.repeat(ends - k, k)
+        start = seg * stride
+        return pa.table(
+            {
+                "doc_id": pa.array(rep_id),
+                "seg_idx": pa.array(seg.astype(np.int64)),
+                "tok_start": pa.array(start.astype(np.int64)),
+                "tok_len": pa.array(
+                    np.minimum(max_tokens, rep_n - start).astype(np.int64)
+                ),
+            }
+        )
+
+    return doc_tokens.map_batches(expand, batch_format="pyarrow")
