@@ -1776,6 +1776,104 @@ def q_type_mixing(sf_dir: str):
     )
 
 
+def q_basket_pairs(sf_dir: str):
+    """Frequent-itemset pairs over user baskets: for each unordered
+    event-type pair, support = distinct users with both, plus lift =
+    support·N / (n_a·n_b) (round 6; exact integer counts). Composition:
+    distinct (user, type) via the partial-agg combiner → self hash-join
+    on user (≤ C(5,2) pairs per user) → pair counts; per-type counts are
+    a key-cardinality aggregate."""
+    from ccl_ray.stages.exchange import hash_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    ut = partial_sum_agg(ev, ["user_id", "event_type"], {}, count_as="_n")
+    ut = ut.select_columns(["user_id", "event_type"]).materialize()
+    per_type = partial_sum_agg(ut, ["event_type"], {}, count_as="n").to_pandas()
+    tmap = dict(zip(per_type["event_type"], per_type["n"].astype(int)))
+    n_users = partial_sum_agg(ut, ["user_id"], {}, count_as="_r").count()
+
+    j = hash_join(
+        ut, ut.rename_columns({"user_id": "u2", "event_type": "type_b"}),
+        left_on="user_id", right_on="u2", num_partitions=8,
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.less(t.column("event_type"), t.column("type_b"))
+        t = t.filter(keep)
+        return pa.table(
+            {"type_a": t.column("event_type"), "type_b": t.column("type_b")}
+        )
+
+    sup = partial_sum_agg(
+        j.map_batches(pairs, batch_format="pyarrow"), ["type_a", "type_b"], {},
+        count_as="support",
+    ).to_pandas()
+    lift = [
+        round(s * n_users / (tmap[a] * tmap[b]), 6)
+        for a, b, s in zip(sup["type_a"], sup["type_b"], sup["support"])
+    ]
+    out = pd.DataFrame(
+        {"type_a": sup["type_a"], "type_b": sup["type_b"],
+         "support": sup["support"].astype(np.int64),
+         "lift": np.array(lift, np.float64)}
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust per-type outliers by median absolute deviation: rows with
+    |value − median| > 5·MAD, scored rz = |dev|/MAD, top-50 (rz desc,
+    event_id). Median and MAD are the exact interpolated grouped
+    quantiles ROUNDED TO 6 on both sides (value_quantiles contract), so
+    the filter boundary and scores are exact. Two grouped-quantile passes
+    + two broadcast maps (the per-type tables are key-cardinality)."""
+    from ccl_ray.stages.aggregates import grouped_quantiles
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    meds = grouped_quantiles(
+        ev, group_col="event_type", val_col="value", quantiles=(0.5,),
+        out_cols=("med",),
+    ).to_pandas()
+    med_map = dict(zip(meds["event_type"], meds["med"]))
+
+    def with_ad(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_pandas()
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ad = np.abs(v - et.map(med_map).to_numpy())
+        return pa.table(
+            {"event_id": t.column("event_id"), "event_type": t.column("event_type"),
+             "ad": pa.array(ad)}
+        )
+
+    ads = ev.map_batches(with_ad, batch_format="pyarrow").materialize()
+    mads = grouped_quantiles(
+        ads, group_col="event_type", val_col="ad", quantiles=(0.5,),
+        out_cols=("mad",),
+    ).to_pandas()
+    mad_map = dict(zip(mads["event_type"], mads["mad"]))
+
+    def flag(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_pandas()
+        ad = t.column("ad").to_numpy(zero_copy_only=False)
+        mad = et.map(mad_map).to_numpy().astype(np.float64)
+        keep = (mad > 0) & (ad > 5.0 * mad)
+        rz = np.round(ad[keep] / mad[keep], 6)
+        return pa.table(
+            {"event_id": t.column("event_id").filter(pa.array(keep)),
+             "rz": pa.array(rz)}
+        )
+
+    return (
+        ads.map_batches(flag, batch_format="pyarrow")
+        .sort(["rz", "event_id"], descending=[True, False])
+        .limit(50)
+    )
+
+
 def q_value_ntile(sf_dir: str):
     """Exact global rank + decile of every event under the total order
     (value, event_id) — the distributed row_number/ntile primitive
@@ -3273,6 +3371,8 @@ QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "type_cosine": q_type_cosine,
     "value_ntile": q_value_ntile,
+    "mad_outliers": q_mad_outliers,
+    "basket_pairs": q_basket_pairs,
     "doc_chunks": q_doc_chunks,
     "rich_club": q_rich_club,
     "powerlaw_alpha": q_powerlaw_alpha,
@@ -3488,6 +3588,30 @@ _WALK_SQL = _walk_sql()
 
 ORACLE_SQL = {
     "edges_build": f"WITH {_EDGES_CTE} SELECT src, dst, etype, w FROM edg",
+    "basket_pairs": """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        n AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+        tc AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     count(*) AS support
+              FROM ut a JOIN ut b ON a.user_id = b.user_id
+              WHERE a.event_type < b.event_type GROUP BY 1, 2)
+        SELECT p.type_a, p.type_b, p.support::BIGINT AS support,
+               round((p.support * (SELECT nu FROM n))::DOUBLE / (x.n * y.n), 6)
+                 AS lift
+        FROM p JOIN tc x ON x.event_type = p.type_a
+               JOIN tc y ON y.event_type = p.type_b""",
+    "mad_outliers": """
+        WITH m AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+                   FROM events GROUP BY 1),
+        a AS (SELECT e.event_id, e.event_type, abs(e.value - m.med) AS ad
+              FROM events e JOIN m USING (event_type)),
+        d AS (SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad
+              FROM a GROUP BY 1)
+        SELECT a.event_id, round(a.ad / d.mad, 6) AS rz
+        FROM a JOIN d USING (event_type)
+        WHERE d.mad > 0 AND a.ad > 5 * d.mad
+        ORDER BY rz DESC, a.event_id LIMIT 50""",
     "value_ntile": """
         WITH r AS (SELECT event_id,
                           row_number() OVER (ORDER BY value, event_id) AS rnk,
