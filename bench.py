@@ -362,6 +362,35 @@ def run_bench() -> dict:
     queries["transcript_walks"] = time.perf_counter() - t0
     extra["walks"] = {"corpus_rows": n_corpus, "walk_len": 4}
 
+    # --- round-4 session-4 graph additions at FULL transcript scale (each
+    # builds its own simple-graph CSR; measured one-off: coreness 59 s /
+    # 24 rounds, matching 22 s / 5 rounds, coloring 49 s / 34 rounds)
+    t0 = time.perf_counter()
+    from ccl_ray.stages.coreness import core_decomposition
+
+    cds, core_rounds = core_decomposition(edges, cfg=cfg, max_rounds=256)
+    import ray.data.aggregate as _agg
+
+    degeneracy = int(cds.aggregate(_agg.Max("coreness"))["max(coreness)"])
+    queries["transcript_coreness"] = time.perf_counter() - t0
+    extra["coreness"] = {"rounds": core_rounds, "degeneracy": degeneracy}
+
+    t0 = time.perf_counter()
+    from ccl_ray.stages.matching import maximal_matching
+
+    mds, match_rounds = maximal_matching(edges, cfg=cfg, max_rounds=64)
+    n_matched = mds.count()
+    queries["transcript_matching"] = time.perf_counter() - t0
+    extra["matching"] = {"rounds": match_rounds, "pairs": int(n_matched)}
+
+    t0 = time.perf_counter()
+    from ccl_ray.stages.coloring import greedy_coloring
+
+    gds, color_rounds = greedy_coloring(edges, cfg=cfg, max_rounds=128)
+    n_colors = int(gds.aggregate(_agg.Max("color"))["max(color)"]) + 1
+    queries["transcript_coloring"] = time.perf_counter() - t0
+    extra["coloring"] = {"rounds": color_rounds, "n_colors": n_colors}
+
     # --- round-4 session-4 additions: Borůvka MSF (weighted, own weighted
     # CSR — setup in the wall) and HyperBall (p=6 HLL neighborhood
     # function; per-round payload = 64 B/unique dst). Both run on a

@@ -951,16 +951,17 @@ def q_matching(sf_dir: str):
     return ds
 
 
-# the engine's packed uint64 mixing, bit-for-bit in HUGEINT
+# the engine's canonical-pair uint64 mixing (a·K1 + b·K2 mod 2⁶⁴ — valid
+# at any vid magnitude), bit-for-bit in HUGEINT
 _MATCH_PRIO_SQL = (
-    "((src::HUGEINT * 4294967296 + dst) * 11400714819323198485)"
-    " % 18446744073709551616"
+    "((src::HUGEINT * 11400714819323198485 + dst::HUGEINT * 14029467366897019727)"
+    " % 18446744073709551616)"
 )
 # weighted variant: weight rank (descending) in the top 3 bits, 61 mix
 # bits below — matching.py's (levels−1−w) << 61 | mix >> 3
 _WMATCH_PRIO_SQL = (
     f"(7 - (1 + (src + dst) % 7))::HUGEINT * 2305843009213693952"
-    f" + ({_MATCH_PRIO_SQL}) // 8"
+    f" + {_MATCH_PRIO_SQL} // 8"
 )
 
 

@@ -45,49 +45,53 @@ _PMAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 _NO_MATE = np.int64(-1)
 
 
+# second odd mixing constant (xxhash64 prime 2 — public domain); the
+# canonical-pair priority is a·K1 + b·K2 mod 2⁶⁴, which works at ANY vid
+# magnitude (a packed (a<<32)|b bijection would cap vids at 2³² — the
+# transcript layout conv·2²² + turn exceeds that). For a fixed canonical
+# first endpoint the map b ↦ b·K2 is a bijection, so two edges sharing
+# their canonical MIN endpoint can never tie; the remaining (rare) tie
+# shapes are caught by a complete per-shard assert — every edge incident
+# to a vertex lives in that vertex's shard as a src=v row, and a tie only
+# matters between edges sharing a vertex (it would deadlock the
+# mutual-minimum rule).
+PRIO_K2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
 # weighted priorities pack the (quantized) weight rank into the top 3
 # bits: prio = (levels−1−w) << 61 | mix >> 3 — heavier edges sort first,
-# the 61-bit mix remainder breaks ties. Injectivity among edges sharing a
-# source is ASSERTED (a tie between two incident edges would deadlock the
-# mutual-minimum rule); with 61 mix bits a collision needs ~2^30 edges on
-# one vertex.
+# the 61-bit mix remainder breaks ties.
 _W_LEVELS = 8
 _W_SHIFT = np.uint64(61)
 
 
 @ray.remote
 def _edge_prio(vids, csr, plan, weighted):
-    """Static per-edge priority for one shard: mix(canonical packed pair),
+    """Static per-edge priority for one shard: mix(canonical pair),
     optionally weight-ranked (greedy MAX-weight order) in the top bits."""
     if plan["n_edges"] == 0:
         return np.empty(0, np.uint64)
     src = vids[plan["edge_src_idx"].astype(np.int64)]
     dst = csr["dst"]
     assert (src >= 0).all() and (dst >= 0).all(), "matching requires nonnegative vids"
-    assert src.max(initial=0) < 1 << 32 and dst.max(initial=0) < 1 << 32, (
-        "matching's packed edge priority requires vids < 2^32"
-    )
     a = np.minimum(src, dst).astype(np.uint64)
     b = np.maximum(src, dst).astype(np.uint64)
-    base = ((a << np.uint64(32)) | b) * PRIO_K
-    if not weighted:
-        return base
-    w = csr["w"]
-    wi = w.astype(np.int64)
-    assert (wi == w).all() and (wi >= 0).all() and (wi < _W_LEVELS).all(), (
-        f"weighted matching requires integer weights in [0, {_W_LEVELS})"
-    )
-    prio = ((np.uint64(_W_LEVELS - 1) - wi.astype(np.uint64)) << _W_SHIFT) | (
-        base >> np.uint64(3)
-    )
-    # no two edges sharing a SOURCE may collide (every edge incident to a
-    # vertex lives in that vertex's shard as a src=v row, so this check is
-    # globally complete)
+    prio = a * PRIO_K + b * PRIO_K2
+    if weighted:
+        w = csr["w"]
+        wi = w.astype(np.int64)
+        assert (wi == w).all() and (wi >= 0).all() and (wi < _W_LEVELS).all(), (
+            f"weighted matching requires integer weights in [0, {_W_LEVELS})"
+        )
+        prio = ((np.uint64(_W_LEVELS - 1) - wi.astype(np.uint64)) << _W_SHIFT) | (
+            prio >> np.uint64(3)
+        )
+    # complete tie check (see PRIO_K2 note): no two edges sharing a SOURCE
+    # may collide
     sidx = plan["edge_src_idx"].astype(np.int64)
     order = np.lexsort((dst, prio, sidx))
     ss, pp, dd = sidx[order], prio[order], dst[order]
     dup = (ss[1:] == ss[:-1]) & (pp[1:] == pp[:-1]) & (dd[1:] != dd[:-1])
-    assert not dup.any(), "weighted matching priority collision"
+    assert not dup.any(), "matching priority collision"
     return prio
 
 

@@ -12,7 +12,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ccl_ray.config import EngineConfig
-from ccl_ray.stages.matching import PRIO_K, maximal_matching
+from ccl_ray.stages.matching import PRIO_K, PRIO_K2, maximal_matching
 
 
 def greedy_oracle(src, dst):
@@ -23,10 +23,7 @@ def greedy_oracle(src, dst):
     a = np.minimum(src, dst)
     b = np.maximum(src, dst)
     pairs = np.unique(np.stack([a, b], axis=1), axis=0)
-    prio = (
-        (pairs[:, 0].astype(np.uint64) << np.uint64(32))
-        | pairs[:, 1].astype(np.uint64)
-    ) * PRIO_K
+    prio = pairs[:, 0].astype(np.uint64) * PRIO_K + pairs[:, 1].astype(np.uint64) * PRIO_K2
     order = np.argsort(prio)
     matched = set()
     out = []
@@ -110,10 +107,7 @@ def weighted_greedy_oracle(src, dst, wfun):
     b = np.maximum(src, dst)
     pairs = np.unique(np.stack([a, b], axis=1), axis=0)
     w = wfun(pairs[:, 0], pairs[:, 1])
-    base = (
-        (pairs[:, 0].astype(np.uint64) << np.uint64(32))
-        | pairs[:, 1].astype(np.uint64)
-    ) * PRIO_K
+    base = pairs[:, 0].astype(np.uint64) * PRIO_K + pairs[:, 1].astype(np.uint64) * PRIO_K2
     prio = ((np.uint64(7) - w.astype(np.uint64)) << np.uint64(61)) | (
         base >> np.uint64(3)
     )
@@ -170,3 +164,12 @@ def test_weighted_matching_matches_weighted_oracle(ray_session):
         df = ds.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
         got = list(zip(df["src"].tolist(), df["dst"].tolist()))
         assert got == want, P
+
+
+def test_matching_huge_vid_space(ray_session):
+    # transcript-layout vids (conv<<22 | turn) exceed 2^32: the two-constant
+    # priority must handle them (the old packed bijection could not)
+    base = np.int64(1) << 40
+    src = (base + np.array([0, 1, 2, 10], np.int64) * (1 << 22))
+    dst = (base + np.array([1, 2, 3, 11], np.int64) * (1 << 22))
+    _check(src.tolist(), dst.tolist(), P=3)
