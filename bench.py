@@ -95,6 +95,11 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # workers' stdout must NOT forward to the driver: bench stdout is
+        # contractually ONE JSON line (a stray Ray task-name echo landed
+        # on stdout ahead of the JSON in a round-4 run); worker logs stay
+        # in the per-session log files
+        log_to_driver=False,
         runtime_env={"worker_process_setup_hook": _quiet_data_logs},
     )
     from ray.data import DataContext
