@@ -1086,7 +1086,7 @@ def _coloring_oracle_sql(k: int = _COLOR_K) -> str:
 # unroll depth of the coreness SQL twin; the engine asserts its H-index
 # fixpoint lands within this many rounds at gate scale (measured: see
 # q_coreness docstring)
-_CORE_K = 24
+_CORE_K = 32
 
 
 def _core_memo(sf_dir: str):
@@ -1108,7 +1108,8 @@ def q_coreness(sf_dir: str):
     via the iterated-H-index fixpoint (stages/coreness.py). Deterministic
     and synchronous, so the unrolled SQL twin computes identical values;
     the engine asserts convergence within the twin's unroll depth
-    (measured: 5 rounds at sf0.001, 7 at sf0.01; unroll 24)."""
+    (measured: 16 rounds at sf0.001, 12 at sf0.01, 24 at transcript scale
+    — degeneracy-6 graphs with short induced paths; unroll 32)."""
     return _core_memo(sf_dir).rename_columns({"vid": "event_id"})
 
 

@@ -29,7 +29,7 @@ def main(argv=None) -> int:
         choices=["flagship", "cc", "pagerank", "labelprop", "triangles",
                  "hits", "communities", "ktruss", "modularity",
                  "betweenness", "eigenvector", "scc", "walks",
-                 "coreness", "matching", "coloring"],
+                 "coreness", "matching", "coloring", "katz"],
     )
     ap.add_argument("--seed-type", default="signup",
                     help="labelprop: events of this event_type seed their own id")
@@ -309,8 +309,16 @@ def main(argv=None) -> int:
     if args.pipeline == "coreness":
         from ccl_ray.stages.coreness import core_decomposition
 
+        core_ck = None
+        if args.checkpoint_dir:
+            from ccl_ray.state.checkpoint import StateCheckpoint
+
+            core_ck = StateCheckpoint(
+                os.path.join(args.checkpoint_dir, "coreness"), ["c"]
+            )
         out, rounds = core_decomposition(
-            edges.select_columns(["src", "dst"]), vertices=verts, cfg=cfg
+            edges.select_columns(["src", "dst"]), vertices=verts, cfg=cfg,
+            checkpoint=core_ck,
         )
         path = os.path.join(args.out, "coreness")
         out.write_parquet(path)
@@ -340,6 +348,19 @@ def main(argv=None) -> int:
         out.write_parquet(path)
         manifest["tables"]["coloring"] = {
             "path": path, "rows": out.count(), "rounds": rounds,
+        }
+
+    if args.pipeline == "katz":
+        from ccl_ray.stages.katz import katz_centrality
+
+        out, iters, alpha = katz_centrality(
+            edges.select_columns(["src", "dst"]), vertices=verts, cfg=cfg
+        )
+        path = os.path.join(args.out, "katz")
+        out.write_parquet(path)
+        manifest["tables"]["katz"] = {
+            "path": path, "rows": out.count(), "iterations": iters,
+            "alpha": alpha,
         }
 
     manifest["wall_s"] = round(time.perf_counter() - t0, 3)

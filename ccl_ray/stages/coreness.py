@@ -133,17 +133,34 @@ def _core_table(vids, c):
     return pa.table({"vid": pa.array(vids), "coreness": pa.array(c)})
 
 
+@ray.remote
+def _c_state(c):
+    return {"c": c}
+
+
+@ray.remote
+def _c_restore(loaded):
+    return loaded["c"].astype(np.int64, copy=False)
+
+
 def core_decomposition(
     edges,
     *,
     vertices=None,
     cfg: EngineConfig | None = None,
     max_rounds: int = 256,
+    checkpoint=None,
 ):
     """((vid, coreness) Dataset, rounds run) for the undirected simple
     graph of ``edges`` (deduped, loop-free). Raises if the H-index
     fixpoint needs more than ``max_rounds`` rounds — callers pairing this
-    with an unrolled SQL twin pass the twin's unroll depth here."""
+    with an unrolled SQL twin pass the twin's unroll depth here.
+
+    ``checkpoint``: a ``state.checkpoint.StateCheckpoint(root, ["c"])``
+    persists the per-shard value vector each round (atomic manifest, vid
+    fingerprint validated); a killed run resumes from the newest complete
+    round — the H-index iteration is synchronous-deterministic and
+    monotone, so the resumed run reaches the identical fixpoint."""
     import ray.data as rd
 
     cfg = cfg or EngineConfig()
@@ -153,8 +170,19 @@ def core_decomposition(
     vid_refs = shard_vertices(edges, P, vertices_ds=vertices)
     plans = scatter_plans(csr, vid_refs, P)
 
-    c = [_init_core.remote(vid_refs[p], csr[p]) for p in range(P)]
     rounds = 0
+    c = None
+    if checkpoint is not None:
+        from ccl_ray.state.checkpoint import vid_fingerprint
+
+        resumed = checkpoint.latest(
+            expected_parts=P, expected_vid_fp=vid_fingerprint(vid_refs)
+        )
+        if resumed is not None:
+            rounds, refs, _extra = resumed
+            c = [_c_restore.remote(r) for r in refs]
+    if c is None:
+        c = [_init_core.remote(vid_refs[p], csr[p]) for p in range(P)]
     while True:
         rounds += 1
         if grouped:
@@ -179,6 +207,11 @@ def core_decomposition(
             ]
         c = [r[0] for r in res]
         changed = int(sum(ray.get([r[1] for r in res])))
+        if checkpoint is not None:
+            checkpoint.save(
+                rounds, vid_refs, [_c_state.remote(x) for x in c],
+                extra={"changed": changed},
+            )
         if changed == 0:
             break
         if rounds >= max_rounds:

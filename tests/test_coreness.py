@@ -105,3 +105,57 @@ def test_fanout_exchange_parity(ray_session):
         df = ds.to_pandas()
         got = {int(v): int(c) for v, c in zip(df["vid"], df["coreness"])}
         assert got == want, mode
+
+
+def test_coreness_checkpoint_resume(ray_session, tmp_path):
+    """Kill-after-round-2 resume reaches the identical fixpoint with the
+    same total round count (synchronous deterministic iteration)."""
+    import shutil
+
+    from ccl_ray.state.checkpoint import StateCheckpoint
+
+    rng = np.random.default_rng(43)
+    n, m = 120, 500
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    cfg = EngineConfig(num_partitions=3)
+    cold, cold_rounds = core_decomposition(_edges_ds(src, dst), cfg=cfg)
+    want = {int(v): int(c) for v, c in zip(*[cold.to_pandas()[c] for c in ("vid", "coreness")])}
+    assert cold_rounds > 3, "graph too easy for a resume test"
+
+    root = str(tmp_path / "core_ck")
+    ck = StateCheckpoint(root, ["c"])
+    core_decomposition(_edges_ds(src, dst), cfg=cfg, checkpoint=ck)
+    # simulate a kill after round 2: drop every later checkpoint
+    import os
+
+    for name in os.listdir(root):
+        if name.startswith("round=") and int(name.split("=")[1]) > 2:
+            shutil.rmtree(os.path.join(root, name))
+    ds, rounds = core_decomposition(
+        _edges_ds(src, dst), cfg=cfg, checkpoint=StateCheckpoint(root, ["c"])
+    )
+    df = ds.to_pandas()
+    got = {int(v): int(c) for v, c in zip(df["vid"], df["coreness"])}
+    assert got == want
+    assert rounds == cold_rounds  # counter continues from the checkpoint
+
+
+def test_coreness_consistent_with_kcore(ray_session):
+    """Cross-operator invariant: the k-core (stages/kcore.py) is exactly
+    the set of vertices with coreness >= k."""
+    from ccl_ray.stages.kcore import kcore_bsp
+
+    rng = np.random.default_rng(47)
+    n, m = 140, 600
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    cfg = EngineConfig(num_partitions=4)
+    ds, _ = core_decomposition(_edges_ds(src, dst), cfg=cfg)
+    df = ds.to_pandas()
+    core_map = {int(v): int(c) for v, c in zip(df["vid"], df["coreness"])}
+    for k in (2, 3):
+        kc = kcore_bsp(_edges_ds(src, dst), k, cfg=cfg).membership.to_pandas()
+        in_k = {int(v) for v, m in zip(kc["vid"], kc["in_core"]) if m}
+        want_k = {v for v, c in core_map.items() if c >= k}
+        assert in_k == want_k, k
