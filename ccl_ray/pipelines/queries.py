@@ -2443,6 +2443,88 @@ def _ktruss_oracle_sql(rounds: int = 6) -> str:
     )
 
 
+# trussness unroll caps: max k probed (engine asserts the (KMAX+1)-truss
+# is empty) and peel rounds per k (engine asserts each peel stabilizes
+# within this; extra SQL rounds past a fixpoint are no-ops)
+_TRUSS_KMAX = 8
+_TRUSS_ROUNDS = 8
+
+
+def q_trussness(sf_dir: str):
+    """Full truss decomposition — (src, dst, trussness) where trussness(e)
+    = max k with e in the k-truss (2 for triangle-free edges). Built on
+    the existing ktruss peel: g_k = ktruss(g_{k−1}, k) for k = 3.., each
+    peel over the previous (smaller) truss subgraph; trussness = 2 +
+    Σ_k [e ∈ g_k], assembled with one union + partial-agg (no anti-join).
+    Deterministic, so the unrolled SQL twin is exact."""
+    from ccl_ray.stages.triangles import ktruss
+
+    base = partial_sum_agg(
+        _edges_memo(sf_dir).select_columns(["src", "dst"]), ["src", "dst"], {},
+        count_as="_n",
+    ).select_columns(["src", "dst"]).materialize()
+
+    def tag(w):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "tw", pa.array(np.full(t.num_rows, w, np.int64))
+            )
+
+        return f
+
+    frames = [base.map_batches(tag(2), batch_format="pyarrow")]
+    cur, k = base, 3
+    while cur.count() > 0:
+        # the assert proves every k the SQL unrolls past the real maximum
+        # peels to empty (max representable trussness = KMAX − 1)
+        assert k <= _TRUSS_KMAX, (
+            f"trussness exceeded the oracle unroll kmax={_TRUSS_KMAX}"
+        )
+        nxt, _rounds = ktruss(cur, k, cfg=_cfg(), max_rounds=_TRUSS_ROUNDS)
+        nxt = nxt.materialize()
+        if nxt.count() == 0:
+            break
+        frames.append(nxt.map_batches(tag(1), batch_format="pyarrow"))
+        cur, k = nxt, k + 1
+    union = frames[0].union(*frames[1:]) if len(frames) > 1 else frames[0]
+    return partial_sum_agg(union, ["src", "dst"], {"tw": "trussness"})
+
+
+def _trussness_oracle_sql(kmax: int = _TRUSS_KMAX, rounds: int = _TRUSS_ROUNDS) -> str:
+    """Unrolled truss decomposition twin: for k = 3..kmax, ``rounds`` peel
+    rounds (keep edges closing ≥ k−2 triangles within the survivor set)
+    starting from the previous truss; trussness = 2 + Σ memberships."""
+    parts = ["g2 AS MATERIALIZED (SELECT src, dst FROM edgu)"]
+    for k in range(3, kmax + 1):
+        prev = f"g{k-1}"
+        for i in range(rounds):
+            cur = f"t{k}_{i}" if i else prev
+            nxt = f"t{k}_{i+1}" if i + 1 < rounds else f"g{k}"
+            parts.append(
+                f"u{k}_{i} AS MATERIALIZED (SELECT src AS u, dst AS v FROM {cur}"
+                f" UNION SELECT dst, src FROM {cur})"
+            )
+            parts.append(
+                f"{nxt} AS MATERIALIZED ("
+                f"SELECT e.src, e.dst FROM {cur} e"
+                f" JOIN u{k}_{i} n1 ON n1.u = e.src"
+                f" JOIN u{k}_{i} n2 ON n2.u = e.dst AND n2.v = n1.v"
+                f" GROUP BY e.src, e.dst HAVING count(*) >= {k - 2})"
+            )
+    joins = "\n".join(
+        f"LEFT JOIN (SELECT src, dst, 1 AS m{k} FROM g{k}) j{k}"
+        f" ON j{k}.src = e.src AND j{k}.dst = e.dst"
+        for k in range(3, kmax + 1)
+    )
+    total = " + ".join(f"coalesce(m{k}, 0)" for k in range(3, kmax + 1))
+    return (
+        "WITH " + _EDGES_CTE + ",\n" + ",\n".join(parts) + f"""
+        SELECT e.src, e.dst, (2 + {total})::BIGINT AS trussness
+        FROM edgu e
+        {joins}"""
+    )
+
+
 def q_jaccard_link(sf_dir: str):
     """Top-50 non-adjacent pairs by neighborhood Jaccard (score DESC, a, b).
     Degrees resolve partition-locally via a second routed exchange — no
@@ -3337,6 +3419,7 @@ QUERIES = {
     "jaccard_link": q_jaccard_link,
     "truss_support": q_truss_support,
     "ktruss": q_ktruss,
+    "trussness": q_trussness,
     "sssp_weighted": q_sssp_weighted,
     "pagerank_weighted": q_pagerank_weighted,
     "hits_fixed": q_hits_fixed,
@@ -4242,6 +4325,7 @@ ORACLE_SQL = {
           WHERE it < 20 GROUP BY 1, 2)
         SELECT v AS event_id, round(score, 10) AS score FROM pr WHERE it = 20""",
     "ktruss": _ktruss_oracle_sql(6),
+    "trussness": _trussness_oracle_sql(),
     "assortativity": f"""
         WITH {_EDGES_CTE},
         und AS (SELECT src AS u, dst AS v FROM edgu UNION SELECT dst, src FROM edgu),
