@@ -771,8 +771,67 @@ def run_scaling() -> dict:
     return result
 
 
+# Queries kept on the contractual stdout line. The driver records only the
+# LAST 2000 chars of stdout; round 4's full per-query dict outgrew that and
+# BENCH_r04.json came back `parsed: null`. The headline line now carries the
+# BASELINE-metric keys + the most expensive pipelines and MUST stay <=1500
+# chars (asserted); the complete result dict goes to BENCH/last_run.json.
+_HEADLINE_QUERIES = [
+    "transcript_edge_build", "transcript_cc", "transcript_pagerank",
+    "transcript_bfs", "transcript_ppr", "transcript_scc", "transcript_mis",
+    "transcript_betweenness", "transcript_coreness", "transcript_matching",
+    "transcript_coloring", "transcript_msf", "transcript_hyperball",
+    "transcript_walks", "events_cc", "events_eigenvector", "minhash_dedup",
+    "ann_topk",
+]
+_HEADLINE_EXTRA = ["cold_setup_s", "shard_build_s", "num_partitions"]
+_ALGO_KEYS = ["iterations", "edges_per_sec_per_iter", "iter_wall_s", "rounds"]
+
+
+def _headline_line(full: dict) -> str:
+    """Compact single-line JSON for the driver's 2000-char stdout tail."""
+    compact: dict = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "queries": {
+            k: full["queries"][k] for k in _HEADLINE_QUERIES if k in full["queries"]
+        },
+        "sf": full["sf"],
+        "num_cpus": full["num_cpus"],
+        "n_queries_total": len(full["queries"]),
+        "full_json": "BENCH/last_run.json",
+    }
+    for k in _HEADLINE_EXTRA:
+        if k in full:
+            compact[k] = full[k]
+    for algo in ("cc", "pagerank"):
+        if algo in full:
+            compact[algo] = {
+                k: (round(v) if k == "edges_per_sec_per_iter" else
+                    round(v, 3) if isinstance(v, float) else v)
+                for k, v in full[algo].items() if k in _ALGO_KEYS
+            }
+    line = json.dumps(compact)
+    while len(line) > 1500 and compact["queries"]:
+        compact["queries"].popitem()
+        line = json.dumps(compact)
+    assert len(line) <= 1500, f"headline line {len(line)} chars > 1500 budget"
+    return line
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        result = run_scaling()
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/last_scaling.json", "w") as f:
+            json.dump(result, f, indent=1)
+        line = json.dumps(result)
+        assert len(line) <= 1500, f"scaling line {len(line)} chars > 1500 budget"
+        print(line)
     else:
-        print(json.dumps(run_bench()))
+        result = run_bench()
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/last_run.json", "w") as f:
+            json.dump(result, f, indent=1)
+        print(_headline_line(result))

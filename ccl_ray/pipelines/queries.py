@@ -3526,6 +3526,38 @@ QUERIES = {
     "dup_clusters": q_dup_clusters,
 }
 
+# ---- driver-sample rotation (round 5) ------------------------------------
+# The driver's correctness gate samples the FIRST 50 queries() entries per
+# round (CORRECTNESS_r01..r04 covered 91 distinct keys). Reorder so the 44
+# queries that have never had a driver row come first, followed by a pinned
+# regression core, then everything already driver-green — one rotation closes
+# cumulative driver coverage to all 135. Gate/oracle semantics are unchanged
+# (lookups are by key); only dict insertion order moves.
+_DRIVER_FIRST = [
+    # never driver-checked through r04 (44)
+    "cms_heavy_hitters", "weighted_sample", "bloom_semijoin", "tdigest_value",
+    "tdigest_group", "bottomk_sample", "scc", "scc_condensation",
+    "condensation_levels", "reciprocity", "directed_triangles",
+    "directed_reach", "type_mixing", "graph_summary", "retention_cohorts",
+    "type_cosine", "value_ntile", "mad_outliers", "basket_pairs",
+    "doc_chunks", "rich_club", "powerlaw_alpha", "walk_corpus",
+    "ngram_pairs", "ego_edges", "label_centroid", "split_assign",
+    "token_buckets", "chunk_pack", "kmeans_close", "msf_close",
+    "hyperball_close", "harmonic_close", "pagerank_incremental", "funnel",
+    "lang_top_terms", "dup_manifest", "rollup_qty", "cube_qty",
+    "top_revenue_orders", "brand_nation_revenue", "distinct_users",
+    "fuzzy_name_pairs", "running_window",
+    # pinned regression core (6) — keep a driver row every round
+    "edges_build", "cc_labels", "pagerank_fixed", "triangle_count",
+    "minhash_pairs", "dup_clusters",
+]
+assert len(_DRIVER_FIRST) == 50 and len(set(_DRIVER_FIRST)) == 50
+assert set(_DRIVER_FIRST) <= set(QUERIES), sorted(set(_DRIVER_FIRST) - set(QUERIES))
+QUERIES = {
+    **{k: QUERIES[k] for k in _DRIVER_FIRST},
+    **{k: v for k, v in QUERIES.items() if k not in set(_DRIVER_FIRST)},
+}
+
 
 # ---------------------------------------------------------------- oracles
 
