@@ -1136,8 +1136,12 @@ def _coreness_oracle_sql(k: int = _CORE_K) -> str:
     ≥ the engine's measured round count is exact. Every per-round CTE is
     MATERIALIZED (DuckDB otherwise inlines the chain exponentially)."""
     parts = [
+        # src <> dst matches the engine's drop_self=True; currently redundant
+        # (every edgu family is built with src < dst) but keeps the twin
+        # robust against future edge families rather than silently depending
+        # on that non-local invariant
         "undm AS MATERIALIZED (SELECT src AS u, dst AS v FROM edgu"
-        " UNION SELECT dst, src FROM edgu)",
+        " WHERE src <> dst UNION SELECT dst, src FROM edgu WHERE src <> dst)",
         "degq AS MATERIALIZED (SELECT u AS v, count(*) AS c FROM undm GROUP BY 1)",
         "c0 AS MATERIALIZED (SELECT e.event_id AS v, coalesce(d.c, 0) AS c"
         " FROM events e LEFT JOIN degq d ON d.v = e.event_id)",
@@ -1812,8 +1816,13 @@ def q_basket_pairs(sf_dir: str):
         j.map_batches(pairs, batch_format="pyarrow"), ["type_a", "type_b"], {},
         count_as="support",
     ).to_pandas()
+    # mirror the twin's evaluation order exactly: the SQL computes
+    # (support*nu)::DOUBLE / (na*nb) — cast the exact int product to float64
+    # BEFORE dividing, so both sides round identically even when support·nu
+    # exceeds 2^53 (exact-int division here could differ by an ulp and flip
+    # the 6-decimal rounding at large scale factors)
     lift = [
-        round(s * n_users / (tmap[a] * tmap[b]), 6)
+        round(float(s * n_users) / float(tmap[a] * tmap[b]), 6)
         for a, b, s in zip(sup["type_a"], sup["type_b"], sup["support"])
     ]
     out = pd.DataFrame(

@@ -181,6 +181,12 @@ def core_decomposition(
         if resumed is not None:
             rounds, refs, _extra = resumed
             c = [_c_restore.remote(r) for r in refs]
+            # the newest checkpoint may BE the fixpoint (saved changed==0);
+            # re-entering the loop would run one extra no-op round and
+            # report rounds+1, breaking the identical-round-count contract
+            if _extra and int(_extra.get("changed", 1)) == 0:
+                tables = [_core_table.remote(vid_refs[p], c[p]) for p in range(P)]
+                return rd.from_arrow_refs(tables), rounds
     if c is None:
         c = [_init_core.remote(vid_refs[p], csr[p]) for p in range(P)]
     while True:

@@ -1,8 +1,11 @@
 """Deterministic maximal matching (mutual-minimum edge priority rounds).
 
-Edge priorities are an INJECTIVE mixing of the canonical endpoint pair:
-prio(u,v) = ((min·2³² + max) · K) mod 2⁶⁴ with K odd — a bijection on the
-packed pair (vids are asserted < 2³²), so there are never ties and every
+Edge priorities are a per-shard-injective mixing of the canonical endpoint
+pair: prio(u,v) = a·K1 + b·K2 mod 2⁶⁴ with a=min, b=max and K1, K2 odd —
+valid at ANY vid magnitude (transcript vids exceed 2³², so a packed
+(a<<32)|b form would overflow; only nonnegativity is asserted). For edges
+sharing the first endpoint, b ↦ b·K2 is a bijection, so two alive edges at
+the same vertex can never tie (asserted per shard each round) and every
 round is a pure function of the graph. Each round an alive edge (both
 endpoints unmatched) matches iff its priority is the strict minimum among
 the alive edges at BOTH endpoints; the globally minimum alive edge always

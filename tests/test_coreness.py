@@ -140,6 +140,18 @@ def test_coreness_checkpoint_resume(ray_session, tmp_path):
     assert got == want
     assert rounds == cold_rounds  # counter continues from the checkpoint
 
+    # re-invoking on an ALREADY-CONVERGED checkpoint dir must not run an
+    # extra round: the newest saved round has changed==0, so resume returns
+    # the stored fixpoint with the identical round counter (round-4 ADVICE:
+    # the old path re-ran one no-op round and reported rounds+1)
+    ds2, rounds2 = core_decomposition(
+        _edges_ds(src, dst), cfg=cfg, checkpoint=StateCheckpoint(root, ["c"])
+    )
+    df2 = ds2.to_pandas()
+    got2 = {int(v): int(c) for v, c in zip(df2["vid"], df2["coreness"])}
+    assert got2 == want
+    assert rounds2 == cold_rounds
+
 
 def test_coreness_consistent_with_kcore(ray_session):
     """Cross-operator invariant: the k-core (stages/kcore.py) is exactly
