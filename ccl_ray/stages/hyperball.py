@@ -18,7 +18,15 @@ Engine shape: the same one-time scatter/combine plans as CC/PageRank
 pre-reduces per (shard, dst) before anything ships, owners elementwise-max
 into their state, convergence = zero changed registers (then t has reached
 the graph's diameter and NF is exact-in-the-sketch). Message volume per
-round is O(unique dst · 2^p) bytes.
+round is O(unique dst · 2^p) bytes on the dense path; once the changed
+fraction drops below _SPARSE_FRAC the round switches to the frontier
+exchange (cc_bsp's dirty machinery, 2D): only register ROWS that changed
+last round ship, as (dst_ids, rows) pieces. Max-merge is idempotent-
+monotone, so a clean vertex's row was already applied the round after it
+last changed and re-shipping it could never flip a register — results are
+bit-identical to the dense path (the numpy twin stays exact). Late rounds
+(the long tail past the effective diameter, where only the sketch fringe
+still moves) cost O(frontier edges · 2^p), not O(E · 2^p).
 
 Everything is DETERMINISTIC given the vid set (splitmix64 vid hashing, no
 RNG), so the gate twin replicates the registers bit-for-bit in numpy and
@@ -40,10 +48,17 @@ import ray
 
 from ccl_ray.config import EngineConfig
 from ccl_ray.state.shards import (
+    reduce_routed_sparse,
     scatter_plans,
     shard_edges_csr,
     shard_vertices,
 )
+
+# below this changed-row fraction a round ships only changed register rows.
+# Higher than cc_bsp's 0.10: a register row is 2^p bytes (vs an 8-byte
+# label), so the sparse path's extra per-row id and its per-round frontier
+# sort are amortized across 8× the payload — sparse pays off much earlier
+_SPARSE_FRAC = 0.50
 
 
 def _mix64(v: np.ndarray) -> np.ndarray:
@@ -104,6 +119,11 @@ def _hb_init(vids, p):
 
 
 @ray.remote
+def _n_rows(vids) -> int:
+    return int(len(vids))
+
+
+@ray.remote
 def _hb_scatter(plan, reg, P, m):
     """Per-dst elementwise register max, routed (2D reduce_routed)."""
     if plan["n_edges"] == 0:
@@ -115,20 +135,78 @@ def _hb_scatter(plan, reg, P, m):
     return [routed[b[q] : b[q + 1]] for q in range(P)]
 
 
-@ray.remote(num_returns=2)
+@ray.remote(num_returns=3)
 def _hb_combine(q, cplan, reg, *msg_objs):
-    """max-merge incoming register rows; count changed vertices."""
+    """max-merge incoming register rows → (reg, dirty row mask, changed)."""
+    nodirt = np.zeros(reg.shape[0], bool)
     if reg.shape[0] == 0 or cplan["total"] == 0:
-        return reg, 0
+        return reg, nodirt, 0
     pieces = [m[q] for m in msg_objs]
     vals = np.concatenate(pieces, axis=0)
     red = np.maximum.reduceat(vals[cplan["order"]], cplan["starts"], axis=0)
     new = reg.copy()
     pos = cplan["pos"]
     merged = np.maximum(new[pos], red)
-    changed = int((merged != new[pos]).any(axis=1).sum())
+    ch_rows = (merged != new[pos]).any(axis=1)
     new[pos] = merged
-    return new, changed
+    nodirt[pos[ch_rows]] = True
+    return new, nodirt, int(ch_rows.sum())
+
+
+@ray.remote
+def _hb_scatter_sparse(plan, reg, dirty, P):
+    """Frontier register exchange: only rows dirty since their last send
+    ship, pre-max-reduced per unique dst → grouped (dst_ids, rows) pieces."""
+    return reduce_routed_sparse(plan, reg, dirty, np.maximum, P)
+
+
+@ray.remote(num_returns=3)
+def _hb_combine_sparse(q, vids, reg, *msg_objs):
+    """Sparse-piece max-merge → (reg, dirty row mask, changed)."""
+    nodirt = np.zeros(reg.shape[0], bool)
+    pieces = [m[q] for m in msg_objs]
+    ids = [p[0] for p in pieces if len(p[0])]
+    if not ids:
+        return reg, nodirt, 0
+    d = np.concatenate(ids)
+    v = np.concatenate([p[1] for p in pieces if len(p[0])], axis=0)
+    idx = np.searchsorted(vids, d)
+    order = np.argsort(idx, kind="stable")
+    idx, v = idx[order], v[order]
+    newb = np.empty(len(idx), bool)
+    newb[0] = True
+    newb[1:] = idx[1:] != idx[:-1]
+    starts = np.nonzero(newb)[0]
+    pos = idx[starts]
+    red = np.maximum.reduceat(v, starts, axis=0)
+    new = reg.copy()
+    merged = np.maximum(new[pos], red)
+    ch_rows = (merged != new[pos]).any(axis=1)
+    new[pos] = merged
+    nodirt[pos[ch_rows]] = True
+    return new, nodirt, int(ch_rows.sum())
+
+
+@ray.remote
+def _all_dirty_rows(reg):
+    return np.ones(reg.shape[0], bool)
+
+
+def _hb_round(plans, cplans, vid_refs, reg, dirty, sparse, P, m):
+    """One HyperBall union round → (reg refs, dirty refs, changed refs)."""
+    if sparse:
+        outs = [
+            _hb_scatter_sparse.remote(plans[q], reg[q], dirty[q], P)
+            for q in range(P)
+        ]
+        res = [
+            _hb_combine_sparse.remote(q, vid_refs[q], reg[q], *outs)
+            for q in range(P)
+        ]
+    else:
+        outs = [_hb_scatter.remote(plans[q], reg[q], P, m) for q in range(P)]
+        res = [_hb_combine.remote(q, cplans[q], reg[q], *outs) for q in range(P)]
+    return [r[0] for r in res], [r[1] for r in res], [r[2] for r in res]
 
 
 @ray.remote
@@ -162,13 +240,15 @@ def hyperball(
 
     reg = [_hb_init.remote(vid_refs[q], p) for q in range(P)]
     nf = [(0, float(sum(ray.get([_hb_nf.remote(r, p) for r in reg]))))]
+    n_total = int(sum(ray.get([_n_rows.remote(v) for v in vid_refs])))
+    dirty = [_all_dirty_rows.remote(r) for r in reg]
+    last_changed = n_total
     t = 0
     while t < max_rounds:
         t += 1
-        outs = [_hb_scatter.remote(plans[q], reg[q], P, m) for q in range(P)]
-        res = [_hb_combine.remote(q, cplans[q], reg[q], *outs) for q in range(P)]
-        reg = [r[0] for r in res]
-        changed = int(sum(ray.get([r[1] for r in res])))
+        sparse = n_total > 0 and last_changed / n_total < _SPARSE_FRAC
+        reg, dirty, ch = _hb_round(plans, cplans, vid_refs, reg, dirty, sparse, P, m)
+        changed = last_changed = int(sum(ray.get(ch)))
         if changed == 0:
             break
         nf.append((t, float(sum(ray.get([_hb_nf.remote(r, p) for r in reg])))))
@@ -262,13 +342,15 @@ def hyperball_harmonic(
     init = [_init_acc.remote(reg[q], p) for q in range(P)]
     prev = [i[0] for i in init]
     acc = [i[1] for i in init]
+    n_total = int(sum(ray.get([_n_rows.remote(v) for v in vid_refs])))
+    dirty = [_all_dirty_rows.remote(r) for r in reg]
+    last_changed = n_total
     t = 0
     while t < max_rounds:
         t += 1
-        outs = [_hb_scatter.remote(plans[q], reg[q], P, m) for q in range(P)]
-        res = [_hb_combine.remote(q, cplans[q], reg[q], *outs) for q in range(P)]
-        reg = [r[0] for r in res]
-        changed = int(sum(ray.get([r[1] for r in res])))
+        sparse = n_total > 0 and last_changed / n_total < _SPARSE_FRAC
+        reg, dirty, ch = _hb_round(plans, cplans, vid_refs, reg, dirty, sparse, P, m)
+        changed = last_changed = int(sum(ray.get(ch)))
         upd = [
             _hb_harmonic_update.remote(reg[q], prev[q], acc[q], t, p)
             for q in range(P)

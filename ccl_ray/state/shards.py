@@ -339,8 +339,14 @@ def reduce_routed_sparse(plan, vertex_msgs: np.ndarray, dirty: np.ndarray, op, P
 
     ``vertex_msgs``: the per-vertex OUTGOING message value (e.g. dist+1,
     label), indexed by shard-local position like the dense path's state.
+    2D payloads (one row per vertex, e.g. HyperBall's HLL registers or
+    batched-Brandes per-seed columns) work unchanged: row gathers and
+    axis-0 reduceat.
     """
-    empty = (np.empty(0, plan["uniq_dst"].dtype), np.empty(0, vertex_msgs.dtype))
+    empty = (
+        np.empty(0, plan["uniq_dst"].dtype),
+        np.empty((0,) + vertex_msgs.shape[1:], vertex_msgs.dtype),
+    )
     if plan["n_edges"] == 0:
         return [empty] * P
     rows = np.flatnonzero(dirty[plan["row_src_idx"]])

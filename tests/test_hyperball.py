@@ -142,3 +142,54 @@ def test_harmonic_accuracy_vs_exact(ray_session):
     vids = df["vid"].values.astype(int)
     rel = abs(got.sum() - exact[vids].sum()) / exact[vids].sum()
     assert rel < 0.25, rel
+
+
+def test_hyperball_sparse_path_bitwise_equal_dense(ray_session, monkeypatch):
+    """Force the frontier (sparse-delta) exchange for EVERY round and assert
+    register state and NF curve are bit-identical to the dense path — the
+    max-merge monotonicity argument made executable."""
+    import ray
+
+    from ccl_ray.stages import hyperball as hb
+
+    rng = np.random.default_rng(7)
+    n, m = 250, 700
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    cfg = EngineConfig(num_partitions=4)
+
+    monkeypatch.setattr(hb, "_SPARSE_FRAC", -1.0)  # never sparse
+    nf_d, reg_d, rounds_d = hyperball(_ds(src, dst), p=6, cfg=cfg)
+    dense_nf = nf_d.to_pandas()
+    dense_regs = sorted(map(bytes, np.concatenate(ray.get(reg_d), axis=0)))
+
+    monkeypatch.setattr(hb, "_SPARSE_FRAC", 2.0)  # always sparse
+    nf_s, reg_s, rounds_s = hyperball(_ds(src, dst), p=6, cfg=cfg)
+    sparse_nf = nf_s.to_pandas()
+    sparse_regs = sorted(map(bytes, np.concatenate(ray.get(reg_s), axis=0)))
+
+    assert rounds_d == rounds_s
+    assert dense_nf["nf_est"].tolist() == sparse_nf["nf_est"].tolist()
+    assert dense_regs == sparse_regs
+
+
+def test_hyperball_harmonic_sparse_equals_dense(ray_session, monkeypatch):
+    from ccl_ray.stages import hyperball as hb
+    from ccl_ray.stages.hyperball import hyperball_harmonic
+
+    rng = np.random.default_rng(11)
+    n, m = 180, 420
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    cfg = EngineConfig(num_partitions=3)
+
+    monkeypatch.setattr(hb, "_SPARSE_FRAC", -1.0)
+    ds_d, t_d = hyperball_harmonic(_ds(src, dst), p=6, cfg=cfg)
+    want = ds_d.to_pandas().set_index("vid")["harmonic"].sort_index()
+
+    monkeypatch.setattr(hb, "_SPARSE_FRAC", 2.0)
+    ds_s, t_s = hyperball_harmonic(_ds(src, dst), p=6, cfg=cfg)
+    got = ds_s.to_pandas().set_index("vid")["harmonic"].sort_index()
+
+    assert t_d == t_s
+    assert (want.values == got.values).all()
