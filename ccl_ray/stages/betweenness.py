@@ -1,30 +1,35 @@
-"""Source-sampled betweenness centrality (Brandes) over the BSP shard engine.
+"""Source-sampled betweenness centrality (batched Brandes) over the BSP shards.
 
-For each seed s the two Brandes phases run as level-synchronous waves over
-the SAME precomputed shard plans every other BSP stage uses:
+ALL S seeds run as ONE batch: per-shard state is (n_local, S) matrices
+(dist int64, sigma/delta float64), and every level-synchronous wave ships
+one (frontier rows × S) message matrix through the sparse exchange instead
+of S separate scalar waves. The per-wave fixed floor (task dispatch +
+plasma round trip, ~0.1 s measured on this host) is the dominant cost of
+Brandes at transcript scale — batching amortizes it across seeds, so the
+wall is ~max_s ecc(s) waves per phase, not Σ_s ecc(s).
 
-forward (BFS + path counts): level t ships sigma from the level-(t-1)
-    frontier through the sparse exchange (O(frontier edges), never O(E));
-    a vertex first reached at level t gets dist=t and
-    sigma = Σ sigma(pred). Frontier = one BFS level, so the sparse path is
-    exactly right — the dense exchange never runs.
-backward (dependency accumulation): for l = L..1, level-l vertices ship
-    (1 + delta(w)) / sigma(w); a level-(l-1) vertex v accumulates
-    delta(v) = sigma(v) · Σ incoming — each vertex's delta is finalized in
-    the single round for its level, so ecc(s) rounds per phase total.
+forward (BFS + path counts): wave t ships, from the union frontier
+    (any seed at level t-1), the per-seed masked sigma columns
+    (sigma[u,j] where dist[u,j]==t-1, else 0); a vertex v first reached at
+    level t for seed j (dist[v,j]==UNREACHED and an incoming sum > 0 —
+    sigma is ≥1 along genuine paths, so a positive sum certifies a real
+    message) gets dist[v,j]=t and sigma[v,j] = Σ sigma(pred).
+backward (dependency accumulation): for l = L..1 (L = max seed ecc),
+    level-l columns ship (1 + delta)/sigma; a vertex at level l-1 for
+    seed j accumulates delta[v,j] += sigma[v,j] · Σ incoming[j]. Columns
+    of seeds with ecc < l are all-zero and cost nothing but their width.
 
-betweenness(v) = Σ_s delta_s(v) over the seed sample, seeds excluded from
-their own sums (Brandes' source-sampled estimator; multiply by n/|S| for
-the scaled estimate, halve for the undirected pair convention — returned
-raw so the numpy oracle comparison is convention-free). sigma/delta are
-float64: path counts overflow int64 on dense graphs, and the oracle uses
-the identical float formula.
+betweenness(v) = Σ_j delta_j(v), seeds excluded from their own sums
+(Brandes: w != s; multiply by n/|S| for the scaled estimate, halve for the
+undirected pair convention — returned raw so the numpy oracle comparison
+is convention-free). sigma/delta are float64: path counts overflow int64
+on dense graphs, and the oracle uses the identical float formula.
 
 The seed SAMPLE is small by contract (centrality estimation; ≤64 enforced)
-— per-seed state is three O(V/P) arrays per shard and one tiny align
-exchange, never a driver-side data path. Generalizes the reference's
-per-component aggregation passes (ccl_marker_stack.py:986-1010) to a
-path-based per-vertex statistic the raster engine has no analog for.
+— per-seed state is three O(V·S/P) matrices per shard and S tiny align
+exchanges at setup, never a driver-side data path. Generalizes the
+reference's per-component aggregation passes (ccl_marker_stack.py:986-1010)
+to a path-based per-vertex statistic the raster engine has no analog for.
 """
 
 from __future__ import annotations
@@ -41,18 +46,31 @@ _MAX_SEEDS = 64
 
 
 @ray.remote
-def _frontier(dist, level):
-    return dist == level
+def _stack_cols(*cols):
+    """S per-seed aligned vectors → one (n_local, S) matrix."""
+    return np.column_stack(cols)
 
 
 @ray.remote
-def _fw_scatter_g(plan, sigma, frontier, P):
-    return reduce_routed_sparse(plan, sigma, frontier, np.add, P)
+def _frontier_any(dist, level):
+    """Union frontier: rows where ANY seed sits at ``level``."""
+    return (dist == level).any(axis=1)
 
 
 @ray.remote
-def _fw_scatter_f(plan, sigma, frontier, P):
-    out = reduce_routed_sparse(plan, sigma, frontier, np.add, P)
+def _fw_msgs(dist, sigma, level):
+    """Per-seed masked sigma columns for the forward wave."""
+    return np.where(dist == level, sigma, 0.0)
+
+
+@ray.remote
+def _scatter_g(plan, msgs, frontier, P):
+    return reduce_routed_sparse(plan, msgs, frontier, np.add, P)
+
+
+@ray.remote
+def _scatter_f(plan, msgs, frontier, P):
+    out = reduce_routed_sparse(plan, msgs, frontier, np.add, P)
     return out[0] if P == 1 else tuple(out)
 
 
@@ -62,7 +80,7 @@ def _gather_pieces(q, grouped, msgs):
     if not ids:
         return None, None
     d = np.concatenate(ids)
-    v = np.concatenate([p[1] for p in pieces if len(p[0])])
+    v = np.concatenate([p[1] for p in pieces if len(p[0])], axis=0)
     return d, v
 
 
@@ -74,33 +92,35 @@ def _reduce_by_pos(vids, d, v):
     newb[0] = True
     newb[1:] = idx[1:] != idx[:-1]
     starts = np.nonzero(newb)[0]
-    return idx[starts], np.add.reduceat(v, starts)
-
+    return idx[starts], np.add.reduceat(v, starts, axis=0)
 
 @ray.remote(num_returns=3)
 def _fw_combine(q, grouped, vids, dist, sigma, t, *msgs):
-    """Accept sigma sums ONLY at vertices not yet reached → dist=t."""
+    """Accept sigma sums per (vertex, seed) ONLY where not yet reached for
+    that seed AND the sum is positive (a genuine message) → dist=t."""
     d, v = _gather_pieces(q, grouped, msgs)
     if d is None:
         return dist, sigma, 0
     pos, red = _reduce_by_pos(vids, d, v)
-    mask = dist[pos] == _UNREACHED
-    if not mask.any():
+    acc = (dist[pos] == _UNREACHED) & (red > 0)
+    if not acc.any():
         return dist, sigma, 0
-    pos, red = pos[mask], red[mask]
     new_dist = dist.copy()
     new_sigma = sigma.copy()
-    new_dist[pos] = t
-    new_sigma[pos] = red
-    return new_dist, new_sigma, int(len(pos))
+    nd, ns = new_dist[pos], new_sigma[pos]
+    nd[acc] = t
+    ns[acc] = red[acc]
+    new_dist[pos] = nd
+    new_sigma[pos] = ns
+    return new_dist, new_sigma, int(acc.sum())
 
 
 @ray.remote
 def _bw_msgs(dist, sigma, delta, level):
-    """Per-vertex outgoing value for the level-l backward wave:
-    (1 + delta)/sigma at level-l vertices (sigma > 0 wherever dist is
-    finite by construction), 0 elsewhere (masked out by the frontier)."""
-    out = np.zeros(len(dist), np.float64)
+    """Per-seed outgoing values for the level-l backward wave:
+    (1 + delta)/sigma at level-l entries (sigma > 0 wherever dist is
+    finite by construction), 0 elsewhere."""
+    out = np.zeros(dist.shape, np.float64)
     m = dist == level
     if m.any():
         out[m] = (1.0 + delta[m]) / sigma[m]
@@ -108,49 +128,33 @@ def _bw_msgs(dist, sigma, delta, level):
 
 
 @ray.remote
-def _bw_scatter_g(plan, msgs_val, frontier, P):
-    return reduce_routed_sparse(plan, msgs_val, frontier, np.add, P)
-
-
-@ray.remote
-def _bw_scatter_f(plan, msgs_val, frontier, P):
-    out = reduce_routed_sparse(plan, msgs_val, frontier, np.add, P)
-    return out[0] if P == 1 else tuple(out)
-
-
-@ray.remote
 def _bw_combine(q, grouped, vids, dist, sigma, delta, level, *msgs):
-    """delta(v) = sigma(v) · Σ incoming, finalized at v's own level l-1."""
+    """delta[v,j] += sigma[v,j] · Σ incoming[j], finalized at v's level l-1
+    for seed j (other seeds' columns receive only zeros there)."""
     d, v = _gather_pieces(q, grouped, msgs)
     if d is None:
         return delta
     pos, red = _reduce_by_pos(vids, d, v)
-    mask = dist[pos] == level - 1
-    if not mask.any():
+    m = dist[pos] == level - 1
+    if not m.any():
         return delta
-    pos, red = pos[mask], red[mask]
     new = delta.copy()
-    new[pos] = new[pos] + sigma[pos] * red
+    nd = new[pos]
+    nd[m] = nd[m] + sigma[pos][m] * red[m]
+    new[pos] = nd
     return new
 
 
 @ray.remote
-def _acc_bc(bc, delta, dist):
-    """Accumulate this seed's dependencies; the seed itself (dist==0)
-    contributes nothing to its own sum (Brandes: w != s)."""
-    add = np.where(dist == 0, 0.0, delta)
-    return bc + add if bc is not None else add
+def _finish_bc(dist, delta):
+    """Σ over seeds, each seed excluded from its own sum (dist==0)."""
+    return np.where(dist == 0, 0.0, delta).sum(axis=1)
 
 
 @ray.remote
-def _zeros_like_f8(vids):
-    return np.zeros(len(vids), np.float64)
-
-
-@ray.remote
-def _max_finite(dist) -> int:
-    m = dist[dist < _UNREACHED]
-    return int(m.max()) if m.size else 0
+def _max_finite_cols(dist):
+    """Per-seed max finite level in this shard → (S,) int64."""
+    return np.where(dist < _UNREACHED, dist, -1).max(axis=0, initial=0)
 
 
 @ray.remote
@@ -198,102 +202,93 @@ def betweenness_sample(
 
     from ccl_ray.state.align import align_vertex_values
 
-    bc = [None] * P
-    levels_per_seed: list[int] = []
+    # per-seed aligned init columns (S tiny exchanges), stacked per shard
+    dist_cols: list[list] = [[] for _ in range(P)]
+    sigma_cols: list[list] = [[] for _ in range(P)]
     for sv in seed_vids:
         seed_ds = rd.from_items([{"vid": int(sv)}])
-        dist = align_vertex_values(
+        dcol = align_vertex_values(
             shards, seed_ds, value_col=None, default_weight=0,
             default=int(_UNREACHED), combine="min", dtype=np.int64,
         )
-        sigma = align_vertex_values(
+        scol = align_vertex_values(
             shards, seed_ds, value_col=None, default_weight=1.0,
             default=0.0, combine="add", dtype=np.float64,
         )
-        # forward: level-synchronous BFS carrying path counts
-        t = 1
-        while True:
-            fr = [_frontier.remote(dist[p], t - 1) for p in range(P)]
-            if grouped:
-                outs = [
-                    _fw_scatter_g.remote(plans[p], sigma[p], fr[p], P) for p in range(P)
-                ]
-                comb = [
-                    _fw_combine.remote(q, True, vid_refs[q], dist[q], sigma[q], t, *outs)
-                    for q in range(P)
-                ]
-            else:
-                outs = [
-                    as_piece_list(
-                        _fw_scatter_f.options(num_returns=P).remote(
-                            plans[p], sigma[p], fr[p], P
-                        ),
-                        P,
-                    )
-                    for p in range(P)
-                ]
-                comb = [
-                    _fw_combine.remote(
-                        q, False, vid_refs[q], dist[q], sigma[q], t,
-                        *[outs[p][q] for p in range(P)]
-                    )
-                    for q in range(P)
-                ]
-            dist = [c[0] for c in comb]
-            sigma = [c[1] for c in comb]
-            n_new = int(sum(ray.get([c[2] for c in comb])))
-            if n_new == 0:
-                break
-            t += 1
-            if t > max_rounds:
-                raise AssertionError(
-                    f"betweenness forward phase exceeded max_rounds={max_rounds}"
-                )
-        L = max(ray.get([_max_finite.remote(d) for d in dist]))
+        for p in range(P):
+            dist_cols[p].append(dcol[p])
+            sigma_cols[p].append(scol[p])
+    dist = [_stack_cols.remote(*dist_cols[p]) for p in range(P)]
+    sigma = [_stack_cols.remote(*sigma_cols[p]) for p in range(P)]
 
-        # backward: one wave per level, deepest first
-        delta = [_zeros_like_f8.remote(vid_refs[p]) for p in range(P)]
-        for lvl in range(L, 0, -1):
-            fr = [_frontier.remote(dist[p], lvl) for p in range(P)]
-            mv = [
-                _bw_msgs.remote(dist[p], sigma[p], delta[p], lvl) for p in range(P)
+    def _wave(state_msgs, frontier, combine, extra):
+        if grouped:
+            outs = [
+                _scatter_g.remote(plans[p], state_msgs[p], frontier[p], P)
+                for p in range(P)
             ]
-            if grouped:
-                outs = [
-                    _bw_scatter_g.remote(plans[p], mv[p], fr[p], P) for p in range(P)
-                ]
-                delta = [
-                    _bw_combine.remote(
-                        q, True, vid_refs[q], dist[q], sigma[q], delta[q], lvl, *outs
-                    )
-                    for q in range(P)
-                ]
-            else:
-                outs = [
-                    as_piece_list(
-                        _bw_scatter_f.options(num_returns=P).remote(plans[p], mv[p], fr[p], P),
-                        P,
-                    )
-                    for p in range(P)
-                ]
-                delta = [
-                    _bw_combine.remote(
-                        q, False, vid_refs[q], dist[q], sigma[q], delta[q], lvl,
-                        *[outs[p][q] for p in range(P)]
-                    )
-                    for q in range(P)
-                ]
-        bc = [_acc_bc.remote(bc[p], delta[p], dist[p]) for p in range(P)]
-        levels_per_seed.append(L)
+            return [combine(q, True, outs, extra) for q in range(P)]
+        outs = [
+            as_piece_list(
+                _scatter_f.options(num_returns=P).remote(
+                    plans[p], state_msgs[p], frontier[p], P
+                ),
+                P,
+            )
+            for p in range(P)
+        ]
+        return [
+            combine(q, False, [outs[p][q] for p in range(P)], extra)
+            for q in range(P)
+        ]
+
+    # forward: level-synchronous BFS carrying per-seed path counts
+    t = 1
+    while True:
+        fr = [_frontier_any.remote(dist[p], t - 1) for p in range(P)]
+        mv = [_fw_msgs.remote(dist[p], sigma[p], t - 1) for p in range(P)]
+
+        def fw(q, g, outs, tt):
+            return _fw_combine.remote(
+                q, g, vid_refs[q], dist[q], sigma[q], tt, *outs
+            )
+
+        comb = _wave(mv, fr, fw, t)
+        dist = [c[0] for c in comb]
+        sigma = [c[1] for c in comb]
+        n_new = int(sum(ray.get([c[2] for c in comb])))
+        if n_new == 0:
+            break
+        t += 1
+        if t > max_rounds:
+            raise AssertionError(
+                f"betweenness forward phase exceeded max_rounds={max_rounds}"
+            )
+    per_seed = np.maximum.reduce(ray.get([_max_finite_cols.remote(d) for d in dist]))
+    levels_per_seed = [int(x) for x in per_seed]
+    L = int(per_seed.max()) if len(per_seed) else 0
+
+    # backward: one wave per level, deepest first, all seeds at once
+    delta = [
+        _stack_cols.remote(*[_zeros_like_f8.remote(vid_refs[p])] * len(seed_vids))
+        for p in range(P)
+    ]
+    for lvl in range(L, 0, -1):
+        fr = [_frontier_any.remote(dist[p], lvl) for p in range(P)]
+        mv = [_bw_msgs.remote(dist[p], sigma[p], delta[p], lvl) for p in range(P)]
+
+        def bw(q, g, outs, ll):
+            return _bw_combine.remote(
+                q, g, vid_refs[q], dist[q], sigma[q], delta[q], ll, *outs
+            )
+
+        delta = _wave(mv, fr, bw, lvl)
+    bc = [_finish_bc.remote(dist[p], delta[p]) for p in range(P)]
 
     if shards.get("dense") is not None:
         from ccl_ray.state.dense import translate_shard_tables
 
-        # round AFTER translation? translation passes values through; round
-        # inside the table builder is not available there, so round first
-        bc = [
-            _round_vals.remote(bc[p], round_to) for p in range(P)
-        ]
+        bc = [_round_vals.remote(bc[p], round_to) for p in range(P)]
         tables = translate_shard_tables(
             shards["dense"], vid_refs, bc, value_is_dense=False,
             value_col="betweenness",
@@ -301,6 +296,11 @@ def betweenness_sample(
     else:
         tables = [_bc_table.remote(vid_refs[p], bc[p], round_to) for p in range(P)]
     return rd.from_arrow_refs(tables), levels_per_seed
+
+
+@ray.remote
+def _zeros_like_f8(vids):
+    return np.zeros(len(vids), np.float64)
 
 
 @ray.remote

@@ -1014,3 +1014,29 @@ def test_katz_star_closed_form(ray_session):
     denom = 1 - alpha * alpha * k
     assert abs(df[0] - (1 + alpha * k) / denom) < 1e-6
     assert abs(df[3] - (1 + alpha) / denom) < 1e-6
+
+
+def test_betweenness_batched_mixed_ecc_and_disconnected():
+    """Batched multi-seed waves: seeds with very different eccentricities
+    (star center ecc 1+tail, deep tail end) plus a seed in a separate
+    component — per-seed levels land right and values match the oracle."""
+    from ccl_ray.oracle.unionfind import brandes_oracle
+    from ccl_ray.stages.betweenness import betweenness_sample
+
+    # star center 0 with leaves 1..5, tail 5-6-7-8; island 20-21
+    src = np.array([0, 0, 0, 0, 0, 5, 6, 7, 20])
+    dst = np.array([1, 2, 3, 4, 5, 6, 7, 8, 21])
+    vids = np.array([0, 1, 2, 3, 4, 5, 6, 7, 8, 20, 21])
+    seeds = [0, 8, 20]
+    want = brandes_oracle(src, dst, vids, seeds)
+    for P in (1, 3):
+        ds, levels = betweenness_sample(
+            _edges_ds(src, dst), seeds, vertices=_vids_ds(vids),
+            cfg=EngineConfig(num_partitions=P), round_to=9,
+        )
+        df = ds.to_pandas().set_index("vid").sort_index()
+        # ecc(0)=4 (0..8 via tail), ecc(8)=5, ecc(20)=1 (island)
+        assert levels == [4, 5, 1], f"P={P}"
+        assert np.allclose(
+            df["betweenness"].values, [want[v] for v in df.index], atol=1e-9
+        ), f"P={P}"
