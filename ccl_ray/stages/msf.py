@@ -1,4 +1,4 @@
-"""Minimum spanning forest via distributed Borůvka over the BSP shard engine.
+"""Minimum spanning forest via distributed Borůvka with edge contraction.
 
 Classic Borůvka: each round every component selects its minimum outgoing
 edge under a STRICT TOTAL ORDER on edges — key (w, min(u,v), max(u,v)) —
@@ -11,29 +11,39 @@ Selected-edge cycles longer than 2 are impossible under a strict order
 (the cycle's max-key edge would beat neither endpoint's minimum); the
 2-cycles (both endpoints choose the same edge) dedupe at output assembly.
 
-Distributed shape per round (components at least halve → ≤ log₂V rounds):
-1. RESOLVE — each shard fetches the current component label of its edge
-   destinations. The request side is fully static (the scatter plan's
-   routed unique-dst layout), so owners precompute the gather positions
-   ONCE and each round ships values only;
-2. SELECT — per shard, one lexsort + first-per-group pass finds each local
-   component's min outgoing edge among inter-component edges; partials
-   route by hash(component), owners merge to the global min per component
-   (message volume ≤ one row per (component, shard) — pre-reduced);
-3. CONTRACT — the selected edges form a tiny component-graph; the SAME
+Distributed shape — the graph CONTRACTS between rounds, so round r runs on
+the component multigraph left by round r-1 (components at least halve →
+≤ log₂V rounds, and the edge set shrinks as intra-component and parallel
+edges collapse; later rounds cost O(surviving edges), not O(E)):
+
+1. SELECT — edges live as flat (s_comp, d_comp, w, a, b) arrays routed by
+   hash(s_comp), with (a, b) the ORIGINAL canonical endpoints carried for
+   forest output. Because routing keys on the source COMPONENT, every
+   component's full outgoing edge list is local to one shard after each
+   rebuild — selection is one lexsort + first-per-group pass with NO
+   exchange at all (the static-plan resolve wave of the pre-contraction
+   design is gone entirely);
+2. CONTRACT — the selected edges form a tiny component-graph; the SAME
    propagate/jump waves that power the main CC engine (cc_bsp) run on a
    freshly built mini CSR until fixpoint, yielding min-label merges;
-4. APPLY — vertex component labels resolve through the (old comp → new
-   comp) map with the cc_bsp jump-wave machinery (identity off the map).
+3. APPLY — per-vertex component labels resolve through the (old comp →
+   new comp) map with the cc_bsp jump-wave machinery (identity off the
+   contracted set);
+4. REBUILD — edge endpoints relabel through the same map (source side is
+   shard-local by routing; destination side via one request/resolve
+   exchange over the round's unique d_comps), intra-component edges drop,
+   parallel component edges dedupe to their min-(w, a, b) representative
+   (selection only ever takes the min, so dedupe preserves the chosen
+   set exactly), and survivors reroute by hash(new s_comp).
 
 Labels stay min-vid canonical by induction (mini-CC takes mins of mins),
 so the final labels equal connected_components_bsp's — asserted in tests.
 
 Reference analog: none (the reference has no weighted-graph operators);
 this extends its equivalence-merge loop (ccl_relabel semantics) with
-per-class argmin selection. At transcript scale the per-round payload is
-O(unique dst) resolve values + O(components) candidates — the O(E) work
-stays inside shard-local vectorized kernels.
+per-class argmin selection. At transcript scale round 1 touches O(E) and
+every later round touches only the surviving contracted multigraph — the
+full 64M-row transcript completes without subsampling (BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
@@ -63,29 +73,15 @@ from ccl_ray.stages.cc_bsp import (
 )
 
 _CAND_DTYPES = (np.int64, np.float64, np.int64, np.int64, np.int64)
+_EDGE_DTYPES = (np.int64, np.int64, np.float64, np.int64, np.int64)
 
 
 def _empty_cand():
     return tuple(np.empty(0, t) for t in _CAND_DTYPES)
 
 
-@ray.remote
-def _static_reqs(plan, P):
-    """The per-owner slices of this shard's routed unique dsts (STATIC)."""
-    b = plan["bounds"]
-    return tuple(plan["uniq_dst_routed"][b[q] : b[q + 1]] for q in range(P))
-
-
-@ray.remote
-def _req_positions(q, vids, *req_objs):
-    """Owner-side gather positions for every shard's static request."""
-    return [np.searchsorted(vids, r[q]) for r in req_objs]
-
-
-@ray.remote
-def _resolve_vals(pos_list, comp):
-    """comp values for each requesting shard, in shard order (grouped)."""
-    return [comp[ix] for ix in pos_list]
+def _empty_earr():
+    return tuple(np.empty(0, t) for t in _EDGE_DTYPES)
 
 
 def _first_per_group(keys: np.ndarray, order: np.ndarray):
@@ -97,53 +93,27 @@ def _first_per_group(keys: np.ndarray, order: np.ndarray):
 
 
 @ray.remote
-def _cand_scatter(p, plan, csr, comp, P, *val_objs):
-    """Per-local-component min outgoing edge, routed by hash(component).
-
-    Pieces: (comp, w, a, b, comp_other) with (a, b) the canonical
-    undirected endpoints — the strict-total-order key is (w, a, b)."""
-    if plan["n_edges"] == 0:
-        return [_empty_cand()] * P
-    val_pieces = [v[p] for v in val_objs]
-    nat = np.empty(len(plan["uniq_dst"]), np.int64)
-    nat[plan["uniq_perm"]] = (
-        np.concatenate(val_pieces) if val_pieces else np.empty(0, np.int64)
-    )
-    comp_dst = nat[plan["edge_uniq"]]
-    comp_src = comp[plan["edge_src_idx"]]
-    m = comp_src != comp_dst
-    if not m.any():
-        return [_empty_cand()] * P
-    w = csr["w"][m]
-    u = np.repeat(csr["srcs"], csr["outdeg"])[m]
-    v = csr["dst"][m]
-    cs, cd = comp_src[m], comp_dst[m]
-    a, b = np.minimum(u, v), np.maximum(u, v)
-    keep = _first_per_group(cs, np.lexsort((b, a, w, cs)))
-    cs, w, a, b, cd = cs[keep], w[keep], a[keep], b[keep], cd[keep]
-    parts = part_of(cs, P)
-    o = np.argsort(parts, kind="stable")
-    cs, w, a, b, cd, parts = cs[o], w[o], a[o], b[o], cd[o], parts[o]
-    bnd = np.searchsorted(parts, np.arange(P + 1))
-    return [
-        tuple(arr[bnd[q] : bnd[q + 1]] for arr in (cs, w, a, b, cd))
-        for q in range(P)
-    ]
+def _edge_arrays(csr):
+    """CSR shard → flat contracted-edge arrays (s, d, w, a, b). Round 1's
+    component ids ARE the vids, and (a, b) = canonical original endpoints."""
+    if csr["srcs"].size == 0:
+        return _empty_earr()
+    s = np.repeat(csr["srcs"], csr["outdeg"])
+    d = csr["dst"]
+    w = csr["w"]
+    return s, d, w, np.minimum(s, d), np.maximum(s, d)
 
 
 @ray.remote(num_returns=2)
-def _choose(q, *cand_objs):
-    """Global min outgoing edge per owned component → (chosen, count)."""
-    pieces = [c[q] for c in cand_objs]
-    cs = np.concatenate([p[0] for p in pieces])
-    if cs.size == 0:
+def _select_local(earr):
+    """Per-component min outgoing edge — fully shard-local (all of a
+    component's outgoing edges are co-routed by hash(s_comp)).
+    Returns ((comp, w, a, b, comp_other), count)."""
+    s, d, w, a, b = earr
+    if s.size == 0:
         return _empty_cand(), 0
-    w = np.concatenate([p[1] for p in pieces])
-    a = np.concatenate([p[2] for p in pieces])
-    b = np.concatenate([p[3] for p in pieces])
-    cd = np.concatenate([p[4] for p in pieces])
-    keep = _first_per_group(cs, np.lexsort((b, a, w, cs)))
-    return (cs[keep], w[keep], a[keep], b[keep], cd[keep]), int(len(keep))
+    keep = _first_per_group(s, np.lexsort((b, a, w, s)))
+    return (s[keep], w[keep], a[keep], b[keep], d[keep]), int(len(keep))
 
 
 @ray.remote
@@ -174,6 +144,76 @@ def _mk_map(vids, mini_vids, mini_labels):
     if mini_vids.size:
         arr[np.searchsorted(vids, mini_vids)] = mini_labels
     return arr
+
+
+@ray.remote
+def _dmap_request(earr, P):
+    """Unique destination comps of this edge shard, routed by hash(comp)."""
+    uniq = np.unique(earr[1])
+    parts = part_of(uniq, P)
+    order = np.argsort(parts, kind="stable")
+    uniq, parts = uniq[order], parts[order]
+    bounds = np.searchsorted(parts, np.arange(P + 1))
+    out = tuple(uniq[bounds[q] : bounds[q + 1]] for q in range(P))
+    return out[0] if P == 1 else out
+
+
+@ray.remote
+def _dmap_resolve(vids, maparr, P, *requests):
+    """Owner-side (req comps, new comps) answers, one per requesting shard."""
+    out = [(r, maparr[np.searchsorted(vids, r)]) for r in requests]
+    return out[0] if P == 1 else tuple(out)
+
+
+@ray.remote
+def _rebuild(earr, vids_p, map_p, P, *resp_pieces):
+    """Relabel endpoints through the contraction map, drop intra-component
+    edges, dedupe parallel component edges to min-(w, a, b), and reroute
+    survivors by hash(new s_comp). Returns P edge-array pieces."""
+    s, d, w, a, b = earr
+    empty = _empty_earr() if P == 1 else tuple(_empty_earr() for _ in range(P))
+    if s.size == 0:
+        return empty
+    s2 = map_p[np.searchsorted(vids_p, s)]
+    rq = np.concatenate([r[0] for r in resp_pieces])
+    rm = np.concatenate([r[1] for r in resp_pieces])
+    order = np.argsort(rq, kind="stable")
+    rq, rm = rq[order], rm[order]
+    d2 = rm[np.searchsorted(rq, d)]
+    keep = s2 != d2
+    if not keep.any():
+        return empty
+    s2, d2, w, a, b = s2[keep], d2[keep], w[keep], a[keep], b[keep]
+    # parallel component edges → min under the strict order (w, a, b)
+    o = np.lexsort((b, a, w, d2, s2))
+    s2, d2, w, a, b = s2[o], d2[o], w[o], a[o], b[o]
+    first = np.empty(len(s2), bool)
+    first[0] = True
+    first[1:] = (s2[1:] != s2[:-1]) | (d2[1:] != d2[:-1])
+    s2, d2, w, a, b = s2[first], d2[first], w[first], a[first], b[first]
+    parts = part_of(s2, P)
+    o = np.argsort(parts, kind="stable")
+    s2, d2, w, a, b, parts = s2[o], d2[o], w[o], a[o], b[o], parts[o]
+    bnd = np.searchsorted(parts, np.arange(P + 1))
+    out = [
+        tuple(arr[bnd[q] : bnd[q + 1]] for arr in (s2, d2, w, a, b))
+        for q in range(P)
+    ]
+    return out[0] if P == 1 else tuple(out)
+
+
+@ray.remote
+def _concat_earr(*pieces):
+    if not pieces:
+        return _empty_earr()
+    return tuple(
+        np.concatenate([p[i] for p in pieces]) for i in range(len(_EDGE_DTYPES))
+    )
+
+
+@ray.remote
+def _earr_len(earr) -> int:
+    return int(len(earr[0]))
 
 
 @ray.remote
@@ -232,23 +272,14 @@ def minimum_spanning_forest(
         weight_col=weight_col,
     )
     vid_refs = shard_vertices(edges, P, vertices_ds=vertices)
-    plans = scatter_plans(csr, vid_refs, P)
-
-    # static resolve layout: owners precompute gather positions once
-    reqs = [_static_reqs.remote(plans[p], P) for p in range(P)]
-    pos = [_req_positions.remote(q, vid_refs[q], *reqs) for q in range(P)]
+    earr = [_edge_arrays.remote(csr[p]) for p in range(P)]
 
     comp = [_init_labels.remote(v) for v in vid_refs]
     forest_tables: list = []
     rounds = 0
     while True:
         rounds += 1
-        vals = [_resolve_vals.remote(pos[q], comp[q]) for q in range(P)]
-        cands = [
-            _cand_scatter.remote(p, plans[p], csr[p], comp[p], P, *vals)
-            for p in range(P)
-        ]
-        res = [_choose.remote(q, *cands) for q in range(P)]
+        res = [_select_local.remote(earr[p]) for p in range(P)]
         chosen = [r[0] for r in res]
         n_chosen = int(sum(ray.get([r[1] for r in res])))
         if n_chosen == 0:
@@ -259,6 +290,7 @@ def minimum_spanning_forest(
             _mk_map.remote(vid_refs[q], mini_vids[q], mini_labels[q])
             for q in range(P)
         ]
+        # per-vertex labels resolve through the map (hash(label) routing)
         creqs = [_jump_request_g.remote(comp[p], P) for p in range(P)]
         resolved = [
             _jump_resolve_g.remote(q, vid_refs[q], maparr[q], *creqs)
@@ -267,6 +299,36 @@ def minimum_spanning_forest(
         comp = [
             _jump_apply.remote(p, True, comp[p], None, *resolved)[0]
             for p in range(P)
+        ]
+        # contract the edge multigraph for the next round
+        dreqs = [
+            as_piece_list(
+                _dmap_request.options(num_returns=P).remote(earr[p], P), P
+            )
+            for p in range(P)
+        ]
+        dresp = [
+            as_piece_list(
+                _dmap_resolve.options(num_returns=P).remote(
+                    vid_refs[q], maparr[q], P, *[dreqs[p][q] for p in range(P)]
+                ),
+                P,
+            )
+            for q in range(P)
+        ]
+        rebuilt = [
+            as_piece_list(
+                _rebuild.options(num_returns=P).remote(
+                    earr[p], vid_refs[p], maparr[p], P,
+                    *[dresp[q][p] for q in range(P)],
+                ),
+                P,
+            )
+            for p in range(P)
+        ]
+        earr = [
+            _concat_earr.remote(*[rebuilt[p][q] for p in range(P)])
+            for q in range(P)
         ]
         if rounds >= max_rounds:
             raise AssertionError(f"MSF exceeded max_rounds={max_rounds}")
