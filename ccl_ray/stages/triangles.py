@@ -294,55 +294,443 @@ def edge_triangle_support(edges, *, cfg: EngineConfig | None = None):
     return rd.from_arrow_refs(tables)
 
 
+# ------------------------------------------------------- decremental k-truss
+#
+# Peel rounds after the first do NOT recompute supports over the surviving
+# graph (the full oriented-wedge sweep, O(E·sqrt(E)/P) per round). Instead
+# the engine keeps per-shard edge/adjacency state and, when a batch D of
+# edges peels, enumerates ONLY the triangles containing a D-edge (common-
+# neighbor expansion from each deleted edge's lower-degree endpoint, cost
+# Σ_{(u,v)∈D} min(deg u, deg v)), dedupes them by canonical vertex triple,
+# and decrements the surviving edges' supports. Invariant: after the round,
+# support(e) = #triangles in the surviving graph containing e — identical
+# to a full recompute, so peel sets and round counts match the old
+# implementation (and its unrolled SQL twins) exactly.
+#
+# State layout (all hash-partitioned, pinned in plasma):
+# - edge shards by hash(min endpoint): STATIC (u, v, du, dv, rank-packed
+#   lookup keys) + MUTABLE (support int64, state uint8 ALIVE/DYING/DEAD).
+#   Only the two mutable arrays are copied per round.
+# - adjacency shards by hash(vertex): STATIC symmetric CSR (verts, indptr,
+#   nbrs, keys) + MUTABLE slot_state uint8. alive ∪ dying slots = the
+#   graph the current round's triangles must exist in; a slot dies one
+#   round after its edge peels, exactly when decrements from it finish.
+#
+# Pair lookup: per-shard rank packing — key = rank(u)·|uniq_v| + rank(v)
+# over the shard's own unique endpoint sets. Valid for any vid magnitude
+# (no (u<<32)|v packing); requires per-shard rows < 2^31, which the
+# partitioning guarantees at any realistic shard size.
+
+_KT_ALIVE, _KT_DYING, _KT_DEAD = np.uint8(0), np.uint8(1), np.uint8(2)
+
+
+def _rank_in(uniq: np.ndarray, q: np.ndarray):
+    """(rank, present) of q in sorted unique array uniq."""
+    r = np.searchsorted(uniq, q)
+    ok = r < len(uniq)
+    r = np.minimum(r, max(len(uniq) - 1, 0))
+    ok &= uniq[r] == q if len(uniq) else False
+    return r, ok
+
+
+def _pair_pos(uniq_a, uniq_b, keys, qa, qb):
+    """Positions of query pairs in the shard's lexsorted pair arrays
+    (−1 where absent)."""
+    if len(keys) == 0 or len(qa) == 0:
+        return np.full(len(qa), -1, np.int64)
+    ra, oka = _rank_in(uniq_a, qa)
+    rb, okb = _rank_in(uniq_b, qb)
+    qk = ra.astype(np.int64) * np.int64(len(uniq_b)) + rb
+    pos = np.searchsorted(keys, qk)
+    ok = oka & okb & (pos < len(keys))
+    pos = np.minimum(pos, len(keys) - 1)
+    ok &= keys[pos] == qk
+    return np.where(ok, pos, np.int64(-1))
+
+
+@ray.remote
+def _kt_base(csr, vids, deg, P, *resp_pieces):
+    """STATIC edge-state shard: canonical (u < v) pairs of this CSR shard
+    (co-routed: hash(src)=hash(u)), original endpoint degrees, lookup keys."""
+    empty = {
+        "u": np.empty(0, np.int64), "v": np.empty(0, np.int64),
+        "du": np.empty(0, np.int64), "dv": np.empty(0, np.int64),
+        "uniq_u": np.empty(0, np.int64), "uniq_v": np.empty(0, np.int64),
+        "keys": np.empty(0, np.int64),
+    }
+    if csr["srcs"].size == 0:
+        return empty
+    src = np.repeat(csr["srcs"], csr["outdeg"])
+    dst = csr["dst"]
+    deg_s = np.repeat(deg[np.searchsorted(vids, csr["srcs"])], csr["outdeg"])
+    q = np.concatenate([r[0] for r in resp_pieces])
+    qd = np.concatenate([r[1] for r in resp_pieces])
+    order = np.argsort(q, kind="stable")
+    q, qd = q[order], qd[order]
+    deg_d = qd[np.searchsorted(q, dst)]
+    m = src < dst  # canonical orientation; CSR is (s, d)-lexsorted
+    u, v, du, dv = src[m], dst[m], deg_s[m], deg_d[m]
+    if u.size == 0:
+        return empty
+    uniq_u = np.unique(u)
+    uniq_v = np.unique(v)
+    ru = np.searchsorted(uniq_u, u)
+    rv = np.searchsorted(uniq_v, v)
+    keys = ru.astype(np.int64) * np.int64(len(uniq_v)) + rv
+    return {"u": u, "v": v, "du": du, "dv": dv,
+            "uniq_u": uniq_u, "uniq_v": uniq_v, "keys": keys}
+
+
+@ray.remote(num_returns=3)
+def _kt_init(st, need, *match_pieces):
+    """MUTABLE edge state: supports from the round-1 match pieces (0 for
+    triangle-free edges), below-threshold edges marked DYING.
+    → (mut dict, n_alive, n_dying)."""
+    n = len(st["u"])
+    support = np.zeros(n, np.int64)
+    for mu, mv, mc in match_pieces:
+        if len(mu):
+            pos = _pair_pos(st["uniq_u"], st["uniq_v"], st["keys"], mu, mv)
+            support[pos] += mc  # every matched pair is a real edge (pos ≥ 0)
+    state = np.where(support < need, _KT_DYING, _KT_ALIVE).astype(np.uint8)
+    n_dying = int((state == _KT_DYING).sum())
+    return (
+        {"support": support, "state": state},
+        int(n - n_dying),
+        n_dying,
+    )
+
+
+@ray.remote
+def _kt_adj_static(csr):
+    """STATIC adjacency shard: symmetric CSR + rank-packed slot keys."""
+    if csr["srcs"].size == 0:
+        return {"verts": np.empty(0, np.int64), "indptr": np.zeros(1, np.int64),
+                "nbrs": np.empty(0, np.int64), "uniq_nbrs": np.empty(0, np.int64),
+                "keys": np.empty(0, np.int64)}
+    rows = np.repeat(np.arange(len(csr["srcs"]), dtype=np.int64), csr["outdeg"])
+    uniq_nbrs = np.unique(csr["dst"])
+    rd_ = np.searchsorted(uniq_nbrs, csr["dst"])
+    keys = rows * np.int64(len(uniq_nbrs)) + rd_
+    return {"verts": csr["srcs"], "indptr": csr["indptr"], "nbrs": csr["dst"],
+            "uniq_nbrs": uniq_nbrs, "keys": keys}
+
+
+@ray.remote
+def _kt_adj_state0(csr):
+    return np.zeros(int(csr["dst"].shape[0]), np.uint8)
+
+
+@ray.remote
+def _kt_route_dying(st, mut, P):
+    """DYING edges → (apex, other) pairs routed by hash(apex); apex = the
+    lower-ORIGINAL-degree endpoint (tie → min vid), bounding the common-
+    neighbor expansion by min(deg u, deg v) per peeled edge."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    m = mut["state"] == _KT_DYING
+    if not m.any():
+        return [empty] * P
+    u, v, du, dv = st["u"][m], st["v"][m], st["du"][m], st["dv"][m]
+    pick_u = (du < dv) | (du == dv)  # tie → u (= min vid, u < v canonical)
+    apex = np.where(pick_u, u, v)
+    other = np.where(pick_u, v, u)
+    parts = part_of(apex, P)
+    o = np.argsort(parts, kind="stable")
+    apex, other, parts = apex[o], other[o], parts[o]
+    b = np.searchsorted(parts, np.arange(P + 1))
+    return [(apex[b[p]:b[p + 1]], other[b[p]:b[p + 1]]) for p in range(P)]
+
+
+@ray.remote
+def _kt_candidates(me, adj, slot_state, P, *dying_objs):
+    """Common-neighbor expansion: for each routed (apex, other), every
+    non-dead neighbor w of apex yields candidate triangle {apex, other, w}
+    with closing pair (min(other,w), max(other,w)); routed by hash(min).
+    → P pieces (cu, cv, apex). Cost O(Σ deg(apex))."""
+    empty = tuple(np.empty(0, np.int64) for _ in range(3))
+    pair_pieces = [o[me] for o in dying_objs]
+    apexs = [p[0] for p in pair_pieces if len(p[0])]
+    if not apexs or adj["nbrs"].size == 0:
+        return [empty] * P
+    apex = np.concatenate(apexs)
+    other = np.concatenate([p[1] for p in pair_pieces if len(p[0])])
+    rows = np.searchsorted(adj["verts"], apex)
+    indptr = adj["indptr"]
+    starts = indptr[rows]
+    counts = indptr[rows + 1] - starts
+    ends = np.cumsum(counts)
+    total = int(ends[-1]) if len(ends) else 0
+    if total == 0:
+        return [empty] * P
+    sel = np.repeat(starts - (ends - counts), counts) + np.arange(total)
+    w = adj["nbrs"][sel]
+    ok = (slot_state[sel] != _KT_DEAD)
+    oth = np.repeat(other, counts)
+    apx = np.repeat(apex, counts)
+    ok &= w != oth
+    if not ok.any():
+        return [empty] * P
+    w, oth, apx = w[ok], oth[ok], apx[ok]
+    cu = np.minimum(oth, w)
+    cv = np.maximum(oth, w)
+    parts = part_of(cu, P)
+    o = np.argsort(parts, kind="stable")
+    cu, cv, apx, parts = cu[o], cv[o], apx[o], parts[o]
+    b = np.searchsorted(parts, np.arange(P + 1))
+    return [(cu[b[p]:b[p + 1]], cv[b[p]:b[p + 1]], apx[b[p]:b[p + 1]])
+            for p in range(P)]
+
+
+@ray.remote(num_returns=2)
+def _kt_match(me, st, mut, P, *cand_objs):
+    """Candidates whose closing pair is a non-dead edge here → canonical
+    vertex triples (t1<t2<t3) routed by hash(t1) for cross-shard dedupe.
+    Also returns this shard's candidate count (work accounting)."""
+    empty = tuple(np.empty(0, np.int64) for _ in range(3))
+    cand_pieces = [o[me] for o in cand_objs]
+    cus = [p[0] for p in cand_pieces if len(p[0])]
+    if not cus:
+        return [empty] * P, 0
+    cu = np.concatenate(cus)
+    cv = np.concatenate([p[1] for p in cand_pieces if len(p[0])])
+    apx = np.concatenate([p[2] for p in cand_pieces if len(p[0])])
+    n_cand = int(len(cu))
+    pos = _pair_pos(st["uniq_u"], st["uniq_v"], st["keys"], cu, cv)
+    ok = pos >= 0
+    ok[ok] = mut["state"][pos[ok]] != _KT_DEAD
+    if not ok.any():
+        return [empty] * P, n_cand
+    cu, cv, apx = cu[ok], cv[ok], apx[ok]
+    # sorted triple of {apx, cu, cv} with cu < cv already
+    t1 = np.minimum(apx, cu)
+    t3 = np.maximum(apx, cv)
+    t2 = np.where(apx < cu, cu, np.where(apx > cv, cv, apx))
+    parts = part_of(t1, P)
+    o = np.argsort(parts, kind="stable")
+    t1, t2, t3, parts = t1[o], t2[o], t3[o], parts[o]
+    b = np.searchsorted(parts, np.arange(P + 1))
+    out = [(t1[b[p]:b[p + 1]], t2[b[p]:b[p + 1]], t3[b[p]:b[p + 1]])
+           for p in range(P)]
+    return out, n_cand
+
+
+@ray.remote
+def _kt_decrements(me, P, *tri_objs):
+    """Dedupe triples (a triangle with ≥2 peeled edges is found once per
+    peeled edge), then −1 per triple to each of its three canonical pairs,
+    pre-reduced and routed by hash(min endpoint). → P (eu, ev, cnt)."""
+    empty = tuple(np.empty(0, np.int64) for _ in range(3))
+    tri_pieces = [o[me] for o in tri_objs]
+    t1s = [p[0] for p in tri_pieces if len(p[0])]
+    if not t1s:
+        return [empty] * P
+    t1 = np.concatenate(t1s)
+    t2 = np.concatenate([p[1] for p in tri_pieces if len(p[0])])
+    t3 = np.concatenate([p[2] for p in tri_pieces if len(p[0])])
+    o = np.lexsort((t3, t2, t1))
+    t1, t2, t3 = t1[o], t2[o], t3[o]
+    first = np.empty(len(t1), bool)
+    first[0] = True
+    first[1:] = (t1[1:] != t1[:-1]) | (t2[1:] != t2[:-1]) | (t3[1:] != t3[:-1])
+    t1, t2, t3 = t1[first], t2[first], t3[first]
+    eu = np.concatenate([t1, t1, t2])
+    ev = np.concatenate([t2, t3, t3])
+    o = np.lexsort((ev, eu))
+    eu, ev = eu[o], ev[o]
+    new = np.empty(len(eu), bool)
+    new[0] = True
+    new[1:] = (eu[1:] != eu[:-1]) | (ev[1:] != ev[:-1])
+    starts = np.nonzero(new)[0]
+    cnt = np.add.reduceat(np.ones(len(eu), np.int64), starts)
+    eu, ev = eu[starts], ev[starts]
+    parts = part_of(eu, P)
+    o = np.argsort(parts, kind="stable")
+    eu, ev, cnt, parts = eu[o], ev[o], cnt[o], parts[o]
+    b = np.searchsorted(parts, np.arange(P + 1))
+    return [(eu[b[p]:b[p + 1]], ev[b[p]:b[p + 1]], cnt[b[p]:b[p + 1]])
+            for p in range(P)]
+
+
+@ray.remote(num_returns=4)
+def _kt_apply(me, st, mut, need, P, *dec_objs):
+    """Apply decrements to ALIVE edges, retire DYING → DEAD, mark the new
+    below-threshold ALIVE edges DYING. → (new mut, dead pairs routed by
+    hash(endpoint) for adjacency slot-kill, n_alive, n_new_dying)."""
+    support = mut["support"].copy()
+    state = mut["state"].copy()
+    for eu, ev, cnt in (o[me] for o in dec_objs):
+        if len(eu):
+            pos = _pair_pos(st["uniq_u"], st["uniq_v"], st["keys"], eu, ev)
+            ok = pos >= 0
+            ok[ok] = state[pos[ok]] == _KT_ALIVE
+            np.subtract.at(support, pos[ok], cnt[ok])
+    dead_now = state == _KT_DYING
+    state[dead_now] = _KT_DEAD
+    new_dying = (state == _KT_ALIVE) & (support < need)
+    state[new_dying] = _KT_DYING
+    du, dv = st["u"][dead_now], st["v"][dead_now]
+    x = np.concatenate([du, dv])
+    y = np.concatenate([dv, du])
+    parts = part_of(x, P)
+    o = np.argsort(parts, kind="stable")
+    x, y, parts = x[o], y[o], parts[o]
+    b = np.searchsorted(parts, np.arange(P + 1))
+    dead_out = [(x[b[p]:b[p + 1]], y[b[p]:b[p + 1]]) for p in range(P)]
+    return (
+        {"support": support, "state": state},
+        dead_out,
+        int((state == _KT_ALIVE).sum()),
+        int(new_dying.sum()),
+    )
+
+
+@ray.remote
+def _kt_adj_kill(me, adj, slot_state, *dead_objs):
+    """Mark adjacency slots of retired edges DEAD (both directions arrive
+    here routed by their own source endpoint)."""
+    dead_pieces = [o[me] for o in dead_objs]
+    xs = [p[0] for p in dead_pieces if len(p[0])]
+    if not xs:
+        return slot_state
+    x = np.concatenate(xs)
+    y = np.concatenate([p[1] for p in dead_pieces if len(p[0])])
+    rows = np.searchsorted(adj["verts"], x)
+    ry, _oky = _rank_in(adj["uniq_nbrs"], y)
+    qk = rows.astype(np.int64) * np.int64(len(adj["uniq_nbrs"])) + ry
+    pos = np.searchsorted(adj["keys"], qk)  # every killed pair is a real slot
+    new = slot_state.copy()
+    new[pos] = _KT_DEAD
+    return new
+
+
+@ray.remote
+def _kt_alive_table(st, mut):
+    import pyarrow as pa
+
+    m = mut["state"] == _KT_ALIVE
+    return pa.table({"src": pa.array(st["u"][m]), "dst": pa.array(st["v"][m])})
+
+
 def ktruss(edges, k: int = 3, *, cfg: EngineConfig | None = None,
-           max_rounds: int | None = None):
+           max_rounds: int | None = None, stats: dict | None = None):
     """k-truss of the undirected simple graph: the maximal subgraph whose
     every edge closes ≥ k−2 triangles WITHIN the subgraph. Returns
     (edges Dataset of canonical (src, dst), rounds).
 
-    Classic iterative peel: recompute per-edge support over the surviving
-    edge set (edge_triangle_support — the full oriented-wedge wave, so each
-    round is O(E·sqrt(E)/P) worst case), drop edges below k−2, repeat until
-    the edge count is stable. Rounds = peel depth (small in practice; the
-    events graph at sf0.01 stabilizes in ≤2). ``max_rounds`` raises beyond
-    an oracle's unrolled cap."""
+    Round 1 computes exact supports with the full oriented-wedge sweep;
+    every later peel round is DECREMENTAL (see the block comment above):
+    only triangles containing a just-peeled edge are enumerated, so a deep
+    peel costs O(Σ min-degree of peeled edges) per round instead of a full
+    O(E·sqrt(E)/P) recompute. Peel sets and round counts are identical to
+    the recompute formulation (same supports each round). ``max_rounds``
+    raises beyond an oracle's unrolled cap. ``stats`` (optional dict) is
+    filled with work counters: per-round candidate counts and alive sizes.
+    """
     import pyarrow as pa
-    import pyarrow.compute as pc
+
+    import ray.data as rd
 
     cfg = cfg or EngineConfig()
+    P = cfg.num_partitions
     need = k - 2
     assert need >= 1, "ktruss requires k >= 3"
 
-    def keep(batch: pa.Table) -> pa.Table:
-        mask = pc.greater_equal(batch.column("support"), need)
-        return batch.filter(mask).select(["src", "dst"])
+    csr = shard_edges_csr(edges, P, symmetrize=True, dedupe=True, drop_self=True)
+    vid_refs = shard_vertices(edges, P)
+    deg = [_degrees.remote(csr[p], vid_refs[p]) for p in range(P)]
+    reqs = [_as_list(_deg_request.options(num_returns=P).remote(csr[p], P), P) for p in range(P)]
+    resolved = [
+        _as_list(
+            _deg_resolve.options(num_returns=P).remote(
+                vid_refs[p], deg[p], P, *[reqs[q][p] for q in range(P)]
+            ),
+            P,
+        )
+        for p in range(P)
+    ]
+    ow = [
+        list(
+            _orient_and_wedges.options(num_returns=P + 1).remote(
+                csr[p], vid_refs[p], deg[p], P, *[resolved[q][p] for q in range(P)]
+            )
+        )
+        for p in range(P)
+    ]
+    routed = [
+        _as_list(
+            _match_per_edge.options(num_returns=P).remote(
+                P, ow[q][P], *[ow[p][q] for p in range(P)]
+            ),
+            P,
+        )
+        for q in range(P)
+    ]
+    st = [
+        _kt_base.remote(csr[p], vid_refs[p], deg[p], P,
+                        *[resolved[q][p] for q in range(P)])
+        for p in range(P)
+    ]
+    init = [
+        _kt_init.remote(st[r], need, *[routed[q][r] for q in range(P)])
+        for r in range(P)
+    ]
+    mut = [i[0] for i in init]
+    adj = [_kt_adj_static.remote(csr[p]) for p in range(P)]
+    slot = [_kt_adj_state0.remote(csr[p]) for p in range(P)]
 
-    cur = edges.select_columns(["src", "dst"]).materialize()
-    prev_n = None
-    rounds = 0
+    cand_per_round: list[int] = []
+    alive_per_round: list[int] = []
+    rounds = 1
+    n = int(sum(ray.get([i[1] for i in init])))
+    alive_per_round.append(n)
+    prev_n: int | None = None
     while True:
-        sup = edge_triangle_support(cur, cfg=cfg)
-        cur = sup.map_batches(keep, batch_format="pyarrow").materialize()
-        rounds += 1
-        n = cur.count()
         if prev_n is not None and n == prev_n:
             break
         if n == 0:
-            # explicit typed empty result: an all-empty materialized Dataset
-            # loses its schema (None), which breaks downstream consumers
-            import ray.data as rd
-
-            cur = rd.from_arrow(
-                pa.table({"src": pa.array([], pa.int64()),
-                          "dst": pa.array([], pa.int64())})
-            )
             break
-        # (stability already broke out above, so reaching the cap means
-        # the edge set was still changing this round)
         if max_rounds is not None and rounds >= max_rounds:
             raise RuntimeError(f"ktruss did not stabilize within {max_rounds} rounds")
         prev_n = n
-    return cur, rounds
+        # decremental round: triangles through the DYING set only.
+        # Grouped exchange throughout (one object of P pieces per producer;
+        # consumers read their piece zero-copy), like _contract/cc_bsp.
+        dying = [_kt_route_dying.remote(st[p], mut[p], P) for p in range(P)]
+        cands = [
+            _kt_candidates.remote(p, adj[p], slot[p], P, *dying)
+            for p in range(P)
+        ]
+        matched = [
+            _kt_match.remote(p, st[p], mut[p], P, *cands) for p in range(P)
+        ]
+        tris = [m[0] for m in matched]
+        cand_per_round.append(int(sum(ray.get([m[1] for m in matched]))))
+        decs = [_kt_decrements.remote(p, P, *tris) for p in range(P)]
+        applied = [
+            _kt_apply.remote(p, st[p], mut[p], need, P, *decs)
+            for p in range(P)
+        ]
+        mut = [a[0] for a in applied]
+        dead = [a[1] for a in applied]
+        slot = [
+            _kt_adj_kill.remote(p, adj[p], slot[p], *dead) for p in range(P)
+        ]
+        rounds += 1
+        n = int(sum(ray.get([a[2] for a in applied])))
+        alive_per_round.append(n)
+
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["candidates_per_round"] = cand_per_round
+        stats["alive_per_round"] = alive_per_round
+
+    if n == 0:
+        cur = rd.from_arrow(
+            pa.table({"src": pa.array([], pa.int64()),
+                      "dst": pa.array([], pa.int64())})
+        )
+        return cur, rounds
+    return rd.from_arrow_refs([_kt_alive_table.remote(st[p], mut[p]) for p in range(P)]), rounds
 
 
 @ray.remote

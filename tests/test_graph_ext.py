@@ -1040,3 +1040,73 @@ def test_betweenness_batched_mixed_ecc_and_disconnected():
         assert np.allclose(
             df["betweenness"].values, [want[v] for v in df.index], atol=1e-9
         ), f"P={P}"
+
+
+def test_ktruss_deep_peel_decremental_work_bound():
+    """Triangulated m×m grid peels like an onion under k=4 — one boundary
+    layer per round (peel depth ≈ m). Checks (a) exact agreement with the
+    serial recompute oracle through a ≥5-deep peel, and (b) the decremental
+    work counter: total common-neighbor candidates across ALL peel rounds
+    stay O(E) (each edge is peeled once, contributing ≤ min-degree
+    candidates), where the old recompute formulation re-swept every wedge
+    of the surviving graph every round (≈ rounds × wedges)."""
+    from ccl_ray.stages.triangles import ktruss
+
+    m = 12
+    vid = lambda r, c: r * m + c  # noqa: E731
+    E = []
+    for r in range(m):
+        for c in range(m):
+            if c + 1 < m:
+                E.append((vid(r, c), vid(r, c + 1)))
+            if r + 1 < m:
+                E.append((vid(r, c), vid(r + 1, c)))
+            if r + 1 < m and c + 1 < m:
+                E.append((vid(r, c), vid(r + 1, c + 1)))
+    src = np.array([a for a, b in E], np.int64)
+    dst = np.array([b for a, b in E], np.int64)
+    nbr = _adj(src, dst, np.arange(m * m))
+    want = _ktruss_oracle(nbr, 4)
+    for P in (1, 4):
+        stats = {}
+        out, rounds = ktruss(
+            _edges_ds(src, dst), 4, cfg=EngineConfig(num_partitions=P),
+            stats=stats,
+        )
+        df = out.to_pandas() if out.count() else None
+        got = (
+            {(int(a), int(b)) for a, b in zip(df["src"], df["dst"])}
+            if df is not None else set()
+        )
+        assert got == want, f"P={P}"
+        assert rounds >= 5, f"peel too shallow to exercise the cascade: {rounds}"
+        # survivor counts strictly decrease down to the fixpoint
+        alive = stats["alive_per_round"]
+        assert all(a > b for a, b in zip(alive, alive[1:])), alive
+        # decremental work bound: measured 928 candidates for E=385 at m=12;
+        # 4·E leaves slack while staying far below rounds·E (the recompute
+        # formulation's floor of full sweeps)
+        assert sum(stats["candidates_per_round"]) < 4 * len(E), stats
+        assert rounds * len(E) > 2 * sum(stats["candidates_per_round"])
+
+
+def test_ktruss_decremental_matches_oracle_k5_dense():
+    """Denser random graph at k=5: multi-edge-per-triangle deletions in the
+    same round exercise the triple dedupe (a triangle with 2-3 peeled edges
+    must decrement each survivor exactly once)."""
+    from ccl_ray.stages.triangles import ktruss
+
+    src, dst, vids = _random_graph(91, n=30, m=260)
+    nbr = _adj(src, dst, vids)
+    for k in (4, 5):
+        want = _ktruss_oracle(nbr, k)
+        for P in (1, 3):
+            out, rounds = ktruss(
+                _edges_ds(src, dst), k, cfg=EngineConfig(num_partitions=P)
+            )
+            df = out.to_pandas() if out.count() else None
+            got = (
+                {(int(a), int(b)) for a, b in zip(df["src"], df["dst"])}
+                if df is not None else set()
+            )
+            assert got == want, f"k={k} P={P}"
