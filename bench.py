@@ -299,7 +299,10 @@ def run_bench() -> dict:
 
     from ccl_ray.stages.betweenness import betweenness_sample
 
-    bc_seeds = [int(x) for x in edges.limit(2).to_pandas()["src"]]
+    # 4 distinct seeds (round 4 ran 2): the batched multi-seed waves pay
+    # the per-wave floor max-ecc times total instead of per seed
+    bc_pool = [int(x) for x in edges.limit(64).to_pandas()["src"]]
+    bc_seeds = list(dict.fromkeys(bc_pool))[:4]
     t0 = time.perf_counter()
     bds, bc_levels = betweenness_sample(edges, bc_seeds, cfg=cfg, shards=shards)
     bds.count()
@@ -396,27 +399,26 @@ def run_bench() -> dict:
     queries["transcript_coloring"] = time.perf_counter() - t0
     extra["coloring"] = {"rounds": color_rounds, "n_colors": n_colors}
 
-    # --- round-4 session-4 additions: Borůvka MSF (weighted, own weighted
-    # CSR — setup in the wall) and HyperBall (p=6 HLL neighborhood
-    # function; per-round payload = 64 B/unique dst). Both run on a
-    # deterministic 1/16 hash-subsample of the transcript edge multiset
-    # (~4M rows): at the full 64M-row graph MSF needs >10 min and
-    # HyperBall ~55 s/round (measured in-session — per-round volume is
-    # O(unique dst · 2^p) bytes), which would dominate the whole bench
-    # wall; the subsample keeps both in the tens of seconds while still
-    # exercising every exchange at millions-of-edges scale.
+    # --- Borůvka MSF (weighted, own weighted CSR — setup in the wall) and
+    # HyperBall (p=6 HLL neighborhood function), both at FULL transcript
+    # scale since round 5: MSF contracts the edge multigraph between rounds
+    # (round 1 is O(E), later rounds O(surviving contracted edges)) and
+    # HyperBall ships only changed register rows past 50% dirty, so neither
+    # needs the round-4 1/16 subsample anymore. GRAFT_MSF_SUBSAMPLE=N>1
+    # restores the hash-subsample for quick smokes.
     from ccl_ray.functions.hashing import stable_hash64_np
 
-    msf_div = int(os.environ.get("GRAFT_MSF_SUBSAMPLE", "16"))
+    msf_div = int(os.environ.get("GRAFT_MSF_SUBSAMPLE", "1"))
 
     def _sub_weighted(t: "pa.Table") -> "pa.Table":
         s = t.column("src").to_numpy(zero_copy_only=False)
         d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = (
-            stable_hash64_np((s * 1315423911 + d).view(np.uint64))
-            % np.uint64(msf_div)
-        ) == 0
-        s, d = s[keep], d[keep]
+        if msf_div > 1:
+            keep = (
+                stable_hash64_np((s * 1315423911 + d).view(np.uint64))
+                % np.uint64(msf_div)
+            ) == 0
+            s, d = s[keep], d[keep]
         return pa.table(
             {
                 "src": pa.array(s),
@@ -445,7 +447,7 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     from ccl_ray.stages.hyperball import hyperball
 
-    hb_rounds_cap = int(os.environ.get("GRAFT_HB_ROUNDS", "8"))
+    hb_rounds_cap = int(os.environ.get("GRAFT_HB_ROUNDS", "16"))
     hb_nf, _hb_regs, hb_rounds = hyperball(
         sub_edges.select_columns(["src", "dst"]), p=6, cfg=cfg,
         max_rounds=hb_rounds_cap,
