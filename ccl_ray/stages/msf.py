@@ -217,10 +217,45 @@ def _earr_len(earr) -> int:
 
 
 @ray.remote
-def _chosen_table(chosen):
+def _chosen_route(chosen, P):
+    """Chosen forest edges routed by hash(a) for the output dedupe (both
+    endpoint components may pick the same edge; hash(a) co-locates the
+    duplicates). → P (a, b, w) pieces."""
     _cs, w, a, b, _cd = chosen
+    parts = part_of(a, P)
+    o = np.argsort(parts, kind="stable")
+    a, b, w, parts = a[o], b[o], w[o], parts[o]
+    bnd = np.searchsorted(parts, np.arange(P + 1))
+    return [
+        (a[bnd[q] : bnd[q + 1]], b[bnd[q] : bnd[q + 1]], w[bnd[q] : bnd[q + 1]])
+        for q in range(P)
+    ]
+
+
+@ray.remote
+def _forest_table(me, *route_objs):
+    """Vectorized per-shard (a, b) dedupe + sort → one Arrow forest shard.
+    Replaces a Dataset groupby("a").map_groups pass, which pays per-GROUP
+    pandas overhead — at transcript scale the forest has ~15M groups of
+    size 1-2 and the groupby dominated the whole MSF wall."""
+    pieces = [o[me] for o in route_objs]
+    arrs = [p for p in pieces if len(p[0])]
+    if not arrs:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "w": pa.array([], pa.float64())}
+        )
+    a = np.concatenate([p[0] for p in arrs])
+    b = np.concatenate([p[1] for p in arrs])
+    w = np.concatenate([p[2] for p in arrs])
+    o = np.lexsort((b, a))
+    a, b, w = a[o], b[o], w[o]
+    keep = np.empty(len(a), bool)
+    keep[0] = True
+    keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
     return pa.table(
-        {"a": pa.array(a), "b": pa.array(b), "w": pa.array(w, pa.float64())}
+        {"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+         "w": pa.array(w[keep], pa.float64())}
     )
 
 
@@ -275,7 +310,7 @@ def minimum_spanning_forest(
     earr = [_edge_arrays.remote(csr[p]) for p in range(P)]
 
     comp = [_init_labels.remote(v) for v in vid_refs]
-    forest_tables: list = []
+    chosen_routed: list = []  # per round: grouped (a, b, w) route objects
     rounds = 0
     while True:
         rounds += 1
@@ -284,7 +319,7 @@ def minimum_spanning_forest(
         n_chosen = int(sum(ray.get([r[1] for r in res])))
         if n_chosen == 0:
             break
-        forest_tables.extend(_chosen_table.remote(c) for c in chosen)
+        chosen_routed.extend(_chosen_route.remote(c, P) for c in chosen)
         mini_vids, mini_labels = _contract(chosen, P)
         maparr = [
             _mk_map.remote(vid_refs[q], mini_vids[q], mini_labels[q])
@@ -336,30 +371,15 @@ def minimum_spanning_forest(
     label_ds = rd.from_arrow_refs(
         [_label_table.remote(vid_refs[p], comp[p]) for p in range(P)]
     )
-    if not forest_tables:
+    if not chosen_routed:
         forest = rd.from_arrow(
             pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                       "w": pa.array([], pa.float64())})
         )
         return forest, label_ds, rounds
 
-    def dedupe_group(df):
-        import pandas as pd  # noqa: F401
-
-        out = df.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"])
-        return pa.table(
-            {
-                "a": pa.array(out["a"].values.astype(np.int64)),
-                "b": pa.array(out["b"].values.astype(np.int64)),
-                "w": pa.array(out["w"].values.astype(np.float64)),
-            }
-        )
-
-    # both-endpoint picks of the same edge dedupe here; groupby("a")
-    # collocates every (a, b) duplicate pair (canonical a = min endpoint)
-    forest = (
-        rd.from_arrow_refs(forest_tables)
-        .groupby("a")
-        .map_groups(dedupe_group, batch_format="pandas")
+    # both-endpoint picks of the same edge dedupe per hash(a) shard
+    forest = rd.from_arrow_refs(
+        [_forest_table.remote(q, *chosen_routed) for q in range(P)]
     )
     return forest, label_ds, rounds
