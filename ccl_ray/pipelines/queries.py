@@ -89,6 +89,29 @@ def _bundle_memo(sf_dir: str) -> dict:
     return _MEMO[key]
 
 
+def _bundle_dedup_memo(sf_dir: str) -> dict:
+    """Symmetric shard bundle over the DISTINCT (src, dst) edge set — the
+    SQL twins' ``edgu``. Path-multiplicity statistics (sssp_paths) need the
+    simple graph: the raw multiset bundle is fine for min-plus/label waves
+    but each parallel edge would count as an extra shortest path. Dedupe
+    runs through the pair partial-agg combiner (never materializes the
+    multiset on one node)."""
+    key = ("bundle_dedup", sf_dir)
+    if key not in _MEMO:
+        from ccl_ray.state.shards import build_graph_shards
+
+        cfg = _cfg()
+        dedup = partial_sum_agg(
+            _edges_memo(sf_dir), ["src", "dst"], {}, count_as="_n"
+        ).select_columns(["src", "dst"]).materialize()
+        _MEMO[key] = build_graph_shards(
+            dedup, cfg.num_partitions,
+            vertices_ds=_verts_memo(sf_dir), symmetrize=True,
+            dense=cfg.dense_ids,
+        )
+    return _MEMO[key]
+
+
 def _lpa_memo(sf_dir: str) -> "rd.Dataset":
     """5-round LPA partition (vid, community) — shared by lpa_communities
     and modularity."""
@@ -745,6 +768,28 @@ def q_sssp_hops(sf_dir: str):
         shards=_bundle_memo(sf_dir),
     )
     return res.dists.rename_columns({"vid": "event_id"})
+
+
+def q_sssp_paths(sf_dir: str):
+    """Multi-source shortest-path COUNTS (Brandes forward pass,
+    stages/betweenness.py shortest_path_counts): paths = number of distinct
+    shortest paths from the nearest seed(s) (event_id % 97 == 0, the
+    sssp_hops seed set; a vertex equidistant from several seeds sums all
+    their path counts), 0 for unreachable. The SQL twin computes the BFS
+    dist table first, then runs the level-synchronous sigma recursion
+    constrained by it — each vertex appears at exactly its dist level, so
+    the recursion is the engine's wave loop verbatim. Runs on the DEDUPED
+    bundle (_bundle_dedup_memo): path multiplicity is parallel-edge
+    sensitive, unlike the min-plus/label waves. Generalizes the
+    reference's per-label occupancy counting (ccl_marker_stack.py:986-1010)
+    to a path-multiplicity statistic."""
+    from ccl_ray.stages.betweenness import shortest_path_counts
+
+    out = shortest_path_counts(
+        _edges_memo(sf_dir), _event_seeds(sf_dir), cfg=_cfg(),
+        shards=_bundle_dedup_memo(sf_dir), max_rounds=64,
+    )
+    return out.rename_columns({"vid": "event_id"})
 
 
 def q_pagerank_weighted(sf_dir: str):
@@ -3422,6 +3467,7 @@ QUERIES = {
     "ppr_fixed": q_ppr_fixed,
     "kcore": q_kcore,
     "sssp_hops": q_sssp_hops,
+    "sssp_paths": q_sssp_paths,
     "clustering_coeff": q_clustering_coeff,
     "common_neighbors": q_common_neighbors,
     "adamic_adar": q_adamic_adar,
@@ -3556,8 +3602,10 @@ _DRIVER_FIRST = [
     "lang_top_terms", "dup_manifest", "rollup_qty", "cube_qty",
     "top_revenue_orders", "brand_nation_revenue", "distinct_users",
     "fuzzy_name_pairs", "running_window",
-    # pinned regression core (6) — keep a driver row every round
-    "edges_build", "cc_labels", "pagerank_fixed", "triangle_count",
+    # new in round 5 — needs its first driver row
+    "sssp_paths",
+    # pinned regression core (5) — keep a driver row every round
+    "edges_build", "cc_labels", "pagerank_fixed",
     "minhash_pairs", "dup_clusters",
 ]
 assert len(_DRIVER_FIRST) == 50 and len(set(_DRIVER_FIRST)) == 50
@@ -4348,6 +4396,36 @@ ORACLE_SQL = {
         SELECT v AS event_id,
                CASE WHEN d >= 999999 THEN NULL ELSE d END AS dist
         FROM bfs WHERE it = 40""",
+    # dist first (the sssp_hops recursion), then the sigma recursion joined
+    # against it: sig rows exist only at each vertex's own dist level, and
+    # a level-(t+1) vertex sums the sigma of its level-t predecessors —
+    # the engine's forward wave verbatim. HUGEINT sum (counts are exact);
+    # cast back to BIGINT to match the engine's int64 paths column.
+    "sssp_paths": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        dire AS (SELECT src AS u, dst AS v FROM edgu
+                 UNION ALL SELECT dst, src FROM edgu),
+        direl AS (SELECT u, v, 1 AS w FROM dire
+                  UNION ALL SELECT event_id, event_id, 0 FROM events),
+        bfs(it, v, d) AS (
+          SELECT 0, event_id, CASE WHEN event_id % 97 = 0 THEN 0 ELSE 999999 END
+          FROM events
+          UNION ALL
+          SELECT it+1, e.v, min(least(bfs.d + e.w, 999999))
+          FROM bfs JOIN direl e ON e.u = bfs.v
+          WHERE it < 64 GROUP BY 1, 2),
+        distf AS (SELECT v, d FROM bfs WHERE it = 64 AND d < 999999),
+        sig(it, v, s) AS (
+          SELECT 0, event_id, 1::HUGEINT FROM events WHERE event_id % 97 = 0
+          UNION ALL
+          SELECT sig.it+1, e.v, sum(sig.s)
+          FROM sig JOIN dire e ON e.u = sig.v
+          JOIN distf du ON du.v = sig.v AND du.d = sig.it
+          JOIN distf dv ON dv.v = e.v AND dv.d = sig.it + 1
+          WHERE sig.it < 64 GROUP BY 1, 2),
+        pathsf AS (SELECT v, sum(s) AS s FROM sig GROUP BY v)
+        SELECT e.event_id, coalesce(p.s, 0)::BIGINT AS paths
+        FROM events e LEFT JOIN pathsf p ON p.v = e.event_id""",
     "hits_fixed": _hits_oracle_sql(12),
     "pagerank_weighted": f"""
         WITH RECURSIVE {_EDGES_CTE},

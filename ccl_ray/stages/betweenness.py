@@ -169,6 +169,62 @@ def _bc_table(vids, bc, round_to):
     )
 
 
+def _make_wave(plans, grouped: bool, P: int):
+    """The one exchange shape both Brandes phases (and the forward-only
+    path-count variant) run: scatter per-shard message matrices along the
+    plan, route by destination owner, hand each owner's pieces to
+    ``combine``."""
+
+    def _wave(state_msgs, frontier, combine, extra):
+        if grouped:
+            outs = [
+                _scatter_g.remote(plans[p], state_msgs[p], frontier[p], P)
+                for p in range(P)
+            ]
+            return [combine(q, True, outs, extra) for q in range(P)]
+        outs = [
+            as_piece_list(
+                _scatter_f.options(num_returns=P).remote(
+                    plans[p], state_msgs[p], frontier[p], P
+                ),
+                P,
+            )
+            for p in range(P)
+        ]
+        return [
+            combine(q, False, [outs[p][q] for p in range(P)], extra)
+            for q in range(P)
+        ]
+
+    return _wave
+
+
+def _forward_phase(_wave, vid_refs, dist, sigma, P: int, max_rounds: int):
+    """Level-synchronous BFS carrying per-seed path counts; returns the
+    converged (dist, sigma) shard lists."""
+    t = 1
+    while True:
+        fr = [_frontier_any.remote(dist[p], t - 1) for p in range(P)]
+        mv = [_fw_msgs.remote(dist[p], sigma[p], t - 1) for p in range(P)]
+
+        def fw(q, g, outs, tt):
+            return _fw_combine.remote(
+                q, g, vid_refs[q], dist[q], sigma[q], tt, *outs
+            )
+
+        comb = _wave(mv, fr, fw, t)
+        dist = [c[0] for c in comb]
+        sigma = [c[1] for c in comb]
+        n_new = int(sum(ray.get([c[2] for c in comb])))
+        if n_new == 0:
+            return dist, sigma
+        t += 1
+        if t > max_rounds:
+            raise AssertionError(
+                f"Brandes forward phase exceeded max_rounds={max_rounds}"
+            )
+
+
 def betweenness_sample(
     edges,
     seed_vids: list[int],
@@ -221,49 +277,8 @@ def betweenness_sample(
     dist = [_stack_cols.remote(*dist_cols[p]) for p in range(P)]
     sigma = [_stack_cols.remote(*sigma_cols[p]) for p in range(P)]
 
-    def _wave(state_msgs, frontier, combine, extra):
-        if grouped:
-            outs = [
-                _scatter_g.remote(plans[p], state_msgs[p], frontier[p], P)
-                for p in range(P)
-            ]
-            return [combine(q, True, outs, extra) for q in range(P)]
-        outs = [
-            as_piece_list(
-                _scatter_f.options(num_returns=P).remote(
-                    plans[p], state_msgs[p], frontier[p], P
-                ),
-                P,
-            )
-            for p in range(P)
-        ]
-        return [
-            combine(q, False, [outs[p][q] for p in range(P)], extra)
-            for q in range(P)
-        ]
-
-    # forward: level-synchronous BFS carrying per-seed path counts
-    t = 1
-    while True:
-        fr = [_frontier_any.remote(dist[p], t - 1) for p in range(P)]
-        mv = [_fw_msgs.remote(dist[p], sigma[p], t - 1) for p in range(P)]
-
-        def fw(q, g, outs, tt):
-            return _fw_combine.remote(
-                q, g, vid_refs[q], dist[q], sigma[q], tt, *outs
-            )
-
-        comb = _wave(mv, fr, fw, t)
-        dist = [c[0] for c in comb]
-        sigma = [c[1] for c in comb]
-        n_new = int(sum(ray.get([c[2] for c in comb])))
-        if n_new == 0:
-            break
-        t += 1
-        if t > max_rounds:
-            raise AssertionError(
-                f"betweenness forward phase exceeded max_rounds={max_rounds}"
-            )
+    _wave = _make_wave(plans, grouped, P)
+    dist, sigma = _forward_phase(_wave, vid_refs, dist, sigma, P, max_rounds)
     per_seed = np.maximum.reduce(ray.get([_max_finite_cols.remote(d) for d in dist]))
     levels_per_seed = [int(x) for x in per_seed]
     L = int(per_seed.max()) if len(per_seed) else 0
@@ -296,6 +311,86 @@ def betweenness_sample(
     else:
         tables = [_bc_table.remote(vid_refs[p], bc[p], round_to) for p in range(P)]
     return rd.from_arrow_refs(tables), levels_per_seed
+
+
+@ray.remote
+def _paths_int64(sigma):
+    """(n, 1) float64 sigma column → int64 path counts (0 = unreachable).
+
+    Float64 accumulation is exact for integer-valued sums below 2^53;
+    asserted so an overflowing graph fails loudly instead of rounding."""
+    s = sigma[:, 0]
+    assert float(s.max(initial=0.0)) < 2.0**53, "path counts exceed exact float64 range"
+    return s.astype(np.int64)
+
+
+def shortest_path_counts(
+    edges,
+    seeds,
+    *,
+    vertices=None,
+    cfg: EngineConfig | None = None,
+    shards: dict | None = None,
+    max_rounds: int = 64,
+):
+    """(vid, paths) Dataset: the number of distinct shortest paths from the
+    seed SET to each vertex (multi-source Brandes forward pass — every seed
+    starts at level 0 with one trivial path; a vertex first reached at
+    level t sums the path counts of its level-(t-1) predecessors).
+    paths = 0 marks vertices unreachable from every seed.
+
+    ``seeds``: Dataset with ``vid`` in the original domain (never
+    materialized on the driver). One S=1 column through the identical
+    batched-Brandes machinery, so the wave cost is the forward half of one
+    betweenness seed regardless of |seeds|."""
+    import ray.data as rd
+
+    cfg = cfg or EngineConfig()
+    P = cfg.num_partitions
+    grouped = cfg.exchange == "grouped"
+    if shards is None:
+        from ccl_ray.state.shards import build_graph_shards
+
+        shards = build_graph_shards(
+            edges, P, vertices_ds=vertices, symmetrize=True, dense=cfg.dense_ids
+        )
+    assert shards["P"] == P and shards["symmetrize"]
+    vid_refs, plans = shards["vids"], shards["plans"]
+
+    from ccl_ray.state.align import align_vertex_values
+
+    dcol = align_vertex_values(
+        shards, seeds, value_col=None, default_weight=0,
+        default=int(_UNREACHED), combine="min", dtype=np.int64,
+    )
+    scol = align_vertex_values(
+        shards, seeds, value_col=None, default_weight=1.0,
+        default=0.0, combine="max", dtype=np.float64,
+    )
+    dist = [_stack_cols.remote(dcol[p]) for p in range(P)]
+    sigma = [_stack_cols.remote(scol[p]) for p in range(P)]
+
+    _wave = _make_wave(plans, grouped, P)
+    dist, sigma = _forward_phase(_wave, vid_refs, dist, sigma, P, max_rounds)
+    paths = [_paths_int64.remote(sigma[p]) for p in range(P)]
+
+    if shards.get("dense") is not None:
+        from ccl_ray.state.dense import translate_shard_tables
+
+        tables = translate_shard_tables(
+            shards["dense"], vid_refs, paths, value_is_dense=False,
+            value_col="paths",
+        )
+    else:
+        tables = [_paths_table.remote(vid_refs[p], paths[p]) for p in range(P)]
+    return rd.from_arrow_refs(tables)
+
+
+@ray.remote
+def _paths_table(vids, paths):
+    import pyarrow as pa
+
+    return pa.table({"vid": pa.array(vids), "paths": pa.array(paths)})
 
 
 @ray.remote

@@ -110,6 +110,8 @@ def _build_aligned(vids_p, combine, default, dtype_str, *pieces):
         vec[pos] = np.add.reduceat(ww, starts)
     elif combine == "min":
         vec[pos] = np.minimum(vec[pos], np.minimum.reduceat(ww, starts))
+    elif combine == "max":
+        vec[pos] = np.maximum(vec[pos], np.maximum.reduceat(ww, starts))
     else:
         raise ValueError(f"unknown combine {combine!r}")
     return vec

@@ -873,6 +873,53 @@ def test_betweenness_star_path_exact():
     assert np.allclose(df["betweenness"].values, [want[v] for v in df.index])
 
 
+def _sigma_oracle(src, dst, vids, seeds):
+    """Serial multi-source shortest-path counts over the DISTINCT loop-free
+    undirected edges (0 = unreachable)."""
+    nbr = _adj(src, dst, vids)
+    dist = {int(v): None for v in vids}
+    sig = {int(v): 0 for v in vids}
+    frontier = sorted(set(int(s) for s in seeds))
+    for s in frontier:
+        dist[s], sig[s] = 0, 1
+    t = 0
+    while frontier:
+        nxt = set()
+        for u in frontier:
+            for v in nbr[u]:
+                if dist[v] is None or dist[v] == t + 1:
+                    dist[v] = t + 1
+                    sig[v] += sig[u]
+                    nxt.add(v)
+        frontier, t = sorted(nxt), t + 1
+    return sig
+
+
+def test_shortest_path_counts_vs_oracle():
+    """Multi-source Brandes forward pass (shortest_path_counts) matches the
+    serial sigma oracle at P=1/4 grouped+fanout; parallel (duplicate) edges
+    are the CALLER's concern — the engine counts each CSR copy as a path, so
+    the test feeds distinct edges, mirroring q_sssp_paths' deduped bundle."""
+    from ccl_ray.stages.betweenness import shortest_path_counts
+
+    rng = np.random.RandomState(44)
+    n, m = 70, 180
+    pairs = {(int(a), int(b)) for a, b in zip(rng.randint(0, n, m), rng.randint(0, n, m)) if a != b}
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    src = np.array([p[0] for p in pairs])
+    dst = np.array([p[1] for p in pairs])
+    seeds = [0, 13, 13, 41]  # duplicate seed row must still count once
+    want = _sigma_oracle(src, dst, np.arange(n), seeds)
+    for P, mode in ((1, "grouped"), (4, "grouped"), (4, "fanout")):
+        out = shortest_path_counts(
+            _edges_ds(src, dst), _vids_ds(seeds), vertices=_vids_ds(np.arange(n)),
+            cfg=EngineConfig(num_partitions=P, exchange=mode),
+        )
+        df = out.to_pandas().set_index("vid").sort_index()
+        assert df["paths"].dtype == np.int64
+        assert [want[v] for v in df.index] == df["paths"].tolist(), f"P={P} {mode}"
+
+
 def test_eigenvector_centrality_vs_numpy():
     """Converged scores equal the (A+I) shifted-power oracle; iteration
     counts match; P=1 vs P=4 agree."""
