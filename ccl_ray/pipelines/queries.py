@@ -89,23 +89,32 @@ def _bundle_memo(sf_dir: str) -> dict:
     return _MEMO[key]
 
 
+def _dedup_edges_memo(sf_dir: str) -> "rd.Dataset":
+    """DISTINCT (src, dst) event edges — the SQL twins' ``edgu`` (simple
+    graph: every family is built src < dst, so no self loops). Dedupe runs
+    through the pair partial-agg combiner (never materializes the multiset
+    on one node)."""
+    key = ("edges_dedup", sf_dir)
+    if key not in _MEMO:
+        _MEMO[key] = partial_sum_agg(
+            _edges_memo(sf_dir).select_columns(["src", "dst"]),
+            ["src", "dst"], {}, count_as="_n",
+        ).select_columns(["src", "dst"]).materialize()
+    return _MEMO[key]
+
+
 def _bundle_dedup_memo(sf_dir: str) -> dict:
-    """Symmetric shard bundle over the DISTINCT (src, dst) edge set — the
-    SQL twins' ``edgu``. Path-multiplicity statistics (sssp_paths) need the
-    simple graph: the raw multiset bundle is fine for min-plus/label waves
-    but each parallel edge would count as an extra shortest path. Dedupe
-    runs through the pair partial-agg combiner (never materializes the
-    multiset on one node)."""
+    """Symmetric shard bundle over the DISTINCT (src, dst) edge set.
+    Path-multiplicity statistics (sssp_paths) need the simple graph: the
+    raw multiset bundle is fine for min-plus/label waves but each parallel
+    edge would count as an extra shortest path."""
     key = ("bundle_dedup", sf_dir)
     if key not in _MEMO:
         from ccl_ray.state.shards import build_graph_shards
 
         cfg = _cfg()
-        dedup = partial_sum_agg(
-            _edges_memo(sf_dir), ["src", "dst"], {}, count_as="_n"
-        ).select_columns(["src", "dst"]).materialize()
         _MEMO[key] = build_graph_shards(
-            dedup, cfg.num_partitions,
+            _dedup_edges_memo(sf_dir), cfg.num_partitions,
             vertices_ds=_verts_memo(sf_dir), symmetrize=True,
             dense=cfg.dense_ids,
         )
@@ -345,6 +354,71 @@ def q_modularity(sf_dir: str):
     return modularity(_edges_memo(sf_dir), _lpa_memo(sf_dir))
 
 
+def q_community_conductance(sf_dir: str):
+    """Per-community conductance of the 5-round LPA partition:
+    φ(c) = cut(c) / min(vol(c), 2E − vol(c)) with cut = edges leaving c and
+    vol = Σ degree over c's members — the per-community companion to the
+    one-scalar modularity. Composition: the DISTINCT edge set joins the
+    |V|-sized label table on BOTH endpoints (hash joins — labels are never
+    broadcast), each edge emits its two endpoint (community, is_cut, 1)
+    rows, the partial-agg combiner reduces to one row per community, and
+    2E is the sum of the per-community volumes (a P-scalar). Communities
+    whose denominator is 0 (every edge endpoint on one side) are dropped on
+    both sides. Exact integer cut/vol; one rounded division at the end."""
+    from ccl_ray.stages.exchange import hash_join
+
+    edges = _dedup_edges_memo(sf_dir)
+    labels = _lpa_memo(sf_dir)
+    j1 = hash_join(
+        edges, labels.rename_columns({"vid": "sv", "community": "cs"}),
+        left_on="src", right_on="sv", num_partitions=8,
+    )
+    j2 = hash_join(
+        j1, labels.rename_columns({"vid": "dv", "community": "cd"}),
+        left_on="dst", right_on="dv", num_partitions=8,
+    )
+
+    def emit(t: pa.Table) -> pa.Table:
+        cs = t.column("cs").to_numpy(zero_copy_only=False).astype(np.int64)
+        cd = t.column("cd").to_numpy(zero_copy_only=False).astype(np.int64)
+        cut = (cs != cd).astype(np.int64)
+        return pa.table(
+            {
+                "community": pa.array(np.concatenate([cs, cd])),
+                "cut": pa.array(np.concatenate([cut, cut])),
+                "vol": pa.array(np.ones(2 * len(cs), np.int64)),
+            }
+        )
+
+    agg = partial_sum_agg(
+        j2.map_batches(emit, batch_format="pyarrow"), ["community"],
+        {"cut": "cut", "vol": "vol"},
+    ).materialize()
+    tot2e = int(
+        agg.map_batches(
+            lambda t: pa.table({"s": pa.array([int(np.sum(t.column("vol").to_numpy()))], pa.int64())}),
+            batch_format="pyarrow",
+        ).to_pandas()["s"].sum()
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cut = t.column("cut").to_numpy(zero_copy_only=False)
+        vol = t.column("vol").to_numpy(zero_copy_only=False)
+        denom = np.minimum(vol, tot2e - vol)
+        keep = denom > 0
+        cond = np.round(cut[keep] / denom[keep], 6)
+        return pa.table(
+            {
+                "community": t.column("community").filter(pa.array(keep)),
+                "cut": pa.array(cut[keep]),
+                "vol": pa.array(vol[keep]),
+                "conductance": pa.array(cond, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_closeness_sample(sf_dir: str):
     """Closeness + harmonic centrality of one deterministic seed (the min
     event_id): BFS from the seed (40-round cap, matching the unrolled
@@ -424,6 +498,30 @@ def _lpa_oracle_sql(k: int = 5) -> str:
     return (
         "WITH " + _EDGES_CTE + ",\n" + ",\n".join(_lpa_parts(k))
         + f"\nSELECT v AS event_id, lab AS community FROM l{k}"
+    )
+
+
+def _conductance_oracle_sql(k: int = 5) -> str:
+    """Per-community conductance of the l{k} LPA partition — the identical
+    endpoint-emit shape the engine reduces (q_community_conductance): undm
+    is every distinct edge in both directions, so counting rows per
+    first-endpoint community IS Σ degree (vol) and flagged rows ARE the cut
+    (counted once per side, like the engine's two emits per edge)."""
+    return (
+        "WITH " + _EDGES_CTE + ",\n" + ",\n".join(_lpa_parts(k)) + f""",
+        endp AS (SELECT lu.lab AS community,
+                        CASE WHEN lu.lab <> lv.lab THEN 1 ELSE 0 END AS is_cut
+                 FROM undm JOIN l{k} lu ON lu.v = undm.u
+                           JOIN l{k} lv ON lv.v = undm.v),
+        cagg AS (SELECT community, sum(is_cut)::BIGINT AS cut,
+                        count(*)::BIGINT AS vol
+                 FROM endp GROUP BY 1),
+        tot AS (SELECT sum(vol) AS s FROM cagg)
+        SELECT community, cut, vol,
+               round(cut::DOUBLE / least(vol, (SELECT s FROM tot) - vol), 6)
+                 AS conductance
+        FROM cagg
+        WHERE least(vol, (SELECT s FROM tot) - vol) > 0"""
     )
 
 
@@ -790,6 +888,58 @@ def q_sssp_paths(sf_dir: str):
         shards=_bundle_dedup_memo(sf_dir), max_rounds=64,
     )
     return out.rename_columns({"vid": "event_id"})
+
+
+def q_temporal_reach(sf_dir: str):
+    """Earliest time-respecting arrival (stages/temporal.earliest_arrival)
+    from the % 97 seed set: each seed is active from its own event time;
+    an edge is traversable at its timestamp t = max(epoch_µs of its two
+    endpoint events) only once its source is reached by t, and crossing
+    lands at t. arr is exact int64 epoch-µs (NULL = temporally
+    unreachable — reachable in the static graph but only via paths that
+    go backwards in time don't count). Edge timestamps are
+    endpoint-derived, so parallel copies agree and the CSR dedupes
+    (temporal.py docstring). 64-round recursive min twin with 0-cost
+    self-loops carrying the keep-current-value branch."""
+    from ccl_ray.stages.exchange import hash_join
+    from ccl_ray.stages.temporal import earliest_arrival
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    j1 = hash_join(
+        _dedup_edges_memo(sf_dir),
+        ev.rename_columns({"event_id": "sv", "ts": "sts"}),
+        left_on="src", right_on="sv", num_partitions=8,
+    )
+    j2 = hash_join(
+        j1, ev.rename_columns({"event_id": "dv", "ts": "dts"}),
+        left_on="dst", right_on="dv", num_partitions=8,
+    )
+
+    def ts_edge(t: pa.Table) -> pa.Table:
+        s = t.column("sts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = t.column("dts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "t": pa.array(np.maximum(s, d), pa.int64()),
+            }
+        )
+
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        e = batch.column("event_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = e % 97 == 0
+        return pa.table(
+            {"vid": pa.array(e[keep], pa.int64()), "arr": pa.array(ts[keep], pa.int64())}
+        )
+
+    res = earliest_arrival(
+        j2.map_batches(ts_edge, batch_format="pyarrow"),
+        ev.map_batches(seed_rows, batch_format="pyarrow"),
+        vertices=_verts_memo(sf_dir), cfg=_cfg(), max_rounds=64, dedupe=True,
+    )
+    return res.arrivals.rename_columns({"vid": "event_id"})
 
 
 def q_pagerank_weighted(sf_dir: str):
@@ -3168,6 +3318,15 @@ def q_vocab_top_terms(sf_dir: str):
     return vocab_top_terms(_docs(sf_dir), k=100)
 
 
+def q_zipf_alpha(sf_dir: str):
+    """Zipf exponent of the corpus token-frequency distribution
+    (stages/text.zipf_alpha_terms) — the text-side twin of
+    powerlaw_alpha's degree-tail scalar."""
+    from ccl_ray.stages.text import zipf_alpha_terms
+
+    return zipf_alpha_terms(_docs(sf_dir), cmin=5)
+
+
 def q_unigram_logprob(sf_dir: str):
     from ccl_ray.stages.text import unigram_logprob
 
@@ -3460,6 +3619,7 @@ QUERIES = {
     "transitivity": q_transitivity,
     "lpa_communities": q_lpa_communities,
     "modularity": q_modularity,
+    "community_conductance": q_community_conductance,
     "closeness_sample": q_closeness_sample,
     "pagerank": q_pagerank,
     "pagerank_fixed": q_pagerank_fixed,
@@ -3476,6 +3636,7 @@ QUERIES = {
     "ktruss": q_ktruss,
     "trussness": q_trussness,
     "sssp_weighted": q_sssp_weighted,
+    "temporal_reach": q_temporal_reach,
     "pagerank_weighted": q_pagerank_weighted,
     "hits_fixed": q_hits_fixed,
     "hits_close": q_hits_close,
@@ -3544,6 +3705,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "top3_per_user": q_top3_per_user,
     "vocab_top_terms": q_vocab_top_terms,
+    "zipf_alpha": q_zipf_alpha,
     "bigram_top_terms": q_bigram_top_terms,
     "token_entropy": q_token_entropy,
     "unigram_logprob": q_unigram_logprob,
@@ -3602,11 +3764,10 @@ _DRIVER_FIRST = [
     "lang_top_terms", "dup_manifest", "rollup_qty", "cube_qty",
     "top_revenue_orders", "brand_nation_revenue", "distinct_users",
     "fuzzy_name_pairs", "running_window",
-    # new in round 5 — needs its first driver row
-    "sssp_paths",
-    # pinned regression core (5) — keep a driver row every round
+    # new in round 5 — need their first driver row
+    "sssp_paths", "community_conductance", "zipf_alpha",
+    # pinned regression core (3) — keep a driver row every round
     "edges_build", "cc_labels", "pagerank_fixed",
-    "minhash_pairs", "dup_clusters",
 ]
 assert len(_DRIVER_FIRST) == 50 and len(set(_DRIVER_FIRST)) == 50
 assert set(_DRIVER_FIRST) <= set(QUERIES), sorted(set(_DRIVER_FIRST) - set(QUERIES))
@@ -3913,6 +4074,7 @@ ORACLE_SQL = {
         JOIN edgu e3 ON e3.src = e1.src AND e3.dst = e2.dst""",
     "lpa_communities": _lpa_oracle_sql(5),
     "modularity": _modularity_oracle_sql(5),
+    "community_conductance": _conductance_oracle_sql(5),
     # BFS from min(event_id) (same unrolled min-plus CTE as sssp_hops),
     # then both centralities from the exact per-distance histogram
     "closeness_sample": f"""
@@ -4426,6 +4588,33 @@ ORACLE_SQL = {
         pathsf AS (SELECT v, sum(s) AS s FROM sig GROUP BY v)
         SELECT e.event_id, coalesce(p.s, 0)::BIGINT AS paths
         FROM events e LEFT JOIN pathsf p ON p.v = e.event_id""",
+    # earliest time-respecting arrival: each round every vertex min-combines
+    # its kept value (0-cost self-loop branch) with the timestamps of edges
+    # whose source is already reached by that timestamp — the engine's
+    # temporal gate verbatim. Sentinel = int64 max (engine uses +inf).
+    "temporal_reach": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        ets AS (SELECT e.src, e.dst,
+                       greatest(epoch_us(a.ts), epoch_us(b.ts)) AS t
+                FROM edgu e JOIN events a ON a.event_id = e.src
+                            JOIN events b ON b.event_id = e.dst),
+        dire AS (SELECT src AS u, dst AS v, t, FALSE AS self FROM ets
+                 UNION ALL SELECT dst, src, t, FALSE FROM ets
+                 UNION ALL SELECT event_id, event_id, 0, TRUE FROM events),
+        arrr(it, v, a) AS (
+          SELECT 0, event_id,
+                 CASE WHEN event_id % 97 = 0 THEN epoch_us(ts)
+                      ELSE 9223372036854775807 END
+          FROM events
+          UNION ALL
+          SELECT it+1, e.v,
+                 min(CASE WHEN e.self THEN arrr.a
+                          WHEN e.t >= arrr.a THEN e.t END)
+          FROM arrr JOIN dire e ON e.u = arrr.v
+          WHERE it < 64 GROUP BY 1, 2)
+        SELECT v AS event_id,
+               CASE WHEN a = 9223372036854775807 THEN NULL ELSE a END AS arr
+        FROM arrr WHERE it = 64""",
     "hits_fixed": _hits_oracle_sql(12),
     "pagerank_weighted": f"""
         WITH RECURSIVE {_EDGES_CTE},
@@ -4627,6 +4816,15 @@ ORACLE_SQL = {
           FROM documents),
         c AS (SELECT term, count(*) AS n FROM tok GROUP BY 1)
         SELECT term, n FROM c ORDER BY n DESC, term LIMIT 100""",
+    "zipf_alpha": """
+        WITH tok AS (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents),
+        c AS (SELECT term, count(*) AS n FROM tok GROUP BY 1),
+        tail AS (SELECT n FROM c WHERE n >= 5)
+        SELECT count(*)::BIGINT AS n_tail,
+               round(1.0 + count(*) / sum(ln(n / 4.5)), 6) AS alpha
+        FROM tail""",
     "unigram_logprob": """
         WITH tok AS (
           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t

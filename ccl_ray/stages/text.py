@@ -328,14 +328,13 @@ def tfidf_top_terms(docs: "rd.Dataset", k: int = 5, *, num_partitions: int | Non
     )
 
 
-def vocab_top_terms(docs: "rd.Dataset", k: int = 100) -> "rd.Dataset":
-    """(term, n): the k most frequent corpus tokens — vocabulary building.
+def corpus_term_counts(docs: "rd.Dataset") -> "rd.Dataset":
+    """(term, n): corpus-wide token frequencies.
 
     Per-batch token explode collapses to (term, count) partials immediately
-    (np.unique — the raw token stream never leaves the task), a partial-agg
-    groupby sums them, and only the aggregated vocabulary (cardinality =
-    distinct terms, not corpus size) is sorted for the top k. Tie order
-    (n desc, term asc) is a total order, so the cut is deterministic."""
+    (np.unique — the raw token stream never leaves the task), then a
+    partial-agg groupby sums them; the result's cardinality is the distinct
+    vocabulary, not the corpus size."""
     import pyarrow as pa
 
     from ccl_ray.stages.aggregates import partitioned_groupby_agg
@@ -357,12 +356,60 @@ def vocab_top_terms(docs: "rd.Dataset", k: int = 100) -> "rd.Dataset":
                 {"term": pa.array(terms, pa.string()), "n": pa.array(counts.astype(np.int64))}
             )
 
-    agg = partitioned_groupby_agg(
+    return partitioned_groupby_agg(
         docs.map_batches(TermCounts, batch_format="pandas", concurrency=(1, 8), max_restarts=0),
         ["term"],
         {"n": ("n", "sum")},
     )
-    return agg.sort(["n", "term"], descending=[True, False]).limit(k)
+
+
+def vocab_top_terms(docs: "rd.Dataset", k: int = 100) -> "rd.Dataset":
+    """(term, n): the k most frequent corpus tokens — vocabulary building.
+    Only the aggregated vocabulary is sorted for the top k; tie order
+    (n desc, term asc) is a total order, so the cut is deterministic."""
+    return corpus_term_counts(docs).sort(["n", "term"], descending=[True, False]).limit(k)
+
+
+def zipf_alpha_terms(docs: "rd.Dataset", cmin: int = 5) -> "rd.Dataset":
+    """One-row (n_tail, alpha): continuous-MLE Zipf/power-law exponent of
+    the corpus token-frequency distribution (Clauset-Shalizi-Newman, the
+    same estimator powerlaw_alpha applies to degrees):
+    α = 1 + n / Σ ln(c / (cmin − ½)) over terms with count ≥ cmin — the
+    one-scalar heavy-tail summary of a corpus (natural text ≈ 2.0; a
+    degenerate or templated corpus drifts far from it). Per-block
+    (n, Σln) partials over the aggregated term table reduce to one row;
+    float64 log-sums are order-independent to ~1e-12 at gate scale and α
+    rounds to 1e-6 on both sides."""
+    import pyarrow as pa
+
+    counts = corpus_term_counts(docs)
+
+    def partials(t: pa.Table) -> pa.Table:
+        c = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        c = c[c >= cmin]
+        return pa.table(
+            {
+                "n": pa.array([len(c)], pa.int64()),
+                "s": pa.array([float(np.log(c / (cmin - 0.5)).sum())], pa.float64()),
+            }
+        )
+
+    tot = (
+        counts.map_batches(partials, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(lambda df: df.sum().to_frame().T, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(tot) == 0 or "n" not in tot.columns:  # empty corpus: zero blocks
+        tot = pd.DataFrame({"n": [0], "s": [0.0]})
+    n, s = float(tot["n"].iloc[0]), float(tot["s"].iloc[0])
+    alpha = round(1.0 + n / s, 6) if s > 0 else 0.0
+    return pa.table(
+        {
+            "n_tail": pa.array([int(n)], pa.int64()),
+            "alpha": pa.array([alpha], pa.float64()),
+        }
+    )
 
 
 def token_entropy(docs: "rd.Dataset") -> "rd.Dataset":
