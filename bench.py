@@ -690,6 +690,42 @@ def run_bench() -> dict:
     q_bloom_semijoin(SF_DIR).count()
     queries["bloom_semijoin"] = time.perf_counter() - t0
 
+    # --- round-5 additions: temporal reachability, path counts, community
+    # conductance, collocations, ordered scans
+    t0 = time.perf_counter()
+    from ccl_ray.pipelines.queries import q_temporal_reach
+
+    q_temporal_reach(SF_DIR).count()
+    queries["temporal_reach"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.pipelines.queries import q_sssp_paths
+
+    q_sssp_paths(SF_DIR).count()
+    queries["sssp_paths"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.pipelines.queries import q_community_conductance
+
+    q_community_conductance(SF_DIR).count()
+    queries["community_conductance"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.stages.text import bigram_pmi, zipf_alpha_terms
+
+    zipf_alpha_terms(docs, cmin=5)
+    queries["zipf_alpha"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    bigram_pmi(docs, k=100, min_count=5).count()
+    queries["bigram_pmi"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.stages.window import ema_scan
+
+    ema_scan(ev_rw, alpha=0.5).count()
+    queries["ema_value"] = time.perf_counter() - t0
+
     total = time.perf_counter() - t_total
     ray.shutdown()
     return {

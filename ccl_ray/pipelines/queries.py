@@ -3318,6 +3318,25 @@ def q_vocab_top_terms(sf_dir: str):
     return vocab_top_terms(_docs(sf_dir), k=100)
 
 
+def q_bigram_pmi(sf_dir: str):
+    """Top-100 collocations by pointwise mutual information
+    (stages/text.bigram_pmi, min bigram count 5)."""
+    from ccl_ray.stages.text import bigram_pmi
+
+    return bigram_pmi(_docs(sf_dir), k=100, min_count=5)
+
+
+def q_ema_value(sf_dir: str):
+    """Per-user EMA (α=½) of the event value in (ts, event_id) order —
+    the recursive-CTE-only window recurrence (stages/window.ema_scan)."""
+    from ccl_ray.stages.window import ema_scan
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return ema_scan(ev, alpha=0.5)
+
+
 def q_zipf_alpha(sf_dir: str):
     """Zipf exponent of the corpus token-frequency distribution
     (stages/text.zipf_alpha_terms) — the text-side twin of
@@ -3578,6 +3597,66 @@ def q_dup_manifest(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_dup_keep_best(sf_dir: str):
+    """Quality-aware dedup retention: per nontrivial near-dup cluster, KEEP
+    the member with the most tokens (min doc_id on ties) instead of
+    dup_manifest's min-id canonical — the real dedup policy a training-data
+    pipeline runs (drop duplicates, keep the best copy). Composition:
+    LSH→CC clusters ⋈ token counts (hash join), one partial-agg pass gives
+    (n_members, best_tokens) per cluster, a join-back + filter selects the
+    argmax rows, and a final min collapses ties. Integer quality (token
+    count) keeps the argmax float-free and exactly SQL-twinned."""
+    from ccl_ray.stages.aggregates import partitioned_groupby_agg
+    from ccl_ray.stages.dedup import duplicate_clusters
+    from ccl_ray.stages.exchange import hash_join
+    from ccl_ray.stages.text import token_count
+
+    clusters = duplicate_clusters(_docs(sf_dir), threshold=0.5, cfg=_cfg())
+
+    def _tok_renamed(t: pa.Table) -> pa.Table:
+        # token_count emits pandas-format blocks; rename via a pyarrow
+        # map_batches (Dataset.rename_columns' Project op chokes on them)
+        return pa.table({"tid": t.column("doc_id"), "n_tokens": t.column("n_tokens")})
+
+    toks = token_count(_docs(sf_dir)).map_batches(_tok_renamed, batch_format="pyarrow")
+    j = hash_join(
+        clusters, toks,
+        left_on="doc_id", right_on="tid", num_partitions=8,
+    ).materialize()
+    stats = partitioned_groupby_agg(
+        j, ["cluster"],
+        {"n_members": ("n_tokens", "count"), "best_tokens": ("n_tokens", "max")},
+    )
+
+    def nontrivial(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n_members"), 2))
+
+    jb = hash_join(
+        j, stats.map_batches(nontrivial, batch_format="pyarrow")
+               .rename_columns({"cluster": "cl2"}),
+        left_on="cluster", right_on="cl2", num_partitions=8,
+    )
+
+    def argmax_rows(t: pa.Table) -> pa.Table:
+        nt = t.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        bt = t.column("best_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pa.array(nt == bt)
+        return pa.table(
+            {
+                "cluster": t.column("cluster").cast(pa.int64()).filter(keep),
+                "doc_id": t.column("doc_id").cast(pa.int64()).filter(keep),
+                "best_tokens": pa.array(bt[nt == bt]),
+                "n_members": t.column("n_members").cast(pa.int64()).filter(keep),
+            }
+        )
+
+    return partitioned_groupby_agg(
+        jb.map_batches(argmax_rows, batch_format="pyarrow"), ["cluster"],
+        {"keep_doc": ("doc_id", "min"), "best_tokens": ("best_tokens", "min"),
+         "n_members": ("n_members", "min")},
+    )
+
+
 def q_media_meta(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"])
     return media_meta(docs_to_media(docs), fake=True)
@@ -3706,6 +3785,8 @@ QUERIES = {
     "top3_per_user": q_top3_per_user,
     "vocab_top_terms": q_vocab_top_terms,
     "zipf_alpha": q_zipf_alpha,
+    "bigram_pmi": q_bigram_pmi,
+    "ema_value": q_ema_value,
     "bigram_top_terms": q_bigram_top_terms,
     "token_entropy": q_token_entropy,
     "unigram_logprob": q_unigram_logprob,
@@ -3741,6 +3822,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "hopping_window": q_hopping_window,
     "dup_clusters": q_dup_clusters,
+    "dup_keep_best": q_dup_keep_best,
 }
 
 # ---- driver-sample rotation (round 5) ------------------------------------
@@ -3764,10 +3846,10 @@ _DRIVER_FIRST = [
     "lang_top_terms", "dup_manifest", "rollup_qty", "cube_qty",
     "top_revenue_orders", "brand_nation_revenue", "distinct_users",
     "fuzzy_name_pairs", "running_window",
-    # new in round 5 — need their first driver row
-    "sssp_paths", "community_conductance", "zipf_alpha",
-    # pinned regression core (3) — keep a driver row every round
-    "edges_build", "cc_labels", "pagerank_fixed",
+    # new in round 5 — need their first driver row (44 + 6 = exactly the
+    # driver's 50-row sample; the pinned regression core resumes next round)
+    "sssp_paths", "community_conductance", "zipf_alpha", "bigram_pmi",
+    "ema_value", "temporal_reach",
 ]
 assert len(_DRIVER_FIRST) == 50 and len(set(_DRIVER_FIRST)) == 50
 assert set(_DRIVER_FIRST) <= set(QUERIES), sorted(set(_DRIVER_FIRST) - set(QUERIES))
@@ -4816,6 +4898,41 @@ ORACLE_SQL = {
           FROM documents),
         c AS (SELECT term, count(*) AS n FROM tok GROUP BY 1)
         SELECT term, n FROM c ORDER BY n DESC, term LIMIT 100""",
+    # identical integer counts feed the identical float expression (one
+    # log2 of a product of exact-int ratios), so rounded PMI hash-matches;
+    # the top-k cut orders by the ROUNDED value then (a, b)
+    "bigram_pmi": """
+        WITH tl AS (
+          SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM documents),
+        uni AS (SELECT unnest(toks) AS t FROM tl),
+        uc AS (SELECT t, count(*) AS n FROM uni GROUP BY 1),
+        t1 AS (SELECT sum(n)::DOUBLE AS s FROM uc),
+        bg AS (SELECT toks[i] AS a, toks[i + 1] AS b
+               FROM tl, unnest(range(1, len(toks))) AS u(i)),
+        bc AS (SELECT a, b, count(*) AS n FROM bg GROUP BY 1, 2),
+        t2 AS (SELECT sum(n)::DOUBLE AS s FROM bc),
+        p AS (SELECT bc.a, bc.b, bc.n,
+                     round(log2((bc.n / (SELECT s FROM t2))
+                           / ((ua.n / (SELECT s FROM t1))
+                              * (ub.n / (SELECT s FROM t1)))), 6) AS pmi
+              FROM bc JOIN uc ua ON ua.t = bc.a JOIN uc ub ON ub.t = bc.b
+              WHERE bc.n >= 5)
+        SELECT a, b, n::BIGINT AS n, pmi FROM p ORDER BY pmi DESC, a, b LIMIT 100""",
+    # the engine's per-position vectorized scan applies 0.5*x + 0.5*y_prev
+    # in the identical order as this recursion (no reassociation), so the
+    # rounded values match exactly
+    "ema_value": """
+        WITH RECURSIVE base AS (
+          SELECT event_id, user_id, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events),
+        emar(rn, user_id, event_id, y) AS (
+          SELECT rn, user_id, event_id, value FROM base WHERE rn = 1
+          UNION ALL
+          SELECT b.rn, b.user_id, b.event_id, 0.5 * b.value + 0.5 * e.y
+          FROM emar e JOIN base b ON b.user_id = e.user_id AND b.rn = e.rn + 1)
+        SELECT event_id, user_id, round(y, 6) AS ema FROM emar""",
     "zipf_alpha": """
         WITH tok AS (
           SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
@@ -5089,6 +5206,27 @@ ORACLE_SQL = {
           UNION
           SELECT p.v, r.l FROM dreach r JOIN und p ON p.u = r.u)
         SELECT u AS doc_id, min(l) AS cluster FROM dreach GROUP BY u""",
+    "dup_keep_best": f"""
+        WITH RECURSIVE {_JACCARD_CTE},
+        und AS (SELECT a AS u, b AS v FROM jpairs UNION SELECT b, a FROM jpairs),
+        dreach(u, l) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT p.v, r.l FROM dreach r JOIN und p ON p.u = r.u),
+        cl AS (SELECT u AS doc_id, min(l) AS cluster FROM dreach GROUP BY u),
+        tk AS (SELECT doc_id,
+                      len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens
+               FROM documents),
+        jm AS (SELECT cl.cluster, cl.doc_id, tk.n_tokens
+               FROM cl JOIN tk ON tk.doc_id = cl.doc_id),
+        st AS (SELECT cluster, count(*)::BIGINT AS n_members,
+                      max(n_tokens) AS best_tokens
+               FROM jm GROUP BY 1 HAVING count(*) >= 2)
+        SELECT jm.cluster, min(jm.doc_id) AS keep_doc,
+               st.best_tokens, st.n_members
+        FROM jm JOIN st ON st.cluster = jm.cluster
+                       AND jm.n_tokens = st.best_tokens
+        GROUP BY 1, 3, 4""",
     "dup_manifest": f"""
         WITH RECURSIVE {_JACCARD_CTE},
         und AS (SELECT a AS u, b AS v FROM jpairs UNION SELECT b, a FROM jpairs),

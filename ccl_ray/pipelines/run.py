@@ -29,7 +29,7 @@ def main(argv=None) -> int:
         choices=["flagship", "cc", "pagerank", "labelprop", "triangles",
                  "hits", "communities", "ktruss", "modularity",
                  "betweenness", "eigenvector", "scc", "walks",
-                 "coreness", "matching", "coloring", "katz"],
+                 "coreness", "matching", "coloring", "katz", "temporal"],
     )
     ap.add_argument("--seed-type", default="signup",
                     help="labelprop: events of this event_type seed their own id")
@@ -44,6 +44,11 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args(argv)
+    if args.pipeline == "temporal" and args.transcripts:
+        ap.error(
+            "--pipeline temporal derives edge timestamps from the events "
+            "table ({input}/events.parquet) and cannot run on --transcripts"
+        )
     if args.pipeline == "labelprop" and args.transcripts:
         ap.error(
             "--pipeline labelprop seeds from the events table "
@@ -361,6 +366,50 @@ def main(argv=None) -> int:
         manifest["tables"]["katz"] = {
             "path": path, "rows": out.count(), "iterations": iters,
             "alpha": alpha,
+        }
+
+    if args.pipeline == "temporal":
+        import numpy as np
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from ccl_ray.stages.aggregates import partial_sum_agg
+        from ccl_ray.stages.exchange import hash_join
+        from ccl_ray.stages.temporal import earliest_arrival
+
+        ev = rd.read_parquet(f"{args.input}/events.parquet", columns=["event_id", "ts"])
+        dedup = partial_sum_agg(
+            edges.select_columns(["src", "dst"]), ["src", "dst"], {}, count_as="_n"
+        ).select_columns(["src", "dst"])
+        j1 = hash_join(dedup, ev.rename_columns({"event_id": "sv", "ts": "sts"}),
+                       left_on="src", right_on="sv", num_partitions=8)
+        j2 = hash_join(j1, ev.rename_columns({"event_id": "dv", "ts": "dts"}),
+                       left_on="dst", right_on="dv", num_partitions=8)
+
+        def ts_edge(t: "pa.Table") -> "pa.Table":
+            s = t.column("sts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            d = t.column("dts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table({"src": t.column("src"), "dst": t.column("dst"),
+                             "t": pa.array(np.maximum(s, d), pa.int64())})
+
+        def seed_rows(batch: "pa.Table") -> "pa.Table":
+            e = batch.column("event_id").to_numpy(zero_copy_only=False)
+            ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            keep = e % 97 == 0
+            return pa.table({"vid": pa.array(e[keep], pa.int64()),
+                             "arr": pa.array(ts[keep], pa.int64())})
+
+        res = earliest_arrival(
+            j2.map_batches(ts_edge, batch_format="pyarrow"),
+            ev.map_batches(seed_rows, batch_format="pyarrow"),
+            vertices=verts, cfg=cfg, dedupe=True,
+        )
+        path = os.path.join(args.out, "arrivals")
+        res.arrivals.write_parquet(path)
+        manifest["tables"]["arrivals"] = {
+            "path": path, "rows": res.arrivals.count(),
+            "iterations": res.iterations,
         }
 
     manifest["wall_s"] = round(time.perf_counter() - t0, 3)

@@ -598,6 +598,98 @@ def bigram_top_terms(docs: "rd.Dataset", k: int = 100) -> "rd.Dataset":
     return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
 
 
+def bigram_pmi(docs: "rd.Dataset", k: int = 100, min_count: int = 5) -> "rd.Dataset":
+    """(a, b, n, pmi): the k adjacent-token pairs with the highest pointwise
+    mutual information, PMI = log2( (n_ab/T2) / ((n_a/T1)(n_b/T1)) ) —
+    collocation mining (NSP/phrase vocabularies). ``min_count`` drops the
+    unstable low-frequency tail before ranking.
+
+    Shape: unigram and bigram-pair counts through the partial-agg combiner
+    (token streams never leave their task), the vocabulary-sized unigram
+    table hash-joins each pair on BOTH members (never broadcast), T1/T2 are
+    P-scalar partial sums, and the deterministic (pmi desc, a, b) top-k is
+    cut after rounding — identical integer counts feed the identical float
+    expression on both sides, so the rounded PMI value-hashes exactly."""
+    import pyarrow as pa
+
+    from ccl_ray.stages.aggregates import partitioned_groupby_agg
+    from ccl_ray.stages.exchange import hash_join
+
+    uni = corpus_term_counts(docs).rename_columns({"n": "nu"})
+
+    class PairCounts:
+        def __init__(self):
+            import re
+
+            self.tok = re.compile(TOKEN_RE)
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            aa: list[str] = []
+            bb: list[str] = []
+            for t in df["text"]:
+                ws = self.tok.findall(t.lower())
+                aa.extend(ws[:-1])
+                bb.extend(ws[1:])
+            if not aa:
+                return pa.table(
+                    {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+                     "n": pa.array([], pa.int64())}
+                )
+            g = (
+                pd.DataFrame({"a": aa, "b": bb})
+                .groupby(["a", "b"], sort=False)
+                .size()
+                .reset_index(name="n")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False).cast(
+                pa.schema([("a", pa.string()), ("b", pa.string()), ("n", pa.int64())])
+            )
+
+    bc = partitioned_groupby_agg(
+        docs.map_batches(PairCounts, batch_format="pandas", concurrency=(1, 8), max_restarts=0),
+        ["a", "b"],
+        {"n": ("n", "sum")},
+    ).materialize()
+
+    def _scalar_sum(ds, col: str) -> float:
+        parts = ds.map_batches(
+            lambda t, c=col: pa.table(
+                {"s": pa.array([int(np.sum(t.column(c).to_numpy(zero_copy_only=False)))], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        return float(parts["s"].sum())
+
+    t1 = _scalar_sum(uni, "nu")
+    t2 = _scalar_sum(bc, "n")
+
+    j1 = hash_join(bc, uni.rename_columns({"term": "ua"}), left_on="a", right_on="ua")
+    j2 = hash_join(
+        j1.rename_columns({"nu": "na"}),
+        uni.rename_columns({"term": "ub", "nu": "nb"}),
+        left_on="b", right_on="ub",
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t.column("na").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t.column("nb").to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = n >= min_count
+        n, na, nb = n[keep], na[keep], nb[keep]
+        pmi = np.round(np.log2((n / t2) / ((na / t1) * (nb / t1))), 6)
+        m = pa.array(keep)
+        return pa.table(
+            {"a": t.column("a").filter(m), "b": t.column("b").filter(m),
+             "n": pa.array(n.astype(np.int64)), "pmi": pa.array(pmi, pa.float64())}
+        )
+
+    return (
+        j2.map_batches(score, batch_format="pyarrow")
+        .sort(["pmi", "a", "b"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
 def token_count(docs: "rd.Dataset") -> "rd.Dataset":
     return docs.map_batches(TokenCount, batch_format="pandas", concurrency=(1, 8), max_restarts=0)
 

@@ -183,6 +183,99 @@ def running_window(
     )
 
 
+def ema_scan(
+    events: "rd.Dataset",
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    alpha: float = 0.5,
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """Per-key exponential moving average in (ts, id) order — the linear
+    recurrence y_i = α·x_i + (1−α)·y_{i−1} with y_1 = x_1 (the stateful
+    ordered scan SQL can only express as a recursive CTE).
+
+    Shape: rows route by hash(key) % P like running_window, then the
+    per-partition kernel runs the recurrence SEQUENTIALLY IN POSITION and
+    VECTORIZED ACROSS KEYS: rows bucket by their within-key position (one
+    stable argsort), and step k updates every key's k-th row in one numpy
+    gather/scatter — in the (key, ts, id) lexsorted layout the previous row
+    of the same key is literally index r−1. O(rows/P) vector work +
+    max-segment-length tiny steps per task; the float op order is exactly
+    the SQL recursion's (no reassociation), so rounded values hash-match.
+    Output: (id, key, ema) with ema rounded to 1e-6.
+    """
+    from ccl_ray.config import resolve_partitions
+    from ccl_ray.functions.hashing import hash_part_np
+
+    P = resolve_partitions(num_partitions)
+    in_schema = events.schema()
+    key_type = dict(zip(in_schema.names, in_schema.types))[key]
+    id_type = dict(zip(in_schema.names, in_schema.types))[id_col]
+    out_schema = pa.schema([(id_col, id_type), (key, key_type), ("ema", pa.float64())])
+
+    def route(batch: pa.Table) -> pa.Table:
+        kcol = batch.column(key)
+        return pa.table(
+            {
+                key: kcol,
+                ts_col: batch.column(ts_col),
+                id_col: batch.column(id_col),
+                val_col: batch.column(val_col),
+                "part": pa.array(hash_part_np(kcol, key_type, P)),
+            }
+        )
+
+    a, b = float(alpha), 1.0 - float(alpha)
+
+    def run_part(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return out_schema.empty_table()
+        ts = df[ts_col].values.astype("datetime64[us]").astype(np.int64)
+        ids = df[id_col].values
+        kcodes, _ = pd.factorize(df[key].values, sort=True)
+        order = np.lexsort((ids, ts, kcodes))
+        ids, kcodes = ids[order], kcodes[order]
+        x = np.asarray(df[val_col].values[order], np.float64)
+        assert not np.isnan(x).any(), "ema_scan: null/NaN value rows"
+        n = len(ids)
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = kcodes[1:] != kcodes[:-1]
+        key_start = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+        pos = np.arange(n) - key_start
+        by_pos = np.argsort(pos, kind="stable")
+        counts = np.bincount(pos)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        y = np.empty(n, np.float64)
+        first = by_pos[: offsets[1]]
+        y[first] = x[first]
+        for kk in range(1, len(counts)):
+            rk = by_pos[offsets[kk]: offsets[kk + 1]]
+            y[rk] = a * x[rk] + b * y[rk - 1]
+        return pa.table(
+            {
+                id_col: pa.array(ids).cast(id_type),
+                key: pa.array(df[key].values[order], key_type),
+                # half-AWAY-from-zero like SQL round(): α=½ EMAs are dyadic
+                # rationals, so exact .5 ties at the 6th decimal are common
+                # and np.round's half-to-even would drift from the twin
+                "ema": pa.array(
+                    np.copysign(np.floor(np.abs(y) * 1e6 + 0.5) / 1e6, y),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        events.map_batches(route, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(run_part, batch_format="pandas")
+    )
+
+
 def collect_seq(
     events: "rd.Dataset",
     *,

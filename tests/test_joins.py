@@ -336,3 +336,45 @@ def test_hash_join_full_range_int64_keys_survive_shuffle():
     assert sorted(out["k"].tolist()) == sorted(big)
     assert sorted(out["lv"].tolist()) == [(1 << 60) + 11, (1 << 60) + 12, (1 << 60) + 13]
     assert sorted(out["rv"].tolist()) == [(1 << 61) + 5, (1 << 61) + 6, (1 << 61) + 7]
+
+
+def test_ema_scan_vs_sequential():
+    """ema_scan vs a per-key sequential python recurrence (identical float
+    op order), string AND long segments (positions > 52 exercise rounding),
+    P=1 vs P=4 agreement."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ccl_ray.stages.window import ema_scan
+
+    rng = np.random.RandomState(11)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            # key 0 gets ~half the rows: one segment far beyond 52 steps
+            "user_id": np.where(rng.rand(n) < 0.5, 0, rng.randint(1, 30, n)).astype(np.int64),
+            "ts": pd.to_datetime(rng.randint(0, 10**9, n), unit="s"),
+            "value": np.round(rng.uniform(-50, 50, n), 4),
+        }
+    )
+    import math
+
+    g = df.sort_values(["user_id", "ts", "event_id"])
+    want = {}
+    prev_key, y = None, 0.0
+    for eid, k, x in zip(g["event_id"], g["user_id"], g["value"]):
+        y = float(x) if k != prev_key else 0.5 * float(x) + 0.5 * y
+        prev_key = k
+        # half-away-from-zero like SQL round() (and the engine) — python's
+        # round is half-to-even and drifts on the dyadic α=½ ties
+        want[int(eid)] = math.copysign(math.floor(abs(y) * 1e6 + 0.5) / 1e6, y)
+
+    for P in (1, 4):
+        ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(3)
+        out = ema_scan(ds, num_partitions=P).to_pandas().set_index("event_id")
+        assert len(out) == n
+        got = out["ema"].to_dict()
+        assert got == want, f"P={P}"
