@@ -1451,6 +1451,18 @@ def q_cms_heavy_hitters(sf_dir: str):
     )
 
 
+def q_median_value(sf_dir: str):
+    """EXACT per-event-type median of events.value — the exact counterpart
+    to q_tdigest_value's approximate quantiles (stages/selection.py: 16-bit
+    radix bisection over the order-preserving bit transform; 4 counting
+    scans, data rows never shuffle, driver pull bounded by
+    groups × live-prefixes × 2^16 histogram rows)."""
+    from ccl_ray.stages.selection import exact_group_quantile
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return exact_group_quantile(ev, "event_type", "value", q=0.5)
+
+
 def q_tdigest_value(sf_dir: str):
     """t-digest quantile sketch (stages/sketch.tdigest_build — δ=400 k1
     scale, per-block digests merged like HLL/bloom partials, no value ever
@@ -3738,6 +3750,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "bloom_semijoin": q_bloom_semijoin,
     "tdigest_value": q_tdigest_value,
+    "median_value": q_median_value,
     "tdigest_group": q_tdigest_group,
     "bottomk_sample": q_bottomk_sample,
     "scc": q_scc,
@@ -4326,6 +4339,12 @@ ORACLE_SQL = {
         SELECT q, (SELECT count(*) FROM events)::BIGINT AS n_events,
                true AS td_rank_ok
         FROM (SELECT unnest([0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]) AS q)""",
+    # quantile_cont interpolates lo + (hi-lo)*frac — the engine applies the
+    # identical float expression to the identical exact order statistics
+    "median_value": """
+        SELECT event_type, count(*)::BIGINT AS n,
+               round(quantile_cont(value, 0.5), 6) AS q0_5
+        FROM events GROUP BY 1""",
     "lang_top_terms": """
         WITH tok AS (
           SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
