@@ -3692,6 +3692,257 @@ def q_frame_sample(sf_dir: str):
     return out.select_columns(["media_id", "frame_idx"])
 
 
+# ---------------------------------------------------------- round-5 batch 2
+
+
+def q_skyline(sf_dir: str):
+    """Multi-criteria Pareto front over lineitem (maximize quantity and
+    extendedprice, minimize discount): DISTINCT non-dominated tuples via
+    per-block local-prune + merge (stages/skyline.py — dominance is closed
+    under subsets, so block-local losers can never be global winners and
+    the merge input is polylog-sized)."""
+    from ccl_ray.stages.skyline import skyline
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+    ).rename_columns(
+        {"l_quantity": "qty", "l_extendedprice": "price", "l_discount": "disc"}
+    )
+    return skyline(li, {"qty": "max", "price": "max", "disc": "min"})
+
+
+def q_markov_types(sf_dir: str):
+    """First-order Markov transition matrix of event types: per user in
+    (ts, event_id) order, (prev, cur) bigram counts + row-conditional
+    probability p = n / Σ_to n (round 6; exact int counts, so the division
+    is the correctly-rounded rational on both sides). Counts come from
+    window.lag_transitions (one lexsort per hash(user) partition,
+    per-partition pre-aggregation → ≤ types² rows shuffle)."""
+    from ccl_ray.stages.window import lag_transitions
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    counts = lag_transitions(ev).to_pandas()
+    tot = counts.groupby("from_type")["n"].transform("sum")
+    counts["p"] = [
+        round(int(a) / int(b), 6) for a, b in zip(counts["n"], tot)
+    ]
+    counts["n"] = counts["n"].astype(np.int64)
+    return pa.Table.from_pandas(
+        counts.sort_values(["from_type", "to_type"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def q_user_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution (nats):
+    entropy = ln(n) − (Σ c·ln c)/n over the user's per-type counts — the
+    behavioral-diversity score. (user, type) counts pre-aggregate through
+    the partial-agg combiner; each user's ≤|types| count rows then route by
+    hash(user) and one vectorized pandas pass per partition finalizes
+    (float noise is per-user Σ of ≤5 ln terms, ~1e-16 ≪ round 6)."""
+    from ccl_ray.functions.hashing import hash_part_np
+    from ccl_ray.stages.aggregates import partial_sum_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    counts = partial_sum_agg(ev, ["user_id", "event_type"], {}, count_as="c")
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("n", pa.int64()), ("entropy", pa.float64())]
+    )
+
+    def route(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array(hash_part_np(t.column("user_id"), pa.int64(), 8))
+        )
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return out_schema.empty_table()
+        c = df["c"].to_numpy(np.int64)
+        df = df.assign(clc=c * np.log(c))
+        g = df.groupby("user_id", sort=True)
+        n = g["c"].sum().to_numpy(np.int64)
+        slc = g["clc"].sum().to_numpy(np.float64)
+        ent = np.log(n) - slc / n
+        ent = np.copysign(np.floor(np.abs(ent) * 1e6 + 0.5) / 1e6, ent)
+        return pa.table(
+            {
+                "user_id": pa.array(g.size().index.to_numpy(np.int64)),
+                "n": pa.array(n),
+                "entropy": pa.array(ent),
+            }
+        )
+
+    return (
+        counts.map_batches(route, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+def q_doclen_corr(sf_dir: str):
+    """Per-language Pearson correlation + least-squares regression of
+    (n_chars, whitespace token count): one partial-agg pass over exact
+    INTEGER moment sums (n, Σx, Σy, Σxy, Σx², Σy² — identical in any
+    summation order), finalized with the identical float expression shape
+    as the SQL twin (exact big-int numerators cast to double, then one
+    division), so the value hash matches bit-for-bit."""
+    import math
+
+    from ccl_ray.stages.aggregates import partial_sum_agg
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text", "n_chars"]
+    )
+
+    def feats(t: pa.Table) -> pa.Table:
+        x = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = pc.count_substring(t.column("text"), pattern=" ").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64) + 1
+        return pa.table(
+            {"lang": t.column("lang"), "x": pa.array(x), "y": pa.array(y),
+             "xy": pa.array(x * y), "xx": pa.array(x * x), "yy": pa.array(y * y)}
+        )
+
+    s = partial_sum_agg(
+        docs.map_batches(feats, batch_format="pyarrow"),
+        ["lang"],
+        {"x": "sx", "y": "sy", "xy": "sxy", "xx": "sxx", "yy": "syy"},
+        count_as="n",
+    ).to_pandas().sort_values("lang").reset_index(drop=True)
+
+    corr, slope, intercept = [], [], []
+    for r in s.itertuples(index=False):
+        n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+        num = n * int(r.sxy) - sx * sy          # exact python ints: no
+        varx = n * int(r.sxx) - sx * sx         # 2^53 overflow at any sf
+        vary = n * int(r.syy) - sy * sy
+        slope_u = float(num) / float(varx)
+        corr.append(round(float(num) / math.sqrt(float(varx * vary)), 6))
+        slope.append(round(slope_u, 6))
+        intercept.append(round(float(sy) / n - slope_u * (float(sx) / n), 6))
+    return pa.table(
+        {
+            "lang": pa.array(s["lang"], pa.string()),
+            "n": pa.array(s["n"].astype(np.int64)),
+            "corr_len_tok": pa.array(corr, pa.float64()),
+            "slope": pa.array(slope, pa.float64()),
+            "intercept": pa.array(intercept, pa.float64()),
+        }
+    )
+
+
+def q_square_count(sf_dir: str):
+    """Exact 4-cycle (square) census over the events graph: every square is
+    counted once per diagonal pair (C(codeg,2) opposite-corner choices), so
+    n_squares = Σ_pairs C(codeg,2) / 2 — the rectangle analogue of
+    wedge-based triangle counting, reusing the skew-exact wedge enumeration
+    (hub centers take the budget-bounded range path; only two ints leave
+    each partition)."""
+    from ccl_ray.stages.linkpred import square_count
+
+    n_squares, n_pairs = square_count(_edges_memo(sf_dir), cfg=_cfg())
+    return pa.table(
+        {"n_squares": pa.array([n_squares], pa.int64()),
+         "n_codeg_pairs": pa.array([n_pairs], pa.int64())}
+    )
+
+
+def q_weighted_median(sf_dir: str):
+    """Exact per-type LOWER weighted median of events.value with integer
+    weights wt = event_id % 7 + 1 (smallest value whose cumulative weight
+    doubles past the total): the weighted variant of the radix bisection
+    (stages/selection.py) — histograms sum weights instead of rows, data
+    rows never shuffle, and the answer is an actual data value (bit-exact,
+    no interpolation/rounding)."""
+    from ccl_ray.stages.selection import exact_group_weighted_median
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def add_wt(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"event_type": t.column("event_type"), "value": t.column("value"),
+             "wt": pa.array(eid % 7 + 1)}
+        )
+
+    return exact_group_weighted_median(
+        ev.map_batches(add_wt, batch_format="pyarrow"), "event_type", "value", "wt"
+    )
+
+
+def q_gini_degree(sf_dir: str):
+    """Gini coefficient of the event-graph degree distribution:
+    G = Σ (2·rank − n − 1)·d_(rank) / (n·Σd) over ascending-sorted degrees
+    (tie order irrelevant — equal values contribute symmetrically). Ranks
+    come from the exact distributed global rank (stages/rank.py); the
+    weighted sum is one vectorized pass + a scalar reduce, all int64-exact
+    until the final division."""
+    from ccl_ray.stages.rank import global_rank
+
+    deg = _deg_memo(sf_dir)
+    n = deg.count()
+    sum_deg = int(deg.sum("degree"))
+    ranked = global_rank(deg, ["degree", "vid"], out="rnk")
+
+    def weigh(t: pa.Table) -> pa.Table:
+        d = t.column("degree").to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t.column("rnk").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"t": pa.array((2 * r - n - 1) * d)})
+
+    s = int(ranked.map_batches(weigh, batch_format="pyarrow").sum("t"))
+    gini = round(float(s) / float(n * sum_deg), 6)
+    return pa.table(
+        {"n": pa.array([n], pa.int64()),
+         "sum_degree": pa.array([sum_deg], pa.int64()),
+         "gini": pa.array([gini], pa.float64())}
+    )
+
+
+# the synthetic generator's closed event-type vocabulary (TESTDATA.md);
+# asserted against the data so a vocabulary change fails loudly, not as a
+# silently-missing pivot column
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_hourly(sf_dir: str):
+    """Pivot (long→wide): hour-of-day rows × one count column per event
+    type + a row total — the conditional-aggregation reshape. Counts
+    pre-aggregate through the partial-agg combiner on (hour, type); the
+    24×|types| pivot itself is driver-sized."""
+    from ccl_ray.stages.aggregates import partial_sum_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def hourly(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"hour": pc.hour(t.column("ts")).cast(pa.int64()),
+             "event_type": t.column("event_type")}
+        )
+
+    counts = partial_sum_agg(
+        ev.map_batches(hourly, batch_format="pyarrow"), ["hour", "event_type"], {},
+        count_as="n",
+    ).to_pandas()
+    unknown = set(counts["event_type"]) - set(_EVENT_TYPES)
+    assert not unknown, f"pivot_hourly: unexpected event types {sorted(unknown)}"
+    wide = (
+        counts.pivot_table(index="hour", columns="event_type", values="n",
+                           aggfunc="sum", fill_value=0)
+        .reindex(columns=_EVENT_TYPES, fill_value=0)
+        .astype(np.int64)
+    )
+    wide.columns = [f"n_{t}" for t in _EVENT_TYPES]
+    wide["n_total"] = wide.sum(axis=1)
+    return pa.Table.from_pandas(wide.reset_index().sort_values("hour"),
+                                preserve_index=False)
+
+
 QUERIES = {
     "edges_build": q_edges_build,
     "degree": q_degree,
@@ -3836,6 +4087,14 @@ QUERIES = {
     "hopping_window": q_hopping_window,
     "dup_clusters": q_dup_clusters,
     "dup_keep_best": q_dup_keep_best,
+    "skyline": q_skyline,
+    "markov_types": q_markov_types,
+    "user_entropy": q_user_entropy,
+    "doclen_corr": q_doclen_corr,
+    "square_count": q_square_count,
+    "weighted_median": q_weighted_median,
+    "gini_degree": q_gini_degree,
+    "pivot_hourly": q_pivot_hourly,
 }
 
 # ---- driver-sample rotation (round 5) ------------------------------------
@@ -5264,6 +5523,97 @@ ORACLE_SQL = {
                bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
         FROM simsig a JOIN simsig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    "skyline": """
+        WITH pts AS (SELECT DISTINCT l_quantity AS qty, l_extendedprice AS price,
+                            l_discount AS disc FROM lineitem)
+        SELECT qty, price, disc FROM pts a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pts b
+          WHERE b.qty >= a.qty AND b.price >= a.price AND b.disc <= a.disc
+            AND (b.qty > a.qty OR b.price > a.price OR b.disc < a.disc))""",
+    "markov_types": """
+        WITH lagd AS (
+          SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev
+          FROM events),
+        c AS (SELECT prev AS from_type, event_type AS to_type,
+                     count(*)::BIGINT AS n
+              FROM lagd WHERE prev IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+               round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        FROM c""",
+    "user_entropy": """
+        WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+                   FROM events GROUP BY 1, 2),
+        u AS (SELECT user_id, sum(c)::BIGINT AS n, sum(c * ln(c)) AS slc
+              FROM c GROUP BY 1)
+        SELECT user_id, n, round(ln(n) - slc / n, 6) AS entropy FROM u""",
+    # identical float expression shape as the engine: exact integer moment
+    # sums -> cast to DOUBLE -> one division (see q_doclen_corr)
+    "doclen_corr": """
+        WITH f AS (SELECT lang, n_chars::BIGINT AS x,
+                     (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS y
+                   FROM documents),
+        s AS (SELECT lang, count(*)::BIGINT AS n,
+                     sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+                     sum(x*y)::HUGEINT AS sxy, sum(x*x)::HUGEINT AS sxx,
+                     sum(y*y)::HUGEINT AS syy
+              FROM f GROUP BY 1)
+        SELECT lang, n,
+          round((n*sxy - sx*sy)::DOUBLE
+                / sqrt(((n*sxx - sx*sx) * (n*syy - sy*sy))::DOUBLE), 6)
+            AS corr_len_tok,
+          round((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE, 6) AS slope,
+          round(sy::DOUBLE/n
+                - ((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE)
+                  * (sx::DOUBLE/n), 6) AS intercept
+        FROM s""",
+    "square_count": f"""
+        WITH {_EDGES_CTE},
+        und AS (SELECT src AS u, dst AS v FROM edgu
+                UNION SELECT dst, src FROM edgu),
+        cn AS (SELECT a.u AS x, b.u AS y, count(*)::BIGINT AS c
+               FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
+               GROUP BY 1, 2)
+        SELECT (sum(c*(c-1)//2)//2)::BIGINT AS n_squares,
+               count(*)::BIGINT AS n_codeg_pairs
+        FROM cn""",
+    # default RANGE window frame: cw at value v = total weight of rows <= v,
+    # exactly the engine's lower-weighted-median rank target
+    "weighted_median": """
+        WITH w AS (SELECT event_type, value, (event_id % 7 + 1)::BIGINT AS wt
+                   FROM events),
+        cum AS (SELECT event_type, value,
+                       sum(wt) OVER (PARTITION BY event_type ORDER BY value) AS cw,
+                       sum(wt) OVER (PARTITION BY event_type) AS tw
+                FROM w)
+        SELECT event_type, max(tw)::BIGINT AS tw, min(value) AS wmedian
+        FROM cum WHERE cw * 2 >= tw GROUP BY 1""",
+    "gini_degree": f"""
+        WITH {_EDGES_CTE},
+        deg AS (SELECT e.event_id AS vid, coalesce(d.degree, 0) AS degree
+                FROM events e LEFT JOIN (
+                  SELECT v AS vid, count(*) AS degree
+                  FROM (SELECT src AS v FROM edgu UNION ALL SELECT dst FROM edgu)
+                  GROUP BY v) d ON d.vid = e.event_id),
+        r AS (SELECT degree,
+                     row_number() OVER (ORDER BY degree, vid) AS rnk,
+                     count(*) OVER () AS n
+              FROM deg)
+        SELECT max(n)::BIGINT AS n, sum(degree)::BIGINT AS sum_degree,
+               round(sum((2*rnk - n - 1) * degree)::DOUBLE
+                     / (max(n) * sum(degree))::DOUBLE, 6) AS gini
+        FROM r""",
+    "pivot_hourly": """
+        SELECT date_part('hour', ts)::BIGINT AS hour,
+               count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click,
+               count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error,
+               count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup,
+               count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view,
+               count(*)::BIGINT AS n_total
+        FROM events GROUP BY 1""",
     # pagerank / media_meta: iterative or model-style ops — no SQL oracle;
     # the driver records rows-only checks and pytest carries the strict
     # checks (numpy power-iteration allclose, fake-codec metadata shape).

@@ -466,3 +466,46 @@ def adamic_adar_topk(
         edges, k, cfg, max_center_degree,
         aa=True, col="aa_score", round_to=6,
     )
+
+
+@ray.remote
+def _square_partial(q, P, *piece_objs):
+    """Partition q = hash(a): merge wedge partials into exact codegrees and
+    return (Σ C(codeg, 2), #pairs with codeg ≥ 1) for this partition's
+    pairs. ADJACENT pairs count too (a square's diagonal may be chorded),
+    so no adjacency anti-join here — squares need every diagonal pair."""
+    pieces = [po[q] for po in piece_objs] if P > 1 else list(piece_objs)
+    a = np.concatenate([p[0] for p in pieces]) if pieces else np.empty(0, np.int64)
+    if a.size == 0:
+        return 0, 0
+    b = np.concatenate([p[1] for p in pieces])
+    c = np.concatenate([p[2] for p in pieces])
+    _, _, cn = _pair_reduce(a, b, c, np.add)
+    cn = cn.astype(np.int64)
+    return int((cn * (cn - 1) // 2).sum()), int(len(cn))
+
+
+def square_count(
+    edges,
+    *,
+    cfg: EngineConfig | None = None,
+    max_center_degree: int = 512,
+) -> tuple[int, int]:
+    """(n_squares, n_codeg_pairs): exact 4-cycle count plus the number of
+    vertex pairs sharing ≥1 neighbor.
+
+    Every 4-cycle u-x-v-y-u is counted once per diagonal pair ({u,v} and
+    {x,y} each contribute C(codeg,2) choices of the opposite corners), so
+    n_squares = Σ_{unordered pairs} C(codeg, 2) / 2 — the rectangle
+    analogue of wedge-based triangle counting. Reuses the skew-exact wedge
+    enumeration (hub centers take the budget-bounded range path), with
+    per-pair codegrees reduced at hash(a) owners; only two ints leave each
+    partition. All arithmetic is exact int64."""
+    cfg = cfg or EngineConfig()
+    P = cfg.num_partitions
+    csr = shard_edges_csr(edges, P, symmetrize=True, dedupe=True, drop_self=True)
+    piece_objs = _wedge_piece_objs(csr, P, max_center_degree, False)
+    parts = ray.get([_square_partial.remote(q, P, *piece_objs) for q in range(P)])
+    paired_sum = sum(p[0] for p in parts)
+    assert paired_sum % 2 == 0, "square diagonals must pair up"
+    return paired_sum // 2, sum(p[1] for p in parts)

@@ -172,3 +172,98 @@ def exact_group_quantile(
         }
     )
     return rd.from_arrow(table)
+
+
+def exact_group_weighted_median(
+    ds: "rd.Dataset",
+    group: str,
+    col: str,
+    weight_col: str,
+) -> "rd.Dataset":
+    """(group, tw, wmedian) — the EXACT per-group lower weighted median:
+    the smallest value x with cumweight(<= x) * 2 >= total_weight (integer
+    weights; the SQL window twin is ``min(value) WHERE cw*2 >= tw``).
+
+    Same radix bisection as exact_group_quantile with the counting
+    histogram summing WEIGHTS instead of rows — one target per group, no
+    interpolation (the answer is an actual data value, bit-exact)."""
+    from ccl_ray.stages.aggregates import partial_sum_agg
+
+    sizes = partial_sum_agg(
+        ds.select_columns([group, weight_col]), [group], {weight_col: "tw"}
+    ).to_pandas()
+    sizes = sizes.sort_values(group).reset_index(drop=True)
+    groups = list(sizes[group])
+    gidx = {g: i for i, g in enumerate(groups)}
+    tw = sizes["tw"].to_numpy(np.int64)
+
+    # smallest x with cumw >= ceil(tw/2): 1-indexed weighted rank target
+    want = (tw + 1) // 2
+    state = [{"rank": int(w), "digits": ()} for w in want]
+
+    data = ds.select_columns([group, col, weight_col]).materialize()
+
+    for rnd in range(4):
+        shift = np.uint64(48 - 16 * rnd)
+
+        def count_round(df: pd.DataFrame, _state=state, _gidx=gidx,
+                        _shift=shift, _rnd=rnd) -> pa.Table:
+            vals = np.asarray(df[col].values, np.float64)
+            wts = np.asarray(df[weight_col].values, np.int64)
+            keys = _order_key(vals)
+            gis = df[group].map(_gidx).to_numpy(np.int64)
+            out_g, out_d, out_c = [], [], []
+            for gi, st in enumerate(_state):
+                m = gis == gi
+                k, w = keys[m], wts[m]
+                for lvl, dg in enumerate(st["digits"]):
+                    keep = (k >> np.uint64(48 - 16 * lvl)) & np.uint64(0xFFFF) == dg
+                    k, w = k[keep], w[keep]
+                if not len(k):
+                    continue
+                dig = ((k >> _shift) & np.uint64(0xFFFF)).astype(np.int64)
+                order = np.argsort(dig, kind="stable")
+                dig, w = dig[order], w[order]
+                new = np.empty(len(dig), bool)
+                new[0] = True
+                new[1:] = dig[1:] != dig[:-1]
+                starts = np.nonzero(new)[0]
+                out_g.extend([gi] * len(starts))
+                out_d.extend(dig[starts].tolist())
+                out_c.extend(np.add.reduceat(w, starts).tolist())
+            return pa.table(
+                {"gi": pa.array(out_g, pa.int64()),
+                 "dig": pa.array(out_d, pa.int64()),
+                 "cnt": pa.array(out_c, pa.int64())}
+            )
+
+        hist = partial_sum_agg(
+            data.map_batches(count_round, batch_format="pandas"),
+            ["gi", "dig"], {"cnt": "cnt"},
+        ).to_pandas()
+        by_gi = {gi: grp.sort_values("dig") for gi, grp in hist.groupby("gi")}
+        for gi, st in enumerate(state):
+            gh = by_gi[gi]
+            digs = gh["dig"].to_numpy(np.int64)
+            cnts = gh["cnt"].to_numpy(np.int64)
+            cum = np.cumsum(cnts)
+            j = int(np.searchsorted(cum, st["rank"]))
+            before = int(cum[j - 1]) if j else 0
+            st["rank"] -= before
+            st["digits"] = st["digits"] + (int(digs[j]),)
+
+    res = np.empty(len(groups), np.float64)
+    for gi, st in enumerate(state):
+        k = 0
+        for dg in st["digits"]:
+            k = (k << 16) | dg
+        res[gi] = _key_to_float(k)
+
+    table = pa.table(
+        {
+            group: pa.Table.from_pandas(sizes[[group]], preserve_index=False).column(group),
+            "tw": pa.array(tw, pa.int64()),
+            "wmedian": pa.array(res, pa.float64()),
+        }
+    )
+    return rd.from_arrow(table)

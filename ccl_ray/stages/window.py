@@ -334,6 +334,81 @@ def collect_seq(
     )
 
 
+def lag_transitions(
+    events: "rd.Dataset",
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "event_type",
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """First-order Markov transition counts: per key in (ts, id) order, the
+    (previous ``val_col``, current ``val_col``) bigram, counted globally —
+    (from_type, to_type, n). The SQL ``LAG(x) OVER (PARTITION BY key ORDER
+    BY ts, id)`` + GROUP BY pattern (user-journey transition matrices,
+    conversation role grammars).
+
+    Same shape as running_window: rows route by hash(key) % P, each
+    partition does ONE vectorized lexsort, masks out each key's first row
+    (no predecessor), and pre-aggregates its (from, to) counts — the
+    shuffle after the per-partition pass carries at most |types|^2 rows per
+    partition, so the final combine is O(P · types^2) regardless of row
+    count."""
+    from ccl_ray.config import resolve_partitions
+    from ccl_ray.functions.hashing import hash_part_np
+    from ccl_ray.stages.aggregates import partial_sum_agg
+
+    P = resolve_partitions(num_partitions)
+    in_schema = events.schema()
+    key_type = dict(zip(in_schema.names, in_schema.types))[key]
+    out_schema = pa.schema(
+        [("from_type", pa.string()), ("to_type", pa.string()), ("n", pa.int64())]
+    )
+
+    def route(batch: pa.Table) -> pa.Table:
+        kcol = batch.column(key)
+        return pa.table(
+            {
+                key: kcol,
+                ts_col: batch.column(ts_col),
+                id_col: batch.column(id_col),
+                val_col: batch.column(val_col),
+                "part": pa.array(hash_part_np(kcol, key_type, P)),
+            }
+        )
+
+    def trans_part(df: pd.DataFrame) -> pa.Table:
+        if len(df) < 1:
+            return out_schema.empty_table()
+        kcodes, _ = pd.factorize(df[key].values, sort=True)
+        ts = df[ts_col].values.astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((df[id_col].values, ts, kcodes))
+        kcodes = kcodes[order]
+        vals = df[val_col].values[order]
+        same_key = np.zeros(len(df), bool)
+        same_key[1:] = kcodes[1:] == kcodes[:-1]
+        frm = np.roll(vals, 1)[same_key]
+        to = vals[same_key]
+        if not len(to):
+            return out_schema.empty_table()
+        out = (
+            pd.DataFrame({"from_type": frm, "to_type": to})
+            .groupby(["from_type", "to_type"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    partials = (
+        events.map_batches(route, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(trans_part, batch_format="pandas")
+    )
+    return partial_sum_agg(partials, ["from_type", "to_type"], {"n": "n"})
+
+
 def sessionize(
     events: "rd.Dataset",
     *,
