@@ -3943,6 +3943,134 @@ def q_pivot_hourly(sf_dir: str):
                                 preserve_index=False)
 
 
+# ------------------------------------------------------------ round-5 batch 3
+
+
+def q_setcover(sf_dir: str):
+    """Greedy maximum-coverage document selection (distributed submodular
+    greedy, stages/setcover.py): 4 rounds of pick-the-doc-covering-the-most
+    uncovered vocabulary, fully deterministic (gain DESC, doc_id ASC) so
+    the unrolled SQL twin replays the identical selection. Per round only
+    2·P scalars reach the driver; (doc, term) pairs are sharded by
+    hash(term) once and covered terms live on their owning shard."""
+    from ccl_ray.stages.setcover import greedy_max_coverage
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return greedy_max_coverage(docs, 4, cfg=_cfg())
+
+
+def q_trigram_types(sf_dir: str):
+    """Second-order Markov trigram counts of event types per user in
+    (ts, event_id) order (window.lag_ngrams — windows never cross users;
+    per-partition pre-aggregation caps the shuffle at |vocab|³ rows)."""
+    from ccl_ray.stages.window import lag_ngrams
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    return lag_ngrams(ev, 3)
+
+
+def q_longest_streak(sf_dir: str):
+    """Per-user longest run of consecutive equal event types in (ts, id)
+    order — gaps-and-islands as one vectorized run-boundary cumsum per
+    hash(user) partition (window.longest_streak)."""
+    from ccl_ray.stages.window import longest_streak
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    return longest_streak(ev)
+
+
+def q_gap_median(sf_dir: str):
+    """Exact median inter-event gap (µs) per event type: per-user LAG
+    deltas attributed to the later event (window.ordered_gaps) feed the
+    exact radix-bisection quantile (stages/selection.py) — a composition of
+    two distributed operators with zero driver-side data path."""
+    from ccl_ray.stages.selection import exact_group_quantile
+    from ccl_ray.stages.window import ordered_gaps
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    return exact_group_quantile(ordered_gaps(ev), "event_type", "delta_us", q=0.5)
+
+
+def q_wl_refine(sf_dir: str):
+    """One Weisfeiler-Leman refinement round over the events graph: each
+    vertex's signature is its sorted multiset of neighbor degrees (own
+    degree is implicit as the multiset size); output is the signature-class
+    census (sig, n_vertices). Degrees hash-join onto the undirected edge
+    list (|V|-sized table — never broadcast); signatures build per
+    hash(vertex) partition with one lexsort; isolated vertices take the
+    empty signature, reconciled from exact totals."""
+    from ccl_ray.functions.hashing import hash_part_np
+    from ccl_ray.stages.aggregates import partial_sum_agg
+    from ccl_ray.stages.exchange import hash_join
+
+    # DISTINCT edges (the twin's und is a UNION): the raw edge table carries
+    # parallel copies, and the signature is over the distinct-neighbor
+    # multiset — degrees too are distinct-neighbor counts from the deduped
+    # adjacency, NOT the multiplicity-counting _deg_memo
+    edges = partial_sum_agg(
+        _edges_memo(sf_dir).select_columns(["src", "dst"]), ["src", "dst"], {},
+        count_as="_n",
+    ).select_columns(["src", "dst"])
+
+    def both(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"u": pa.array(np.concatenate([s, d]), pa.int64()),
+             "v": pa.array(np.concatenate([d, s]), pa.int64())}
+        )
+
+    und = edges.map_batches(both, batch_format="pyarrow").materialize()
+    deg = partial_sum_agg(und, ["u"], {}, count_as="d").rename_columns(
+        {"u": "nv"}
+    )
+    nb = hash_join(und, deg, left_on="v", right_on="nv", num_partitions=8)
+
+    def route(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"u": t.column("u"), "d": t.column("d"),
+             "part": pa.array(hash_part_np(t.column("u"), pa.int64(), 8))}
+        )
+
+    sig_schema = pa.schema([("sig", pa.string()), ("n_vertices", pa.int64())])
+
+    def sig_part(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return sig_schema.empty_table()
+        df = df.sort_values(["u", "d"], kind="stable")
+        sigs = df.groupby("u", sort=False)["d"].agg(
+            lambda s: ",".join(str(int(x)) for x in s)
+        )
+        out = sigs.value_counts()
+        return pa.table(
+            {"sig": pa.array(out.index, pa.string()),
+             "n_vertices": pa.array(out.to_numpy(np.int64))}
+        )
+
+    counts = partial_sum_agg(
+        nb.map_batches(route, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sig_part, batch_format="pandas"),
+        ["sig"], {"n_vertices": "n_vertices"},
+    ).to_pandas()
+    n_total = _verts_memo(sf_dir).count()
+    n_iso = n_total - int(counts["n_vertices"].sum())
+    if n_iso:
+        counts = pd.concat(
+            [counts, pd.DataFrame({"sig": [""], "n_vertices": [n_iso]})],
+            ignore_index=True,
+        )
+    counts = counts.sort_values("sig").reset_index(drop=True)
+    counts["n_vertices"] = counts["n_vertices"].astype(np.int64)
+    return pa.Table.from_pandas(counts, preserve_index=False)
+
+
 QUERIES = {
     "edges_build": q_edges_build,
     "degree": q_degree,
@@ -4095,6 +4223,11 @@ QUERIES = {
     "weighted_median": q_weighted_median,
     "gini_degree": q_gini_degree,
     "pivot_hourly": q_pivot_hourly,
+    "setcover": q_setcover,
+    "trigram_types": q_trigram_types,
+    "longest_streak": q_longest_streak,
+    "gap_median": q_gap_median,
+    "wl_refine": q_wl_refine,
 }
 
 # ---- driver-sample rotation (round 5) ------------------------------------
@@ -4274,6 +4407,39 @@ def _walk_sql(walk_len: int = 4, seed_mod: int = 64) -> str:
 
 
 _WALK_SQL = _walk_sql()
+
+
+def _setcover_oracle_sql(k: int = 4) -> str:
+    """Unrolled k-round greedy max-coverage twin (see q_setcover): round r
+    picks (gain DESC, doc_id ASC) over docs with >=1 uncovered term; a round
+    with no uncovered pairs left contributes no row, same as the engine's
+    early stop."""
+    parts = [
+        "tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+        " '[a-z0-9]+')) AS term FROM documents)",
+        "dt AS MATERIALIZED (SELECT DISTINCT doc_id, term FROM tok)",
+        "u1 AS MATERIALIZED (SELECT * FROM dt)",
+    ]
+    sel = []
+    for r in range(1, k + 1):
+        parts += [
+            f"g{r} AS (SELECT doc_id, count(*)::BIGINT AS gain FROM u{r}"
+            f" GROUP BY 1)",
+            f"p{r} AS (SELECT doc_id, gain FROM g{r}"
+            f" ORDER BY gain DESC, doc_id LIMIT 1)",
+            f"c{r} AS MATERIALIZED (SELECT DISTINCT term FROM u{r}"
+            f" JOIN p{r} USING (doc_id)"
+            + (f" UNION SELECT term FROM c{r-1}" if r > 1 else "")
+            + ")",
+            f"u{r+1} AS MATERIALIZED (SELECT * FROM u{r}"
+            f" WHERE term NOT IN (SELECT term FROM c{r}))",
+        ]
+        sel.append(
+            f"SELECT {r}::BIGINT AS round, doc_id, gain,"
+            f" (SELECT count(*) FROM c{r})::BIGINT AS covered_total FROM p{r}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel)
+
 
 ORACLE_SQL = {
     "edges_build": f"WITH {_EDGES_CTE} SELECT src, dst, etype, w FROM edg",
@@ -5614,6 +5780,50 @@ ORACLE_SQL = {
                count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view,
                count(*)::BIGINT AS n_total
         FROM events GROUP BY 1""",
+    "setcover": _setcover_oracle_sql(),
+    "trigram_types": """
+        WITH lagd AS (
+          SELECT event_type AS t3,
+                 lag(event_type, 1) OVER w AS t2,
+                 lag(event_type, 2) OVER w AS t1
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT t1, t2, t3, count(*)::BIGINT AS cnt
+        FROM lagd WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        GROUP BY 1, 2, 3""",
+    "longest_streak": """
+        WITH o AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS rt
+          FROM events),
+        runs AS (SELECT user_id, count(*)::BIGINT AS len
+                 FROM o GROUP BY user_id, event_type, rn - rt)
+        SELECT user_id, sum(len)::BIGINT AS n_events,
+               max(len)::BIGINT AS max_streak
+        FROM runs GROUP BY 1""",
+    "gap_median": """
+        WITH lagd AS (
+          SELECT event_type,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events)
+        SELECT event_type, count(gap)::BIGINT AS n,
+               round(quantile_cont(gap, 0.5), 6) AS q0_5
+        FROM lagd WHERE gap IS NOT NULL GROUP BY 1""",
+    "wl_refine": f"""
+        WITH {_EDGES_CTE},
+        und AS (SELECT src AS u, dst AS v FROM edgu
+                UNION SELECT dst, src FROM edgu),
+        deg AS (SELECT u AS v, count(*)::BIGINT AS d FROM und GROUP BY 1),
+        nb AS (SELECT und.u, dg.d FROM und JOIN deg dg ON dg.v = und.v),
+        sigs AS (SELECT u, string_agg(d::VARCHAR, ',' ORDER BY d) AS sig
+                 FROM nb GROUP BY u)
+        SELECT coalesce(s.sig, '') AS sig, count(*)::BIGINT AS n_vertices
+        FROM events e LEFT JOIN sigs s ON s.u = e.event_id
+        GROUP BY 1""",
     # pagerank / media_meta: iterative or model-style ops — no SQL oracle;
     # the driver records rows-only checks and pytest carries the strict
     # checks (numpy power-iteration allclose, fake-codec metadata shape).

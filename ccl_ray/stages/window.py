@@ -409,6 +409,206 @@ def lag_transitions(
     return partial_sum_agg(partials, ["from_type", "to_type"], {"n": "n"})
 
 
+def lag_ngrams(
+    events: "rd.Dataset",
+    n: int,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "event_type",
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """Order-(n−1) Markov n-gram counts: per key in (ts, id) order, every
+    window of n consecutive ``val_col`` values, counted globally —
+    (t1..tn, cnt). lag_transitions is the n=2 special case kept separate
+    for its fixed (from_type, to_type) schema; windows never cross keys
+    (a row contributes only when its n−1 predecessors share its key).
+    Same shuffle bound: per-partition pre-aggregation caps the exchange at
+    |vocab|^n rows per partition."""
+    from ccl_ray.config import resolve_partitions
+    from ccl_ray.functions.hashing import hash_part_np
+    from ccl_ray.stages.aggregates import partial_sum_agg
+
+    assert n >= 2, "lag_ngrams: n must be >= 2"
+    P = resolve_partitions(num_partitions)
+    in_schema = events.schema()
+    key_type = dict(zip(in_schema.names, in_schema.types))[key]
+    cols = [f"t{i + 1}" for i in range(n)]
+    out_schema = pa.schema([(c, pa.string()) for c in cols] + [("cnt", pa.int64())])
+
+    def route(batch: pa.Table) -> pa.Table:
+        kcol = batch.column(key)
+        return pa.table(
+            {
+                key: kcol,
+                ts_col: batch.column(ts_col),
+                id_col: batch.column(id_col),
+                val_col: batch.column(val_col),
+                "part": pa.array(hash_part_np(kcol, key_type, P)),
+            }
+        )
+
+    def gram_part(df: pd.DataFrame) -> pa.Table:
+        if len(df) < n:
+            return out_schema.empty_table()
+        kcodes, _ = pd.factorize(df[key].values, sort=True)
+        ts = df[ts_col].values.astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((df[id_col].values, ts, kcodes))
+        kcodes = kcodes[order]
+        vals = df[val_col].values[order]
+        ok = kcodes[n - 1 :] == kcodes[: len(kcodes) - n + 1]
+        if not ok.any():
+            return out_schema.empty_table()
+        data = {
+            cols[i]: vals[i : len(vals) - n + 1 + i][ok] for i in range(n)
+        }
+        out = (
+            pd.DataFrame(data)
+            .groupby(cols, sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    partials = (
+        events.map_batches(route, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(gram_part, batch_format="pandas")
+    )
+    return partial_sum_agg(partials, cols, {"cnt": "cnt"})
+
+
+def ordered_gaps(
+    events: "rd.Dataset",
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    attr_col: str = "event_type",
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """Inter-event gaps: per key in (ts, id) order, the microseconds since
+    the key's PREVIOUS row, attributed to the LATER row's ``attr_col`` —
+    (attr, delta_us), one row per non-first event. Feeds grouped
+    distributions of arrival gaps (e.g. exact_group_quantile for median
+    inter-event time per type). Same single-lexsort partition pass as
+    running_window."""
+    from ccl_ray.config import resolve_partitions
+    from ccl_ray.functions.hashing import hash_part_np
+
+    P = resolve_partitions(num_partitions)
+    in_schema = events.schema()
+    key_type = dict(zip(in_schema.names, in_schema.types))[key]
+    out_schema = pa.schema([(attr_col, pa.string()), ("delta_us", pa.int64())])
+
+    def route(batch: pa.Table) -> pa.Table:
+        kcol = batch.column(key)
+        return pa.table(
+            {
+                key: kcol,
+                ts_col: batch.column(ts_col),
+                id_col: batch.column(id_col),
+                attr_col: batch.column(attr_col),
+                "part": pa.array(hash_part_np(kcol, key_type, P)),
+            }
+        )
+
+    def gaps_part(df: pd.DataFrame) -> pa.Table:
+        if len(df) < 2:
+            return out_schema.empty_table()
+        kcodes, _ = pd.factorize(df[key].values, sort=True)
+        ts = df[ts_col].values.astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((df[id_col].values, ts, kcodes))
+        kcodes, ts = kcodes[order], ts[order]
+        attrs = df[attr_col].values[order]
+        same = kcodes[1:] == kcodes[:-1]
+        delta = (ts[1:] - ts[:-1])[same]
+        return pa.table(
+            {attr_col: pa.array(attrs[1:][same], pa.string()),
+             "delta_us": pa.array(delta, pa.int64())}
+        )
+
+    return (
+        events.map_batches(route, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(gaps_part, batch_format="pandas")
+    )
+
+
+def longest_streak(
+    events: "rd.Dataset",
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "event_type",
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """(key, n_events, max_streak): the longest run of consecutive equal
+    ``val_col`` values per key in (ts, id) order — the gaps-and-islands
+    run-length statistic, computed as one vectorized run-boundary cumsum
+    per hash(key) partition (no per-key Python)."""
+    from ccl_ray.config import resolve_partitions
+    from ccl_ray.functions.hashing import hash_part_np
+
+    P = resolve_partitions(num_partitions)
+    in_schema = events.schema()
+    key_type = dict(zip(in_schema.names, in_schema.types))[key]
+    out_schema = pa.schema(
+        [(key, key_type), ("n_events", pa.int64()), ("max_streak", pa.int64())]
+    )
+
+    def route(batch: pa.Table) -> pa.Table:
+        kcol = batch.column(key)
+        return pa.table(
+            {
+                key: kcol,
+                ts_col: batch.column(ts_col),
+                id_col: batch.column(id_col),
+                val_col: batch.column(val_col),
+                "part": pa.array(hash_part_np(kcol, key_type, P)),
+            }
+        )
+
+    def streak_part(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return out_schema.empty_table()
+        kcodes, _ = pd.factorize(df[key].values, sort=True)
+        ts = df[ts_col].values.astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((df[id_col].values, ts, kcodes))
+        kcodes = kcodes[order]
+        vals = df[val_col].values[order]
+        n = len(vals)
+        # run id increments at every key change or value change
+        new_run = np.empty(n, bool)
+        new_run[0] = True
+        new_run[1:] = (kcodes[1:] != kcodes[:-1]) | (vals[1:] != vals[:-1])
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        run_key = kcodes[new_run]  # key code of each run
+        per = pd.DataFrame({"k": run_key, "len": run_len})
+        g = per.groupby("k", sort=True)["len"]
+        keys_sorted = df[key].values[order][new_run]
+        # first run of each key carries the key's value at the group index
+        firsts = pd.Series(keys_sorted).groupby(run_key, sort=True).first()
+        nev = pd.Series(np.ones(n, np.int64)).groupby(kcodes, sort=True).sum()
+        return pa.table(
+            {
+                key: pa.array(firsts.to_numpy(), key_type),
+                "n_events": pa.array(nev.to_numpy(np.int64)),
+                "max_streak": pa.array(g.max().to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        events.map_batches(route, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(streak_part, batch_format="pandas")
+    )
+
+
 def sessionize(
     events: "rd.Dataset",
     *,
