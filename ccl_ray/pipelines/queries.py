@@ -4071,6 +4071,231 @@ def q_wl_refine(sf_dir: str):
     return pa.Table.from_pandas(counts, preserve_index=False)
 
 
+# ------------------------------------------------------------ round-5 batch 4
+
+
+def q_type_overlap(sf_dir: str):
+    """Pairwise distinct-user overlap between event types (audience
+    co-occurrence): (type_a < type_b, n_users, jaccard). Distinct
+    (user, type) pairs route by hash(user); each partition builds a
+    users × T boolean incidence matrix (T = closed event-type vocabulary,
+    driver-pulled once — vocab-sized) and one Bᵀ·B matmul yields its T×T
+    co-occurrence partial, so only P·T² scalars ever shuffle. Jaccard =
+    n/(na+nb−n) from exact int counts, same float op order as SQL."""
+    from ccl_ray.functions.hashing import hash_part_np
+    from ccl_ray.stages.aggregates import partial_sum_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    dt = partial_sum_agg(ev, ["user_id", "event_type"], {}, count_as="_n")
+    types = sorted(
+        partial_sum_agg(
+            ev.select_columns(["event_type"]), ["event_type"], {}, count_as="_n"
+        ).to_pandas()["event_type"]
+    )
+    T = len(types)
+    tidx = {t: i for i, t in enumerate(types)}
+
+    def route(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "part": pa.array(hash_part_np(t.column("user_id"), pa.int64(), 16)),
+            }
+        )
+
+    mat_schema = pa.schema([("i", pa.int64()), ("j", pa.int64()), ("n", pa.int64())])
+
+    def comat(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return mat_schema.empty_table()
+        ucodes, _ = pd.factorize(df["user_id"].values)
+        tcodes = df["event_type"].map(tidx).to_numpy(np.int64)
+        B = np.zeros((int(ucodes.max()) + 1, T), np.int64)
+        B[ucodes, tcodes] = 1
+        M = B.T @ B
+        ii, jj = np.triu_indices(T)  # diagonal kept: per-type totals
+        return pa.table(
+            {"i": pa.array(ii.astype(np.int64)), "j": pa.array(jj.astype(np.int64)),
+             "n": pa.array(M[ii, jj])}
+        )
+
+    M = (
+        partial_sum_agg(
+            dt.select_columns(["user_id", "event_type"])
+            .map_batches(route, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(comat, batch_format="pandas"),
+            ["i", "j"], {"n": "n"},
+        )
+        .to_pandas()  # T(T+1)/2 rows — vocab-sized
+        .set_index(["i", "j"])["n"]
+    )
+    rows = []
+    for i in range(T):
+        for j in range(i + 1, T):
+            n = int(M.get((i, j), 0))
+            if n == 0:
+                continue
+            na, nb = int(M[(i, i)]), int(M[(j, j)])
+            jac = n / (na + nb - n)
+            jac = float(np.copysign(np.floor(abs(jac) * 1e6 + 0.5) / 1e6, jac))
+            rows.append((types[i], types[j], n, jac))
+    return pa.table(
+        {
+            "type_a": pa.array([r[0] for r in rows], pa.string()),
+            "type_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_users": pa.array([r[2] for r in rows], pa.int64()),
+            "jaccard": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+def q_joint_degree(sf_dir: str):
+    """Joint degree-bucket matrix (degree mixing census): every DISTINCT
+    undirected edge counted at (b_lo ≤ b_hi) = sorted floor(log2(degree))
+    buckets of its endpoints. The |V|-sized degree table hash-joins onto the
+    edge list twice (never broadcast); the census is a partial-agg
+    reduction — the same shape as assortativity but keeping the full
+    matrix instead of the moment sums."""
+    from ccl_ray.stages.aggregates import partial_sum_agg
+    from ccl_ray.stages.exchange import hash_join
+
+    deg = _deg_memo(sf_dir)
+    edges = _dedup_edges_memo(sf_dir)
+    j1 = hash_join(
+        edges, deg.rename_columns({"vid": "sv", "degree": "ds"}),
+        left_on="src", right_on="sv", num_partitions=8,
+    )
+    j2 = hash_join(
+        j1, deg.rename_columns({"vid": "dv", "degree": "dd"}),
+        left_on="dst", right_on="dv", num_partitions=8,
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ds_ = t.column("ds").to_numpy(zero_copy_only=False).astype(np.int64)
+        dd_ = t.column("dd").to_numpy(zero_copy_only=False).astype(np.int64)
+        bs = np.floor(np.log2(ds_)).astype(np.int64)  # endpoint of an edge: deg >= 1
+        bd = np.floor(np.log2(dd_)).astype(np.int64)
+        return pa.table(
+            {"b_lo": pa.array(np.minimum(bs, bd)), "b_hi": pa.array(np.maximum(bs, bd))}
+        )
+
+    return partial_sum_agg(
+        j2.map_batches(bucket, batch_format="pyarrow"), ["b_lo", "b_hi"], {},
+        count_as="n_edges",
+    )
+
+
+def q_bipartite(sf_dir: str):
+    """Per-component bipartiteness census (stages/bipartite.py): CC min-vid
+    labels give one root per component, one multi-source BFS from all roots
+    gives hop parities, and a component is non-bipartite iff some DISTINCT
+    edge joins equal parities — equivalent to the odd-cycle / double-cover
+    criterion the SQL twin uses. Reuses the memoized CC labels and the
+    shared symmetric shard bundle."""
+    from ccl_ray.stages.bipartite import bipartiteness_census
+
+    return bipartiteness_census(
+        _edges_memo(sf_dir).select_columns(["src", "dst"]), cfg=_cfg(),
+        shards=_bundle_memo(sf_dir), labels=_labels(sf_dir), max_rounds=64,
+    )
+
+
+def q_regional_revenue(sf_dir: str):
+    """TPC-H Q5-shaped regional revenue: per ASIA nation, revenue of 1996
+    orders whose lineitem supplier sits in the CUSTOMER's nation. Scale
+    shape: region/nation are driver-side scalars (25 rows), customer and
+    supplier broadcast ONCE as dimension lookups into the fact tables
+    (facts never shuffle for them), lineitem pre-aggregates revenue per
+    (order, supplier-nation) BEFORE its only exchange, and the single
+    fact-fact hash join moves one row per (order, nation), not per
+    lineitem. Exact 1e-4-dollar fixed point, so summation order is free."""
+    from ccl_ray.stages.aggregates import partial_sum_agg
+    from ccl_ray.stages.exchange import broadcast_lookup_join, hash_join
+
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()  # 25 rows
+    reg = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()  # 5 rows
+    rk = int(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    nat = nat[nat["n_regionkey"] == rk]
+    nkeys = pa.array(nat["n_nationkey"].to_numpy(np.int64))
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("c_nationkey"), value_set=nkeys)),
+        batch_format="pyarrow",
+    )
+    lo = pd.Timestamp("1996-01-01")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
+                pc.less(t.column("o_orderdate"), pa.scalar(lo + pd.DateOffset(years=1))),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    seg = broadcast_lookup_join(
+        orders, cust, big_key="o_custkey", small_key="c_custkey",
+        value_cols=["c_nationkey"],
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("s_nationkey"), value_set=nkeys)),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    lis = broadcast_lookup_join(
+        li, supp, big_key="l_suppkey", small_key="s_suppkey",
+        value_cols=["s_nationkey"],
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        price = np.round(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc = np.round(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "s_nationkey": t.column("s_nationkey"),
+                "rev_e4": pa.array(price * (100 - disc)),
+            }
+        )
+
+    li_agg = partial_sum_agg(
+        lis.map_batches(rev, batch_format="pyarrow"),
+        ["l_orderkey", "s_nationkey"], {"rev_e4": "rev_e4"},
+    )
+    j = hash_join(
+        li_agg, seg, left_on="l_orderkey", right_on="o_orderkey", num_partitions=8
+    )
+    per_nat = partial_sum_agg(
+        j.map_batches(
+            lambda t: t.filter(
+                pc.equal(t.column("s_nationkey"), t.column("c_nationkey"))
+            ).select(["s_nationkey", "rev_e4"]),
+            batch_format="pyarrow",
+        ),
+        ["s_nationkey"], {"rev_e4": "rev_e4"},
+    ).to_pandas()  # ≤ 5 rows (ASIA nations)
+    per_nat["n_name"] = per_nat["s_nationkey"].map(names)
+    per_nat["revenue"] = per_nat["rev_e4"].astype(np.int64) / 10000.0
+    per_nat = per_nat.sort_values("n_name").reset_index(drop=True)
+    return pa.Table.from_pandas(per_nat[["n_name", "revenue"]], preserve_index=False)
+
+
 QUERIES = {
     "edges_build": q_edges_build,
     "degree": q_degree,
@@ -4228,6 +4453,10 @@ QUERIES = {
     "longest_streak": q_longest_streak,
     "gap_median": q_gap_median,
     "wl_refine": q_wl_refine,
+    "type_overlap": q_type_overlap,
+    "joint_degree": q_joint_degree,
+    "bipartite": q_bipartite,
+    "regional_revenue": q_regional_revenue,
 }
 
 # ---- driver-sample rotation (round 5) ------------------------------------
@@ -5823,6 +6052,71 @@ ORACLE_SQL = {
                  FROM nb GROUP BY u)
         SELECT coalesce(s.sig, '') AS sig, count(*)::BIGINT AS n_vertices
         FROM events e LEFT JOIN sigs s ON s.u = e.event_id
+        GROUP BY 1""",
+    "type_overlap": """
+        WITH dt AS (SELECT DISTINCT user_id, event_type FROM events),
+        pair AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                        count(*)::BIGINT AS n_users
+                 FROM dt a JOIN dt b
+                 ON a.user_id = b.user_id AND a.event_type < b.event_type
+                 GROUP BY 1, 2),
+        tot AS (SELECT event_type, count(*)::BIGINT AS nu FROM dt GROUP BY 1)
+        SELECT p.type_a, p.type_b, p.n_users,
+               round(p.n_users::DOUBLE / (x.nu + y.nu - p.n_users), 6) AS jaccard
+        FROM pair p JOIN tot x ON x.event_type = p.type_a
+        JOIN tot y ON y.event_type = p.type_b""",
+    "joint_degree": f"""
+        WITH {_EDGES_CTE},
+        und AS (SELECT src AS u, dst AS v FROM edgu UNION SELECT dst, src FROM edgu),
+        deg AS (SELECT u AS vid, count(*)::BIGINT AS d FROM und GROUP BY 1),
+        eb AS (SELECT CAST(floor(log2(a.d)) AS BIGINT) AS bs,
+                      CAST(floor(log2(b.d)) AS BIGINT) AS bd
+               FROM edgu e JOIN deg a ON a.vid = e.src JOIN deg b ON b.vid = e.dst)
+        SELECT least(bs, bd) AS b_lo, greatest(bs, bd) AS b_hi,
+               count(*)::BIGINT AS n_edges
+        FROM eb GROUP BY 1, 2""",
+    "bipartite": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        und AS (SELECT src AS u, dst AS v FROM edgu UNION SELECT dst, src FROM edgu),
+        dire AS (SELECT u, v FROM und
+                 UNION ALL SELECT event_id, event_id FROM events),
+        lab(it, v, l) AS (
+          SELECT 0, event_id, event_id FROM events
+          UNION ALL
+          SELECT it + 1, e.v, min(lab.l) FROM lab JOIN dire e ON e.u = lab.v
+          WHERE it < 64 GROUP BY 1, 2),
+        lab2 AS (SELECT v, l AS root FROM lab WHERE it = 64),
+        par(v, p) AS (
+          SELECT v, 0 FROM lab2 WHERE v = root
+          UNION
+          SELECT e.v, 1 - par.p FROM par JOIN und e ON e.u = par.v),
+        bad AS (SELECT v FROM par GROUP BY v HAVING count(*) = 2),
+        badroot AS (SELECT DISTINCT l.root FROM bad b JOIN lab2 l ON l.v = b.v),
+        sizes AS (SELECT root, count(*)::BIGINT AS nv FROM lab2 GROUP BY 1),
+        flag AS (SELECT s.nv,
+                        CASE WHEN b.root IS NULL THEN 1 ELSE 0 END AS is_bipartite
+                 FROM sizes s LEFT JOIN badroot b ON b.root = s.root)
+        SELECT is_bipartite::BIGINT AS is_bipartite,
+               count(*)::BIGINT AS n_components, sum(nv)::BIGINT AS n_vertices
+        FROM flag GROUP BY 1""",
+    "regional_revenue": """
+        WITH anat AS (SELECT n_nationkey, n_name FROM nation
+                      JOIN region ON r_regionkey = n_regionkey
+                      WHERE r_name = 'ASIA'),
+        rev AS (SELECT l_orderkey, s_nationkey,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_e4
+                FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                WHERE s_nationkey IN (SELECT n_nationkey FROM anat)
+                GROUP BY 1, 2)
+        SELECT a.n_name, sum(r.rev_e4) / 10000.0 AS revenue
+        FROM rev r
+        JOIN orders o ON o.o_orderkey = r.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN anat a ON a.n_nationkey = r.s_nationkey
+        WHERE c.c_nationkey = r.s_nationkey
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY 1""",
     # pagerank / media_meta: iterative or model-style ops — no SQL oracle;
     # the driver records rows-only checks and pytest carries the strict
