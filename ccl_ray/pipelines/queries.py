@@ -4296,6 +4296,115 @@ def q_regional_revenue(sf_dir: str):
     return pa.Table.from_pandas(per_nat[["n_name", "revenue"]], preserve_index=False)
 
 
+def q_conversion_lag(sf_dir: str):
+    """Funnel conversion latency: per user the FIRST 'view' and the first
+    'purchase' strictly after it; output one row (n_view_users,
+    n_converted, median_lag_us) with the median EXACT via the distributed
+    radix-bisection quantile. Two partial-agg min passes + one hash join —
+    the per-user event lists never collect anywhere."""
+    from ccl_ray.stages.aggregates import partial_sum_agg, partitioned_groupby_agg
+    from ccl_ray.stages.exchange import hash_join
+    from ccl_ray.stages.selection import exact_group_quantile
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+
+    def views(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "view"))
+        return pa.table(
+            {"vu": t.column("user_id"), "tv": t.column("ts").cast(pa.int64())}
+        )
+
+    tv = partitioned_groupby_agg(
+        ev.map_batches(views, batch_format="pyarrow"), ["vu"], {"tv": ("tv", "min")}
+    ).materialize()
+    n_view_users = tv.count()
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        return pa.table(
+            {"user_id": t.column("user_id"), "tp": t.column("ts").cast(pa.int64())}
+        )
+
+    pv = hash_join(
+        ev.map_batches(purchases, batch_format="pyarrow"), tv,
+        left_on="user_id", right_on="vu", num_partitions=8,
+        right_schema=pa.schema([("vu", pa.int64()), ("tv", pa.int64())]),
+    )
+    lags = partitioned_groupby_agg(
+        pv.map_batches(
+            lambda t: t.filter(pc.greater(t.column("tp"), t.column("tv"))),
+            batch_format="pyarrow",
+        ),
+        ["user_id"], {"tp": ("tp", "min"), "tv": ("tv", "min")},
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "m": pa.array(["conversion"] * t.num_rows, pa.string()),
+                "lag_us": pc.subtract(t.column("tp"), t.column("tv")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    q = exact_group_quantile(lags, "m", "lag_us", q=0.5).to_pandas()  # 1 row
+    return pa.table(
+        {
+            "n_view_users": pa.array([n_view_users], pa.int64()),
+            "n_converted": pa.array([int(q["n"].iloc[0])], pa.int64()),
+            "median_lag_us": pa.array([float(q["q0_5"].iloc[0])], pa.float64()),
+        }
+    )
+
+
+def q_knn_degree(sf_dir: str):
+    """Average-neighbor-degree curve k_nn(k) (degree-mixing profile):
+    every directed end of every DISTINCT undirected edge contributes
+    (deg(u) → deg(v)); exact int sums per degree class, one float division
+    in the SQL op order. Same two hash joins as joint_degree — |V|-sized
+    degree table, never broadcast."""
+    from ccl_ray.stages.aggregates import partial_sum_agg
+    from ccl_ray.stages.exchange import hash_join
+
+    deg = _deg_memo(sf_dir)
+    edges = _dedup_edges_memo(sf_dir)
+
+    def both(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"u": pa.array(np.concatenate([s, d]), pa.int64()),
+             "v": pa.array(np.concatenate([d, s]), pa.int64())}
+        )
+
+    und = edges.map_batches(both, batch_format="pyarrow")
+    j1 = hash_join(
+        und, deg.rename_columns({"vid": "uu", "degree": "du"}),
+        left_on="u", right_on="uu", num_partitions=8,
+    )
+    j2 = hash_join(
+        j1, deg.rename_columns({"vid": "vv", "degree": "dv"}),
+        left_on="v", right_on="vv", num_partitions=8,
+    )
+    agg = partial_sum_agg(
+        j2.map_batches(
+            lambda t: pa.table({"degree": t.column("du"), "nd": t.column("dv")}),
+            batch_format="pyarrow",
+        ),
+        ["degree"], {"nd": "snd"}, count_as="n_ends",
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        snd = t.column("snd").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("n_ends").to_numpy(zero_copy_only=False).astype(np.int64)
+        avg = snd.astype(np.float64) / n
+        avg = np.copysign(np.floor(np.abs(avg) * 1e6 + 0.5) / 1e6, avg)
+        return pa.table(
+            {"degree": t.column("degree"), "avg_neighbor_degree": pa.array(avg),
+             "n_ends": t.column("n_ends")}
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 QUERIES = {
     "edges_build": q_edges_build,
     "degree": q_degree,
@@ -4457,6 +4566,8 @@ QUERIES = {
     "joint_degree": q_joint_degree,
     "bipartite": q_bipartite,
     "regional_revenue": q_regional_revenue,
+    "conversion_lag": q_conversion_lag,
+    "knn_degree": q_knn_degree,
 }
 
 # ---- driver-sample rotation (round 5) ------------------------------------
@@ -6117,6 +6228,26 @@ ORACLE_SQL = {
         WHERE c.c_nationkey = r.s_nationkey
           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
           AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1""",
+    "conversion_lag": """
+        WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+        p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS tp, min(epoch_us(v.tv)) AS tvu
+              FROM events e JOIN v ON v.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > v.tv GROUP BY 1),
+        l AS (SELECT tp - tvu AS lag_us FROM p)
+        SELECT (SELECT count(*) FROM v)::BIGINT AS n_view_users,
+               count(*)::BIGINT AS n_converted,
+               round(quantile_cont(lag_us, 0.5), 6) AS median_lag_us
+        FROM l""",
+    "knn_degree": f"""
+        WITH {_EDGES_CTE},
+        und AS (SELECT src AS u, dst AS v FROM edgu UNION SELECT dst, src FROM edgu),
+        deg AS (SELECT u AS vid, count(*)::BIGINT AS d FROM und GROUP BY 1)
+        SELECT a.d AS degree,
+               round(sum(b.d)::DOUBLE / count(*), 6) AS avg_neighbor_degree,
+               count(*)::BIGINT AS n_ends
+        FROM und JOIN deg a ON a.vid = und.u JOIN deg b ON b.vid = und.v
         GROUP BY 1""",
     # pagerank / media_meta: iterative or model-style ops — no SQL oracle;
     # the driver records rows-only checks and pytest carries the strict
