@@ -4405,6 +4405,18 @@ def q_knn_degree(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_k4_count(sf_dir: str):
+    """Exact 4-clique census (stages/cliques.py): degree-ordered triangle
+    enumeration extended one hop — expand the triangle's ≺-max vertex's
+    out-neighborhood (O(√E) under degree orientation) and verify the two
+    closing edges with two hash-routed pair semi-joins. Only P ints reach
+    the driver."""
+    from ccl_ray.stages.cliques import k4_count
+
+    n = k4_count(_dedup_edges_memo(sf_dir), cfg=_cfg())
+    return pa.table({"n_k4": pa.array([n], pa.int64())})
+
+
 QUERIES = {
     "edges_build": q_edges_build,
     "degree": q_degree,
@@ -4568,6 +4580,7 @@ QUERIES = {
     "regional_revenue": q_regional_revenue,
     "conversion_lag": q_conversion_lag,
     "knn_degree": q_knn_degree,
+    "k4_count": q_k4_count,
 }
 
 # ---- driver-sample rotation (round 5) ------------------------------------
@@ -6249,6 +6262,15 @@ ORACLE_SQL = {
                count(*)::BIGINT AS n_ends
         FROM und JOIN deg a ON a.vid = und.u JOIN deg b ON b.vid = und.v
         GROUP BY 1""",
+    "k4_count": f"""
+        WITH {_EDGES_CTE}
+        SELECT count(*)::BIGINT AS n_k4
+        FROM edgu ab
+        JOIN edgu ac ON ac.src = ab.src AND ac.dst > ab.dst
+        JOIN edgu ad ON ad.src = ab.src AND ad.dst > ac.dst
+        JOIN edgu bc ON bc.src = ab.dst AND bc.dst = ac.dst
+        JOIN edgu bd ON bd.src = ab.dst AND bd.dst = ad.dst
+        JOIN edgu cd ON cd.src = ac.dst AND cd.dst = ad.dst""",
     # pagerank / media_meta: iterative or model-style ops — no SQL oracle;
     # the driver records rows-only checks and pytest carries the strict
     # checks (numpy power-iteration allclose, fake-codec metadata shape).
