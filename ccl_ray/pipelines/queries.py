@@ -4417,6 +4417,16 @@ def q_k4_count(sf_dir: str):
     return pa.table({"n_k4": pa.array([n], pa.int64())})
 
 
+def q_densest(sf_dir: str):
+    """Densest-subgraph greedy peel trajectory (stages/densest.py): the
+    parallel 3-approximation with the ε=1/2 threshold expressed in EXACT
+    integer arithmetic (peel deg·|V| ≤ 3·|E|), so the unrolled SQL twin
+    peels bit-identical vertex sets round by round."""
+    from ccl_ray.stages.densest import densest_peel
+
+    return densest_peel(_dedup_edges_memo(sf_dir), cfg=_cfg())
+
+
 QUERIES = {
     "edges_build": q_edges_build,
     "degree": q_degree,
@@ -4581,6 +4591,7 @@ QUERIES = {
     "conversion_lag": q_conversion_lag,
     "knn_degree": q_knn_degree,
     "k4_count": q_k4_count,
+    "densest": q_densest,
 }
 
 # ---- driver-sample rotation (round 5) ------------------------------------
@@ -4792,6 +4803,36 @@ def _setcover_oracle_sql(k: int = 4) -> str:
             f" (SELECT count(*) FROM c{r})::BIGINT AS covered_total FROM p{r}"
         )
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel)
+
+
+def _densest_oracle_sql(k: int = 30) -> str:
+    """Unrolled peel twin of q_densest: round r keeps vid with
+    d*nv > 3*ne (exact ints); emits (round, nv, ne, density) while nv>0."""
+    parts = [
+        "e1 AS MATERIALIZED (SELECT src, dst FROM edgu WHERE src <> dst)",
+        "v1 AS MATERIALIZED (SELECT DISTINCT u AS vid FROM ("
+        "SELECT src AS u FROM e1 UNION ALL SELECT dst FROM e1))",
+    ]
+    sel = []
+    for r in range(1, k + 1):
+        parts += [
+            f"s{r} AS (SELECT (SELECT count(*) FROM v{r})::BIGINT AS nv,"
+            f" (SELECT count(*) FROM e{r})::BIGINT AS ne)",
+            f"d{r} AS (SELECT v.vid, coalesce(dd.d, 0)::BIGINT AS d"
+            f" FROM v{r} v LEFT JOIN ("
+            f"SELECT u AS vid, count(*) AS d FROM ("
+            f"SELECT src AS u FROM e{r} UNION ALL SELECT dst FROM e{r})"
+            f" GROUP BY 1) dd ON dd.vid = v.vid)",
+            f"v{r+1} AS MATERIALIZED (SELECT vid FROM d{r}, s{r}"
+            f" WHERE d * nv > 3 * ne)",
+            f"e{r+1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r} e"
+            f" JOIN v{r+1} a ON a.vid = e.src JOIN v{r+1} b ON b.vid = e.dst)",
+        ]
+        sel.append(
+            f"SELECT {r}::BIGINT AS round, nv AS n_vertices, ne AS n_edges,"
+            f" round(ne::DOUBLE / nv, 6) AS density FROM s{r} WHERE nv > 0"
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel)
 
 
 ORACLE_SQL = {
@@ -6271,6 +6312,9 @@ ORACLE_SQL = {
         JOIN edgu bc ON bc.src = ab.dst AND bc.dst = ac.dst
         JOIN edgu bd ON bd.src = ab.dst AND bd.dst = ad.dst
         JOIN edgu cd ON cd.src = ac.dst AND cd.dst = ad.dst""",
+    "densest": f"""
+        WITH {_EDGES_CTE},
+        {_densest_oracle_sql()}""",
     # pagerank / media_meta: iterative or model-style ops — no SQL oracle;
     # the driver records rows-only checks and pytest carries the strict
     # checks (numpy power-iteration allclose, fake-codec metadata shape).
