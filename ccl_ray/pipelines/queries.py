@@ -4427,6 +4427,19 @@ def q_densest(sf_dir: str):
     return densest_peel(_dedup_edges_memo(sf_dir), cfg=_cfg())
 
 
+def q_episode_pairs(sf_dir: str):
+    """Episode mining: ordered same-user event pairs ≤10 minutes apart,
+    counted by (type_from, type_to) — window.windowed_pairs (one lexsort +
+    one searchsorted window bound + a vectorized expand per hash(user)
+    partition; never a per-row Python loop)."""
+    from ccl_ray.stages.window import windowed_pairs
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    return windowed_pairs(ev, 600_000_000)
+
+
 QUERIES = {
     "edges_build": q_edges_build,
     "degree": q_degree,
@@ -4592,6 +4605,7 @@ QUERIES = {
     "knn_degree": q_knn_degree,
     "k4_count": q_k4_count,
     "densest": q_densest,
+    "episode_pairs": q_episode_pairs,
 }
 
 # ---- driver-sample rotation (round 5) ------------------------------------
@@ -6315,6 +6329,13 @@ ORACLE_SQL = {
     "densest": f"""
         WITH {_EDGES_CTE},
         {_densest_oracle_sql()}""",
+    "episode_pairs": """
+        SELECT a.event_type AS type_from, b.event_type AS type_to,
+               count(*)::BIGINT AS n_pairs
+        FROM events a JOIN events b ON a.user_id = b.user_id
+         AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+         AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000
+        GROUP BY 1, 2""",
     # pagerank / media_meta: iterative or model-style ops — no SQL oracle;
     # the driver records rows-only checks and pytest carries the strict
     # checks (numpy power-iteration allclose, fake-codec metadata shape).

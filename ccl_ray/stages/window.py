@@ -609,6 +609,86 @@ def longest_streak(
     )
 
 
+def windowed_pairs(
+    events: "rd.Dataset",
+    delta_us: int,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "event_type",
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """Episode mining: (type_from, type_to, n_pairs) over all ORDERED event
+    pairs of one key at most ``delta_us`` apart — pair (i → j) counts when
+    i precedes j in (ts, id) order and ts_j − ts_i ≤ δ. Fully vectorized
+    per hash(key) partition: one lexsort, per-row window lower bounds via a
+    single searchsorted over a per-key-offset composite key (each key's
+    block is shifted by span+δ+2 so bounds cannot cross keys), then the
+    repeat/arange gather expands windows without a Python loop. Work is
+    Σ window sizes — bounded by δ × per-key event rate, stated, not hidden;
+    per-partition pre-aggregation caps the shuffle at |vocab|² rows."""
+    from ccl_ray.config import resolve_partitions
+    from ccl_ray.functions.hashing import hash_part_np
+    from ccl_ray.stages.aggregates import partial_sum_agg
+
+    P = resolve_partitions(num_partitions)
+    in_schema = events.schema()
+    key_type = dict(zip(in_schema.names, in_schema.types))[key]
+    out_schema = pa.schema(
+        [("type_from", pa.string()), ("type_to", pa.string()), ("n_pairs", pa.int64())]
+    )
+
+    def route(batch: pa.Table) -> pa.Table:
+        kcol = batch.column(key)
+        return pa.table(
+            {
+                key: kcol,
+                ts_col: batch.column(ts_col),
+                id_col: batch.column(id_col),
+                val_col: batch.column(val_col),
+                "part": pa.array(hash_part_np(kcol, key_type, P)),
+            }
+        )
+
+    def pairs_part(df: pd.DataFrame) -> pa.Table:
+        if len(df) < 2:
+            return out_schema.empty_table()
+        kcodes, _ = pd.factorize(df[key].values, sort=True)
+        ts = df[ts_col].values.astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((df[id_col].values, ts, kcodes))
+        kcodes, ts = kcodes[order], ts[order]
+        vals = df[val_col].values[order]
+        rel = ts - ts.min()
+        span = int(rel.max()) + delta_us + 2
+        ckey = kcodes.astype(np.int64) * span + rel
+        lo = np.searchsorted(ckey, ckey - delta_us, side="left")
+        idx = np.arange(len(ckey))
+        cnt = idx - lo  # window [lo_j, j) — all earlier rows of the same key
+        total = int(cnt.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        rep_lo = np.repeat(lo, cnt)
+        rep_cum = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        i_pos = rep_lo + (np.arange(total) - rep_cum)
+        j_pos = np.repeat(idx, cnt)
+        out = (
+            pd.DataFrame({"type_from": vals[i_pos], "type_to": vals[j_pos]})
+            .groupby(["type_from", "type_to"], sort=False)
+            .size()
+            .rename("n_pairs")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    partials = (
+        events.map_batches(route, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_part, batch_format="pandas")
+    )
+    return partial_sum_agg(partials, ["type_from", "type_to"], {"n_pairs": "n_pairs"})
+
+
 def sessionize(
     events: "rd.Dataset",
     *,

@@ -130,3 +130,41 @@ def test_ordered_gaps_known():
         {"event_type": ["b", "a"], "delta_us": [1_000_000, 60_000_000]}
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def _brute_windowed_pairs(df, delta_us):
+    out = {}
+    rows = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    for u, grp in rows.groupby("user_id"):
+        g = grp.reset_index(drop=True)
+        ts = g["ts"].values.astype("datetime64[us]").astype("int64")
+        for j in range(len(g)):
+            for i in range(j):
+                if ts[j] - ts[i] <= delta_us:
+                    k = (g["event_type"][i], g["event_type"][j])
+                    out[k] = out.get(k, 0) + 1
+    return out
+
+
+def test_windowed_pairs_vs_bruteforce():
+    from ccl_ray.stages.window import windowed_pairs
+
+    rng = np.random.RandomState(31)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.randint(0, 12, n),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.randint(0, 36_000, n), unit="s"),
+            "event_type": rng.choice(["a", "b", "c"], n),
+        }
+    )
+    # duplicate-ts probe: two same-user rows at the identical microsecond
+    df.loc[1, ["user_id", "ts"]] = [df.loc[0, "user_id"], df.loc[0, "ts"]]
+    want = _brute_windowed_pairs(df, 600_000_000)
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(4)
+    for P in (1, 5):
+        got = windowed_pairs(ds, 600_000_000, num_partitions=P).to_pandas()
+        got = {(r.type_from, r.type_to): r.n_pairs for r in got.itertuples()}
+        assert got == want, P
