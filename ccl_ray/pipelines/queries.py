@@ -3443,6 +3443,22 @@ def q_ann_topk(sf_dir: str):
     return cosine_topk(_emb(sf_dir), query_ids=range(10), k=5)
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed ANN top-k (similarity.ivf_topk: seeded driver-side
+    coarse k-means quantizer → per-actor cluster assignment + probe-masked
+    scan → per-query top-k merge). The gate runs EXHAUSTIVE probing
+    (nprobe = n_clusters), under which IVF equals brute force exactly, so
+    the same list_cosine_similarity SQL twin as ann_topk certifies the
+    entire bucketed path — quantizer, routing, masked scan, rank merge —
+    value-exactly. Approximate recall at nprobe < n_clusters is pytest's
+    job (test_ivf_topk_recovers_exact_for_planted_pair)."""
+    from ccl_ray.stages.similarity import ivf_topk
+
+    return ivf_topk(
+        _emb(sf_dir), query_ids=range(10), k=5, n_clusters=8, nprobe=8
+    )
+
+
 def q_lang_id(sf_dir: str):
     return lang_id(_docs(sf_dir))
 
@@ -4440,6 +4456,46 @@ def q_episode_pairs(sf_dir: str):
     return windowed_pairs(ev, 600_000_000)
 
 
+def q_bridges_close(sf_dir: str):
+    """Distributed bridge finding + 2-edge-connected components over the
+    DISTINCT event edges (stages/bridges.py: BFS-forest parents + XOR
+    cycle-space tags + ancestor hop-doubling subtree XOR), certified in-process
+    against the exact iterative-Tarjan oracle (oracle/bridges.py) — the
+    same reference-algorithm role the repo's one-shot union-find plays for
+    CC. Bridge sets are compared exactly; 2ecc labels must equal the
+    oracle's min-vid labels on every non-isolated vertex, and isolated
+    vertices must be their own label. n_vertices / n_edges ARE
+    SQL-expressible and the oracle pins them. Gate-only driver pull."""
+    from ccl_ray.oracle.bridges import bridges_oracle
+    from ccl_ray.stages.bridges import bridges
+
+    edges = _dedup_edges_memo(sf_dir)
+    bridge_ds, twoecc = bridges(
+        edges,
+        vertices=_verts_memo(sf_dir),
+        cfg=_cfg(),
+        shards=_bundle_dedup_memo(sf_dir),
+        labels=_labels(sf_dir),
+    )
+    # take_all, not to_pandas: an all-empty Dataset loses its columns there
+    got_b = sorted((int(r["a"]), int(r["b"])) for r in bridge_ds.take_all())
+    e = edges.to_pandas()
+    want_b, want_l = bridges_oracle(e["src"].values, e["dst"].values)
+    ldf = twoecc.to_pandas()
+    got_l = dict(zip(ldf["vid"].tolist(), ldf["label"].tolist()))
+    labels_ok = all(got_l.get(v) == m for v, m in want_l.items()) and all(
+        got_l[v] == v for v in set(got_l) - set(want_l)
+    )
+    return pa.table(
+        {
+            "n_vertices": pa.array([len(got_l)], pa.int64()),
+            "n_edges": pa.array([len(e)], pa.int64()),
+            "bridges_match_tarjan": pa.array([got_b == want_b], pa.bool_()),
+            "twoecc_labels_match": pa.array([labels_ok], pa.bool_()),
+        }
+    )
+
+
 QUERIES = {
     "edges_build": q_edges_build,
     "degree": q_degree,
@@ -4606,6 +4662,8 @@ QUERIES = {
     "k4_count": q_k4_count,
     "densest": q_densest,
     "episode_pairs": q_episode_pairs,
+    "bridges_close": q_bridges_close,
+    "ann_ivf": q_ann_ivf,
 }
 
 # ---- driver-sample rotation (round 5) ------------------------------------
@@ -5101,6 +5159,11 @@ ORACLE_SQL = {
     "harmonic_close": """
         SELECT count(*)::BIGINT AS n_vertices, true AS values_match
         FROM events""",
+    "bridges_close": f"""
+        WITH {_EDGES_CTE}
+        SELECT (SELECT count(*) FROM events)::BIGINT AS n_vertices,
+               (SELECT count(*) FROM edgu)::BIGINT AS n_edges,
+               true AS bridges_match_tarjan, true AS twoecc_labels_match""",
     "mis": _mis_oracle_sql(8),
     "coreness": _coreness_oracle_sql(),
     "degeneracy": _degeneracy_oracle_sql(),
@@ -6340,3 +6403,7 @@ ORACLE_SQL = {
     # the driver records rows-only checks and pytest carries the strict
     # checks (numpy power-iteration allclose, fake-codec metadata shape).
 }
+
+# ann_ivf runs exhaustive probing at the gate (nprobe = n_clusters), under
+# which IVF equals brute force exactly — same twin as ann_topk.
+ORACLE_SQL["ann_ivf"] = ORACLE_SQL["ann_topk"]
