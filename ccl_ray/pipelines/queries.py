@@ -4496,6 +4496,41 @@ def q_bridges_close(sf_dir: str):
     )
 
 
+def q_local_bridges(sf_dir: str):
+    """Local bridges (Granovetter): DISTINCT event edges whose endpoints
+    share NO common neighbor — the support-0 complement of
+    edge_triangle_support. Engine shape: the supported-edge set from the
+    truss wave machinery union-marks the deduped edge list and one pair
+    partial-agg keeps the zero-marked rows (the eol anti-join pattern,
+    stages/relabel.py:160 — no join materializes the pair multiset)."""
+    from ccl_ray.stages.triangles import edge_triangle_support
+
+    sup = edge_triangle_support(_edges_memo(sf_dir), cfg=_cfg())
+    edges = _dedup_edges_memo(sf_dir)
+    marked = partial_sum_agg(
+        edges.map_batches(
+            lambda t: pa.table(
+                {"a": t.column("src"), "b": t.column("dst"),
+                 "m": pa.array(np.zeros(t.num_rows, np.int64))}
+            ),
+            batch_format="pyarrow",
+        ).union(
+            sup.map_batches(
+                lambda t: pa.table(
+                    {"a": t.column("src"), "b": t.column("dst"),
+                     "m": pa.array(np.ones(t.num_rows, np.int64))}
+                ),
+                batch_format="pyarrow",
+            )
+        ),
+        ["a", "b"], {"m": "m"},
+    )
+    return marked.map_batches(
+        lambda t: t.filter(pc.equal(t.column("m"), 0)).select(["a", "b"]),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES = {
     "edges_build": q_edges_build,
     "degree": q_degree,
@@ -4664,6 +4699,7 @@ QUERIES = {
     "episode_pairs": q_episode_pairs,
     "bridges_close": q_bridges_close,
     "ann_ivf": q_ann_ivf,
+    "local_bridges": q_local_bridges,
 }
 
 # ---- driver-sample rotation (round 5) ------------------------------------
@@ -5164,6 +5200,18 @@ ORACLE_SQL = {
         SELECT (SELECT count(*) FROM events)::BIGINT AS n_vertices,
                (SELECT count(*) FROM edgu)::BIGINT AS n_edges,
                true AS bridges_match_tarjan, true AS twoecc_labels_match""",
+    "local_bridges": f"""
+        WITH {_EDGES_CTE},
+        tris AS (SELECT ab.src AS x, ab.dst AS y, ac.dst AS z
+                 FROM edgu ab
+                 JOIN edgu ac ON ac.src = ab.src AND ac.dst > ab.dst
+                 JOIN edgu bc ON bc.src = ab.dst AND bc.dst = ac.dst),
+        sup AS (SELECT x AS u, y AS v FROM tris
+                UNION SELECT x, z FROM tris
+                UNION SELECT y, z FROM tris)
+        SELECT e.src AS a, e.dst AS b FROM edgu e
+        WHERE NOT EXISTS (SELECT 1 FROM sup s
+                          WHERE s.u = e.src AND s.v = e.dst)""",
     "mis": _mis_oracle_sql(8),
     "coreness": _coreness_oracle_sql(),
     "degeneracy": _degeneracy_oracle_sql(),
