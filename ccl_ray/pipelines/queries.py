@@ -4486,12 +4486,17 @@ def q_bridges_close(sf_dir: str):
     labels_ok = all(got_l.get(v) == m for v, m in want_l.items()) and all(
         got_l[v] == v for v in set(got_l) - set(want_l)
     )
+    # bridge-forest identity: contracting 2ecc components leaves a forest
+    # whose edges are exactly the bridges, so |bridges| = |2ecc| - |cc|.
+    n_cc = int(_labels(sf_dir).to_pandas()["label"].nunique())
+    identity = len(got_b) == len(set(got_l.values())) - n_cc
     return pa.table(
         {
             "n_vertices": pa.array([len(got_l)], pa.int64()),
             "n_edges": pa.array([len(e)], pa.int64()),
             "bridges_match_tarjan": pa.array([got_b == want_b], pa.bool_()),
             "twoecc_labels_match": pa.array([labels_ok], pa.bool_()),
+            "forest_identity_holds": pa.array([identity], pa.bool_()),
         }
     )
 
@@ -5199,7 +5204,8 @@ ORACLE_SQL = {
         WITH {_EDGES_CTE}
         SELECT (SELECT count(*) FROM events)::BIGINT AS n_vertices,
                (SELECT count(*) FROM edgu)::BIGINT AS n_edges,
-               true AS bridges_match_tarjan, true AS twoecc_labels_match""",
+               true AS bridges_match_tarjan, true AS twoecc_labels_match,
+               true AS forest_identity_holds""",
     "local_bridges": f"""
         WITH {_EDGES_CTE},
         tris AS (SELECT ab.src AS x, ab.dst AS y, ac.dst AS z
