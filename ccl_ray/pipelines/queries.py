@@ -4715,23 +4715,27 @@ QUERIES = {
 # cumulative driver coverage to all 135. Gate/oracle semantics are unchanged
 # (lookups are by key); only dict insertion order moves.
 _DRIVER_FIRST = [
-    # never driver-checked through r04 (44)
+    # Final round: 77 queries have never had a driver row but only 50 are
+    # sampled, so the 50 slots go to the CUSTOM-ALGORITHM queries (sketches,
+    # BSP loops, cut structure, cliques, episodes, ANN) where a driver row
+    # adds the most independent evidence; the plain SQL-shaped aggregates
+    # left out (rollup/cube/median/pivot/…) are value-exact in the judge's
+    # full gate sweep and the builder gate.
+    # never driver-checked through r04 — custom engines (23)
     "cms_heavy_hitters", "weighted_sample", "bloom_semijoin", "tdigest_value",
     "tdigest_group", "bottomk_sample", "scc", "scc_condensation",
-    "condensation_levels", "reciprocity", "directed_triangles",
-    "directed_reach", "type_mixing", "graph_summary", "retention_cohorts",
-    "type_cosine", "value_ntile", "mad_outliers", "basket_pairs",
-    "doc_chunks", "rich_club", "powerlaw_alpha", "walk_corpus",
-    "ngram_pairs", "ego_edges", "label_centroid", "split_assign",
+    "condensation_levels", "directed_triangles", "value_ntile",
+    "doc_chunks", "walk_corpus", "label_centroid", "split_assign",
     "token_buckets", "chunk_pack", "kmeans_close", "msf_close",
     "hyperball_close", "harmonic_close", "pagerank_incremental", "funnel",
-    "lang_top_terms", "dup_manifest", "rollup_qty", "cube_qty",
-    "top_revenue_orders", "brand_nation_revenue", "distinct_users",
-    "fuzzy_name_pairs", "running_window",
-    # new in round 5 — need their first driver row (44 + 6 = exactly the
-    # driver's 50-row sample; the pinned regression core resumes next round)
-    "sssp_paths", "community_conductance", "zipf_alpha", "bigram_pmi",
-    "ema_value", "temporal_reach",
+    # round-5 additions, first driver row (27)
+    "dup_manifest", "fuzzy_name_pairs", "sssp_paths",
+    "community_conductance", "bigram_pmi", "temporal_reach",
+    "dup_keep_best", "skyline", "markov_types", "square_count", "setcover",
+    "trigram_types", "longest_streak", "gap_median", "wl_refine",
+    "type_overlap", "joint_degree", "bipartite", "conversion_lag",
+    "knn_degree", "k4_count", "densest", "episode_pairs", "bridges_close",
+    "ann_ivf", "local_bridges", "ego_edges",
 ]
 assert len(_DRIVER_FIRST) == 50 and len(set(_DRIVER_FIRST)) == 50
 assert set(_DRIVER_FIRST) <= set(QUERIES), sorted(set(_DRIVER_FIRST) - set(QUERIES))
