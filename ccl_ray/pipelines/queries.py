@@ -3270,6 +3270,18 @@ def q_contamination(sf_dir: str):
     return benchmark_contamination(_docs(sf_dir))
 
 
+def q_dup_spans(sf_dir: str):
+    """Per document, the number of 5-token window positions whose window
+    text occurs in >= 2 distinct documents — cross-document exact-substring
+    duplication (Lee et al. 2022 signal at fixed window granularity;
+    stages/dedup.py dup_span_counts). One routed exchange by window hash;
+    the text never shuffles."""
+    from ccl_ray.stages.dedup import dup_span_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dup_span_counts(docs, k=5)
+
+
 def q_source_stats(sf_dir: str):
     """Per-source corpus stats — the partial-agg combiner shape."""
     from ccl_ray.stages.aggregates import partial_sum_agg
@@ -4636,6 +4648,7 @@ QUERIES = {
     "degree_hist": q_degree_hist,
     "repetition": q_repetition,
     "contamination": q_contamination,
+    "dup_spans": q_dup_spans,
     "source_stats": q_source_stats,
     "doclen_quantiles": q_doclen_quantiles,
     "stratified_sample": q_stratified_sample,
@@ -4735,7 +4748,7 @@ _DRIVER_FIRST = [
     "trigram_types", "longest_streak", "gap_median", "wl_refine",
     "type_overlap", "joint_degree", "bipartite", "conversion_lag",
     "knn_degree", "k4_count", "densest", "episode_pairs", "bridges_close",
-    "ann_ivf", "local_bridges", "ego_edges",
+    "ann_ivf", "local_bridges", "dup_spans",
 ]
 assert len(_DRIVER_FIRST) == 50 and len(set(_DRIVER_FIRST)) == 50
 assert set(_DRIVER_FIRST) <= set(QUERIES), sorted(set(_DRIVER_FIRST) - set(QUERIES))
@@ -5853,6 +5866,24 @@ ORACLE_SQL = {
         SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared
         FROM documents d LEFT JOIN hits h USING (doc_id)
         WHERE d.doc_id % 101 <> 0""",
+    # engine groups on the 64-bit SipHash of the joined token string; SQL
+    # string equality matches under the documented no-collision assumption
+    "dup_spans": """
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t,
+                 generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+          FROM documents),
+        win AS (
+          SELECT doc_id,
+                 t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w
+                   || ' ' || lead(t, 3) OVER w || ' ' || lead(t, 4) OVER w AS g
+          FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        w2 AS (SELECT doc_id, g FROM win WHERE g IS NOT NULL),
+        dups AS (SELECT g FROM w2 GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        hits AS (SELECT doc_id, count(*) AS dup_windows
+                 FROM w2 JOIN dups USING (g) GROUP BY 1)
+        SELECT d.doc_id, coalesce(h.dup_windows, 0)::BIGINT AS dup_windows
+        FROM documents d LEFT JOIN hits h USING (doc_id)""",
     "source_stats": """
         SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY source""",

@@ -889,3 +889,135 @@ def benchmark_contamination(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_span_counts(
+    docs: "rd.Dataset",
+    *,
+    k: int = 5,
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """Per-document count of k-token window POSITIONS whose window text
+    occurs in >= 2 DISTINCT documents — the cross-document exact-substring
+    duplication signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", at fixed window granularity instead of suffix
+    arrays). (doc_id, dup_windows); dup_windows == 0 for clean docs.
+
+    Scale shape (100 TB): one tokenize+window pass (polars, all-Rust) emits
+    (window_hash, doc_id, multiplicity) — ~one row per corpus token, the
+    text itself never shuffles; ONE routed exchange by hash(window_hash)
+    colocates each window value so document frequency and the per-doc
+    duplicated-position sums are computed partition-locally in a single
+    vectorized pass; per-doc partials then reduce in a tiny groupby and
+    left-join back onto the doc ids for the zero rows. Window identity is
+    the 64-bit SipHash of the space-joined token string
+    (functions.hashing.hash_strings_np) — the same documented no-collision
+    assumption as minhash_pairs / contamination (p ~ n_windows^2 / 2^64).
+    """
+    import polars as pl
+
+    from ccl_ray.config import resolve_partitions
+    from ccl_ray.stages.aggregates import partitioned_groupby_agg
+    from ccl_ray.stages.exchange import hash_join
+
+    P = resolve_partitions(num_partitions)
+
+    def windows(df: pd.DataFrame) -> pa.Table:
+        toks = _token_lists_pl_docs(df["text"].values)
+        cols = [pl.col("tok")] + [
+            pl.col("tok").shift(-j).over("i") for j in range(1, k)
+        ]
+        agg = (
+            toks.lazy()
+            .explode("tok", empty_as_null=True)
+            .with_columns(g=pl.concat_str(cols, separator=" "))
+            .drop_nulls("g")
+            .group_by("i", "g")
+            .agg(m=pl.len().cast(pl.Int64))
+            .collect()
+        )
+        empty = pa.table(
+            {
+                "gh": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "m": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int64()),
+            }
+        )
+        if not len(agg):
+            return empty
+        gh = hash_strings_np(agg["g"].to_numpy()).astype(np.uint64)
+        ids = df["doc_id"].values.astype(np.int64)[agg["i"].to_numpy()]
+        part = (stable_hash64_np(gh) % np.uint64(P)).astype(np.int64)
+        return pa.table(
+            {
+                "gh": pa.array(gh.view(np.int64)),
+                "doc_id": pa.array(ids),
+                "m": pa.array(agg["m"].to_numpy().astype(np.int64)),
+                "part": pa.array(part),
+            }
+        )
+
+    def part_counts(df: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+        )
+        if len(df) < 2:
+            return empty
+        gh = df["gh"].values.astype(np.int64)
+        ids = df["doc_id"].values.astype(np.int64)
+        m = df["m"].values.astype(np.int64)
+        order = np.argsort(gh, kind="stable")
+        gh, ids, m = gh[order], ids[order], m[order]
+        starts = np.flatnonzero(np.r_[True, gh[1:] != gh[:-1]])
+        cnt = np.diff(np.r_[starts, len(gh)])
+        # (doc_id, gh) rows are globally unique (each doc lives in exactly
+        # one input batch and windows() pre-groups per doc), so a window's
+        # group size here IS its distinct-document frequency
+        dup = np.repeat(cnt >= 2, cnt)
+        if not dup.any():
+            return empty
+        ids_d, m_d = ids[dup], m[dup]
+        uid, inv = np.unique(ids_d, return_inverse=True)
+        s = np.zeros(len(uid), np.int64)
+        np.add.at(s, inv, m_d)
+        return pa.table({"doc_id": pa.array(uid), "c": pa.array(s)})
+
+    rows = docs.map_batches(windows, batch_format="pandas")
+    hits = rows.groupby("part").map_groups(part_counts, batch_format="pandas")
+    per_doc = partitioned_groupby_agg(
+        hits, ["doc_id"], {"dup_windows": ("c", "sum")}, num_partitions=P
+    ).rename_columns({"doc_id": "hit_doc"})
+
+    base = docs.map_batches(
+        lambda df: pa.table(
+            {"doc_id": pa.array(df["doc_id"].values.astype(np.int64))}
+        ),
+        batch_format="pandas",
+    )
+    joined = hash_join(
+        base, per_doc, left_on="doc_id", right_on="hit_doc", how="left outer",
+        num_partitions=P,
+        right_schema=[("hit_doc", pa.int64()), ("dup_windows", pa.int64())],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "dup_windows": pc.fill_null(t.column("dup_windows"), 0).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _token_lists_pl_docs(texts: np.ndarray):
+    """text.py's all-Rust lowercase tokenizer (shared import indirection)."""
+    from ccl_ray.stages.text import _token_lists_pl
+
+    return _token_lists_pl(texts)
