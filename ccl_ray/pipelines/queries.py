@@ -3141,6 +3141,55 @@ def q_kmeans_close(sf_dir: str):
     )
 
 
+def q_semdedup_close(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
+    cells from the engine's own kmeans_embed, then per-cell cosine>=tau
+    domination flags (stages/similarity.py semdedup_flags — the
+    centroid-closest member of each near-dup set survives). Twin: the
+    driver groups the SAME centroids' assignments and calls the SAME
+    float64 kernel, so flags compare exactly (kmeans itself is covered by
+    kmeans_close). tau=0.40 selects a real removal set in the synthetic
+    space (max cosine ~0.48). Gate-only driver pull by design; constant
+    SQL pins the shape."""
+    from ccl_ray.stages.cluster import _assign, kmeans_embed
+    from ccl_ray.stages.similarity import _semdedup_kernel, semdedup_flags
+
+    k, iters, tau = 8, 6, 0.40
+    emb = _emb(sf_dir)
+    _, cents, _, _ = kmeans_embed(emb, k=k, iters=iters)
+    got = semdedup_flags(emb, cents, tau=tau).to_pandas().sort_values("vec_id")
+
+    df = emb.to_pandas()
+    ids = df["vec_id"].values.astype(np.int64)
+    x = np.stack(df["embedding"].values).astype(np.float64)
+    a, _ = _assign(x, cents)
+    removed = np.zeros(len(ids), bool)
+    for c in range(k):
+        m = a == c
+        if m.any():
+            removed[m] = _semdedup_kernel(ids[m], x[m], cents[c], tau)
+    order = np.argsort(ids, kind="stable")
+    want = pd.DataFrame(
+        {"vec_id": ids[order], "cluster": a[order].astype(np.int64),
+         "removed": removed[order]}
+    )
+    gv = got[["vec_id", "cluster", "removed"]].reset_index(drop=True)
+    flags_match = bool(
+        len(gv) == len(want)
+        and (gv["vec_id"].values == want["vec_id"].values).all()
+        and (gv["cluster"].values == want["cluster"].values).all()
+        and (gv["removed"].values == want["removed"].values).all()
+    )
+    n_removed = int(got["removed"].sum())
+    return pa.table(
+        {
+            "n_points": pa.array([len(df)], pa.int64()),
+            "some_removed": pa.array([n_removed > 0], pa.bool_()),
+            "flags_match": pa.array([flags_match], pa.bool_()),
+        }
+    )
+
+
 def q_msf_close(sf_dir: str):
     """Distributed Borůvka minimum spanning forest over the weighted event
     edges (w = 1 + (src+dst) % 7, the sssp_weighted rule). The MSF is
@@ -4633,6 +4682,7 @@ QUERIES = {
     "token_buckets": q_token_buckets,
     "chunk_pack": q_chunk_pack,
     "kmeans_close": q_kmeans_close,
+    "semdedup_close": q_semdedup_close,
     "msf_close": q_msf_close,
     "hyperball_close": q_hyperball_close,
     "harmonic_close": q_harmonic_close,
@@ -4738,8 +4788,8 @@ _DRIVER_FIRST = [
     "cms_heavy_hitters", "weighted_sample", "bloom_semijoin", "tdigest_value",
     "tdigest_group", "bottomk_sample", "scc", "scc_condensation",
     "condensation_levels", "directed_triangles", "value_ntile",
-    "doc_chunks", "walk_corpus", "label_centroid", "split_assign",
-    "token_buckets", "chunk_pack", "kmeans_close", "msf_close",
+    "doc_chunks", "walk_corpus", "label_centroid",
+    "token_buckets", "chunk_pack", "kmeans_close", "semdedup_close", "msf_close",
     "hyperball_close", "harmonic_close", "pagerank_incremental", "funnel",
     # round-5 additions, first driver row (27)
     "dup_manifest", "fuzzy_name_pairs", "sssp_paths",
@@ -5189,6 +5239,12 @@ ORACLE_SQL = {
     "kmeans_close": """
         SELECT count(*)::BIGINT AS n_points, 8::BIGINT AS k,
                true AS centroids_close, true AS inertia_rel_ok
+        FROM embeddings""",
+    # flags compare against the driver twin inside q_semdedup_close (the
+    # k-means cells are non-SQL); SQL pins the point count and booleans
+    "semdedup_close": """
+        SELECT count(*)::BIGINT AS n_points,
+               true AS some_removed, true AS flags_match
         FROM embeddings""",
     # the forest/labels comparisons happen inside q_msf_close (union-find is
     # non-SQL); the SQL pins n_vertices and n_forest_edges = V - components

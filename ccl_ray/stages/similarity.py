@@ -392,3 +392,118 @@ def grouped_mean_embedding(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _semdedup_kernel(
+    ids: np.ndarray, X: np.ndarray, cent: np.ndarray, tau: float,
+    block: int = 1024,
+) -> np.ndarray:
+    """Per-cluster SemDeDup flags, aligned to the input order.
+
+    A vector v is removed iff some cluster-mate u with cosine(u, v) >= tau
+    ranks strictly better, where rank = (squared distance to the cluster
+    centroid, vec_id) lexicographic — the centroid-closest representative
+    of every near-dup set survives, deterministically. Both the engine's
+    per-cluster groups and the driver twin call THIS kernel on identical
+    float64 inputs, so the comparison is exact. Pair scan is blocked
+    ([block x n_seen] matmuls against earlier-ranked rows only), bounded by
+    the per-cluster population — SemDeDup's k grows with corpus size
+    (Abbas et al. 2023 run 50k clusters for LAION) precisely so n_c stays
+    task-sized.
+    """
+    X = X.astype(np.float64, copy=False)
+    d2 = ((X - cent.astype(np.float64)) ** 2).sum(axis=1)
+    order = np.lexsort((ids, d2))
+    Xo = X[order]
+    n = len(ids)
+    Xn = Xo / np.maximum(np.linalg.norm(Xo, axis=1, keepdims=True), 1e-12)
+    removed_o = np.zeros(n, bool)
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        S = Xn[s:e] @ Xn[:e].T  # sims of block rows vs all rank-<e rows
+        W = S[:, s:e]
+        W[np.triu_indices_from(W, 0)] = -2.0  # within-block: only col<row
+        hit = (W >= tau).any(axis=1)
+        if s:
+            hit |= (S[:, :s] >= tau).any(axis=1)
+        removed_o[s:e] = hit
+    removed = np.zeros(n, bool)
+    removed[order] = removed_o
+    return removed
+
+
+def semdedup_flags(
+    embeddings: "rd.Dataset",
+    centroids: np.ndarray,
+    *,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "rd.Dataset":
+    """SemDeDup (Abbas et al. 2023): semantic dedup inside k-means cells.
+    Returns (vec_id, cluster, removed) — removed=True marks vectors with a
+    better-ranked cosine->=tau neighbour in the same cell (_semdedup_kernel
+    rule; keep-one-per-near-dup-set, centroid-closest survives).
+
+    Scale shape: the [k x d] quantizer broadcasts once (ray.put); ONE
+    routed exchange of (cluster, id, vec) by Euclidean-nearest cell (the
+    same tie rule as cluster._assign: lowest index wins); each cell runs
+    the blocked kernel locally. Cell population is the partitioning
+    assumption — k must scale with the corpus (paper: 50k cells).
+    """
+    import pyarrow as pa
+
+    cents = np.asarray(centroids, np.float64)
+    ref = ray.put(cents)
+
+    class Route:
+        def __init__(self):
+            self.cents = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame(
+                    {
+                        "cluster": pd.Series([], dtype=np.int64),
+                        id_col: pd.Series([], dtype=np.int64),
+                        vec_col: pd.Series([], dtype=object),
+                    }
+                )
+            from ccl_ray.stages.cluster import _assign
+
+            x = _to_matrix(df[vec_col]).astype(np.float64)
+            a, _ = _assign(x, self.cents)
+            return pd.DataFrame(
+                {
+                    "cluster": a.astype(np.int64),
+                    id_col: df[id_col].values.astype(np.int64),
+                    vec_col: df[vec_col].values,
+                }
+            )
+
+    routed = embeddings.map_batches(
+        Route, batch_format="pandas", concurrency=(1, 8), max_restarts=0
+    )
+
+    def cell(df: pd.DataFrame) -> pa.Table:
+        ids = df[id_col].values.astype(np.int64)
+        c = int(df["cluster"].values[0]) if len(df) else 0
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "removed": pa.array([], pa.bool_()),
+                }
+            )
+        X = _to_matrix(df[vec_col])
+        removed = _semdedup_kernel(ids, X, cents[c], tau)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "cluster": pa.array(np.full(len(ids), c, np.int64)),
+                "removed": pa.array(removed),
+            }
+        )
+
+    return routed.groupby("cluster").map_groups(cell, batch_format="pandas")
