@@ -2594,6 +2594,72 @@ def q_sssp_weighted(sf_dir: str):
     return res.dists.rename_columns({"vid": "event_id"})
 
 
+def q_graphlet_orbits(sf_dir: str):
+    """Per-vertex 3-node graphlet ORBIT counts (the graphlet-degree-vector
+    basis, Přulj 2007, orbits 0-3): degree, triangle count t, induced-
+    path-CENTER count C(d,2) − t (open wedges centered at v) and induced-
+    path-END count Σ_{u∈N(v)}(deg(u)−1) − 2t (each triangle through v
+    closes exactly two of v's end-wedges). Exact int64 throughout.
+
+    Scale shape: the degree and triangle memos plus ONE neighbor-degree
+    scatter — the |V|-sized degree table hash-joins onto the directed edge
+    ends (never broadcast), then a partial-agg sum by vertex; two left
+    joins stitch the zero rows."""
+    from ccl_ray.stages.aggregates import partial_sum_agg
+    from ccl_ray.stages.exchange import hash_join
+    from ccl_ray.stages.triangles import triangle_counts_per_vertex
+
+    deg = _deg_memo(sf_dir)
+    edges = _dedup_edges_memo(sf_dir)  # DISTINCT edges — the multiset would
+    # double-count parallel (adjacency+star) edges in the neighbor-deg sum
+    tpv = triangle_counts_per_vertex(_edges_memo(sf_dir), cfg=_cfg())
+
+    def both(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"u": pa.array(np.concatenate([s, d]), pa.int64()),
+             "v": pa.array(np.concatenate([d, s]), pa.int64())}
+        )
+
+    und = edges.select_columns(["src", "dst"]).map_batches(both, batch_format="pyarrow")
+    j1 = hash_join(
+        und, deg.rename_columns({"vid": "vv", "degree": "dv"}),
+        left_on="v", right_on="vv", num_partitions=8,
+    )
+    nds = partial_sum_agg(
+        j1.select_columns(["u", "dv"]), ["u"], {"dv": "s"}
+    ).rename_columns({"u": "s_vid"})
+
+    j2 = hash_join(
+        deg, nds, left_on="vid", right_on="s_vid", how="left outer",
+        num_partitions=8,
+        right_schema=[("s_vid", pa.int64()), ("s", pa.int64())],
+    )
+    j3 = hash_join(
+        j2, tpv.rename_columns({"vid": "t_vid", "n_triangles": "t"}),
+        left_on="vid", right_on="t_vid", how="left outer",
+        num_partitions=8,
+        right_schema=[("t_vid", pa.int64()), ("t", pa.int64())],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t.column("degree").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pc.fill_null(t.column("s"), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        tri = pc.fill_null(t.column("t"), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("vid"),
+                "degree": pa.array(d),
+                "n_triangles": pa.array(tri),
+                "path_center": pa.array(d * (d - 1) // 2 - tri),
+                "path_end": pa.array(s - d - 2 * tri),
+            }
+        )
+
+    return j3.map_batches(finish, batch_format="pyarrow")
+
+
 def q_clustering_coeff(sf_dir: str):
     from ccl_ray.stages.triangles import clustering_coefficient
 
@@ -4612,6 +4678,7 @@ QUERIES = {
     "id_stats": q_id_stats,
     "triangle_count": q_triangle_count,
     "triangles_per_vertex": q_triangles_per_vertex,
+    "graphlet_orbits": q_graphlet_orbits,
     "transitivity": q_transitivity,
     "lpa_communities": q_lpa_communities,
     "modularity": q_modularity,
@@ -4788,7 +4855,7 @@ _DRIVER_FIRST = [
     "cms_heavy_hitters", "weighted_sample", "bloom_semijoin", "tdigest_value",
     "tdigest_group", "bottomk_sample", "scc", "scc_condensation",
     "condensation_levels", "directed_triangles", "value_ntile",
-    "doc_chunks", "walk_corpus", "label_centroid",
+    "graphlet_orbits", "walk_corpus", "label_centroid",
     "token_buckets", "chunk_pack", "kmeans_close", "semdedup_close", "msf_close",
     "hyperball_close", "harmonic_close", "pagerank_incremental", "funnel",
     # round-5 additions, first driver row (27)
@@ -5214,6 +5281,32 @@ ORACLE_SQL = {
         SELECT v AS vid, count(*) AS n_triangles
         FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
         GROUP BY v""",
+    "graphlet_orbits": f"""
+        WITH {_EDGES_CTE},
+        und AS (SELECT src AS u, dst AS v FROM edgu
+                UNION ALL SELECT dst, src FROM edgu),
+        deg AS (SELECT u AS vid, count(*) AS d FROM und GROUP BY 1),
+        nds AS (SELECT a.u AS vid, sum(b.d)::BIGINT AS s
+                FROM und a JOIN deg b ON b.vid = a.v GROUP BY 1),
+        tri AS (
+          SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+          FROM edgu e1 JOIN edgu e2 ON e2.src = e1.dst
+          JOIN edgu e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        tpv AS (SELECT v AS vid, count(*) AS t
+                FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+                      UNION ALL SELECT c FROM tri)
+                GROUP BY v)
+        SELECT e.event_id,
+               coalesce(d.d, 0)::BIGINT AS degree,
+               coalesce(tpv.t, 0)::BIGINT AS n_triangles,
+               (coalesce(d.d, 0) * (coalesce(d.d, 0) - 1) // 2
+                 - coalesce(tpv.t, 0))::BIGINT AS path_center,
+               (coalesce(nds.s, 0) - coalesce(d.d, 0)
+                 - 2 * coalesce(tpv.t, 0))::BIGINT AS path_end
+        FROM events e
+        LEFT JOIN deg d ON d.vid = e.event_id
+        LEFT JOIN nds ON nds.vid = e.event_id
+        LEFT JOIN tpv ON tpv.vid = e.event_id""",
     # the engine-vs-numpy comparison happens inside q_pagerank_close; the
     # SQL pins the corpus-derived vertex count and the expected zeros
     "hits_close": """
