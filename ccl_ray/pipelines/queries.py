@@ -829,7 +829,23 @@ def q_ppr_fixed(sf_dir: str):
             {"event_id": batch.column("vid"), "score": pa.array(np.round(s, 10))}
         )
 
-    return res.scores.map_batches(rnd, batch_format="pyarrow")
+    key = ("ppr20", sf_dir)
+    if key not in _MEMO:
+        _MEMO[key] = res.scores.map_batches(rnd, batch_format="pyarrow").materialize()
+    return _MEMO[key]
+
+
+def q_ppr_sweep(sf_dir: str):
+    """ACL sweep cut over the 20-iteration PPR scores (q_ppr_fixed): order
+    vertices by score/degree desc (vid tie-break), return the prefix with
+    minimum conductance on the deduped simple events graph
+    (stages/sweep.py — one exact global rank, two rank-stamp joins, two
+    P-scalar prefix sums, per-block argmin). The local-graph-clustering
+    primitive behind PPR-Nibble."""
+    from ccl_ray.stages.sweep import sweep_cut
+
+    scores = q_ppr_fixed(sf_dir)
+    return sweep_cut(scores, _deg_memo(sf_dir), _dedup_edges_memo(sf_dir))
 
 
 def q_kcore(sf_dir: str):
@@ -3207,6 +3223,32 @@ def q_kmeans_close(sf_dir: str):
     )
 
 
+def q_bpe_close(sf_dir: str):
+    """Distributed BPE merge learning (Sennrich et al. 2016; stages/bpe.py
+    bpe_merges): the first 8 merges over the documents corpus vs the
+    sequential pure-Python twin with identical tokenization, weighting,
+    (count desc, pair asc) tie-break and greedy-merge rules — the merge
+    TABLE compares exactly. Iterative + argmax-per-round: legitimately
+    non-SQL; constant SQL pins the shape. Gate-only driver text pull for
+    the twin."""
+    from ccl_ray.stages.bpe import bpe_merges, bpe_oracle
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    got = bpe_merges(docs, n_merges=8).to_pandas()
+    texts = docs.to_pandas()["text"].tolist()
+    want = bpe_oracle(texts, n_merges=8)
+    got_t = [
+        (int(a), str(b), str(c), int(d))
+        for a, b, c, d in zip(got["rank"], got["left"], got["right"], got["count"])
+    ]
+    return pa.table(
+        {
+            "n_merges": pa.array([len(got_t)], pa.int64()),
+            "merges_match": pa.array([got_t == want], pa.bool_()),
+        }
+    )
+
+
 def q_semdedup_close(sf_dir: str):
     """SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
     cells from the engine's own kmeans_embed, then per-cell cosine>=tau
@@ -4688,6 +4730,7 @@ QUERIES = {
     "pagerank_fixed": q_pagerank_fixed,
     "pagerank_close": q_pagerank_close,
     "ppr_fixed": q_ppr_fixed,
+    "ppr_sweep": q_ppr_sweep,
     "kcore": q_kcore,
     "sssp_hops": q_sssp_hops,
     "sssp_paths": q_sssp_paths,
@@ -4750,6 +4793,7 @@ QUERIES = {
     "chunk_pack": q_chunk_pack,
     "kmeans_close": q_kmeans_close,
     "semdedup_close": q_semdedup_close,
+    "bpe_close": q_bpe_close,
     "msf_close": q_msf_close,
     "hyperball_close": q_hyperball_close,
     "harmonic_close": q_harmonic_close,
@@ -4854,9 +4898,9 @@ _DRIVER_FIRST = [
     # never driver-checked through r04 — custom engines (23)
     "cms_heavy_hitters", "weighted_sample", "bloom_semijoin", "tdigest_value",
     "tdigest_group", "bottomk_sample", "scc", "scc_condensation",
-    "condensation_levels", "directed_triangles", "value_ntile",
+    "condensation_levels", "directed_triangles", "ppr_sweep",
     "graphlet_orbits", "walk_corpus", "label_centroid",
-    "token_buckets", "chunk_pack", "kmeans_close", "semdedup_close", "msf_close",
+    "bpe_close", "chunk_pack", "kmeans_close", "semdedup_close", "msf_close",
     "hyperball_close", "harmonic_close", "pagerank_incremental", "funnel",
     # round-5 additions, first driver row (27)
     "dup_manifest", "fuzzy_name_pairs", "sssp_paths",
@@ -5339,6 +5383,10 @@ ORACLE_SQL = {
         SELECT count(*)::BIGINT AS n_points,
                true AS some_removed, true AS flags_match
         FROM embeddings""",
+    # the merge-table comparison happens inside q_bpe_close (iterative
+    # argmax rounds are non-SQL); SQL pins the requested merge count
+    "bpe_close": """
+        SELECT 8::BIGINT AS n_merges, true AS merges_match""",
     # the forest/labels comparisons happen inside q_msf_close (union-find is
     # non-SQL); the SQL pins n_vertices and n_forest_edges = V - components
     # via the same recursive reachability CTE as the cc_labels oracle
@@ -5740,6 +5788,49 @@ ORACLE_SQL = {
           FROM ppr JOIN dire ON dire.u = ppr.v JOIN deg ON deg.u = ppr.v
           WHERE it < 20 GROUP BY 1, 2)
         SELECT v AS event_id, round(score, 10) AS score FROM ppr WHERE it = 20""",
+    # ACL sweep cut over the SAME rounded PPR-20 scores: rank by
+    # score/degree desc (vid ties), an edge closes at max(endpoint ranks),
+    # prefix sums give cut/vol, argmin conductance (min-k ties). Engine and
+    # SQL divide the identically-rounded score by the identical int degree,
+    # so the rank order and the exact-int cut/vol arithmetic agree exactly.
+    "ppr_sweep": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        dire AS (SELECT src AS u, dst AS v FROM edg UNION ALL SELECT dst, src FROM edg),
+        deg AS (SELECT u, count(*) AS dg FROM dire GROUP BY 1),
+        ns AS (SELECT count(*)::DOUBLE AS s FROM events WHERE event_id % 97 = 0),
+        ppr(it, v, score) AS (
+          SELECT 0, event_id,
+                 CASE WHEN event_id % 97 = 0 THEN 1.0/(SELECT s FROM ns) ELSE 0.0 END
+          FROM events
+          UNION ALL
+          SELECT it+1, dire.v,
+                 CASE WHEN dire.v % 97 = 0 THEN 0.15/(SELECT s FROM ns) ELSE 0.0 END
+                 + 0.85 * sum(ppr.score / deg.dg)
+          FROM ppr JOIN dire ON dire.u = ppr.v JOIN deg ON deg.u = ppr.v
+          WHERE it < 20 GROUP BY 1, 2),
+        und AS (SELECT src AS u, dst AS v FROM edgu UNION ALL SELECT dst, src FROM edgu),
+        sdeg AS (SELECT u AS v, count(*) AS d FROM und GROUP BY 1),
+        sc AS (SELECT v, round(score, 10) AS score FROM ppr WHERE it = 20),
+        ordv AS (SELECT sc.v, sdeg.d,
+                        row_number() OVER (ORDER BY sc.score / sdeg.d DESC, sc.v) AS rnk
+                 FROM sc JOIN sdeg USING (v)),
+        er AS (SELECT greatest(ra.rnk, rb.rnk) AS rnk
+               FROM edgu e JOIN ordv ra ON ra.v = e.src JOIN ordv rb ON rb.v = e.dst),
+        hist AS (SELECT rnk, count(*) AS c FROM er GROUP BY 1),
+        curve AS (SELECT o.rnk,
+                         sum(o.d) OVER (ORDER BY o.rnk) AS vol,
+                         sum(coalesce(h.c, 0)) OVER (ORDER BY o.rnk) AS inte
+                  FROM ordv o LEFT JOIN hist h ON h.rnk = o.rnk),
+        tot AS (SELECT sum(d)::BIGINT AS vt, count(*)::BIGINT AS n FROM ordv)
+        SELECT rnk::BIGINT AS best_k,
+               round((vol - 2*inte)::DOUBLE
+                     / least(vol, (SELECT vt FROM tot) - vol), 6) AS phi
+        FROM curve
+        WHERE rnk < (SELECT n FROM tot)
+          AND least(vol, (SELECT vt FROM tot) - vol) > 0
+        ORDER BY (vol - 2*inte)::DOUBLE
+                   / least(vol, (SELECT vt FROM tot) - vol), rnk
+        LIMIT 1""",
     # fixed-point edge peeling: both endpoint degrees (window over the
     # previous iteration's surviving symmetric edge rows) must stay >= k;
     # symmetric rows live and die together, so the row set stays an exact
