@@ -27,8 +27,8 @@ import ray.data as rd
 
 @ray.remote
 def _blk_sums(b, dcol: str, ccol: str):
-    import pyarrow as pa  # noqa: F401
-
+    if b.num_rows == 0 or dcol not in b.column_names:  # schema-less empties
+        return 0, 0, 0
     d = b.column(dcol).to_numpy(zero_copy_only=False).astype(np.int64)
     c = b.column(ccol).to_numpy(zero_copy_only=False).astype(np.int64)
     return int(d.sum()), int(c.sum()), b.num_rows
@@ -38,6 +38,8 @@ def _blk_sums(b, dcol: str, ccol: str):
 def _blk_phi_top1(b, dcol: str, ccol: str, off_d: int, off_c: int,
                   vol_total: int, n_total: int, off_rows: int):
     """Per-block best (phi, k): local cumsums + global offsets."""
+    if b.num_rows == 0 or dcol not in b.column_names:
+        return None
     d = b.column(dcol).to_numpy(zero_copy_only=False).astype(np.int64)
     c = b.column(ccol).to_numpy(zero_copy_only=False).astype(np.int64)
     vol = np.cumsum(d) + off_d
