@@ -726,6 +726,43 @@ def run_bench() -> dict:
     ema_scan(ev_rw, alpha=0.5).count()
     queries["ema_value"] = time.perf_counter() - t0
 
+    # round-5 batch-10 ops: exact-substring span dedup, SemDeDup, BPE
+    # trainer, graphlet orbits, PPR sweep cut
+    t0 = time.perf_counter()
+    from ccl_ray.stages.dedup import dup_span_counts
+
+    dup_span_counts(docs, k=5).count()
+    queries["dup_spans"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.stages.cluster import kmeans_embed
+    from ccl_ray.stages.similarity import semdedup_flags
+
+    emb_ds = rd.read_parquet(
+        os.path.join(SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    _, sd_cents, _, _ = kmeans_embed(emb_ds, k=8, iters=6)
+    semdedup_flags(emb_ds, sd_cents, tau=0.40).count()
+    queries["semdedup"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.stages.bpe import bpe_merges
+
+    bpe_merges(docs, n_merges=8).num_rows
+    queries["bpe_merges"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.pipelines.queries import q_graphlet_orbits
+
+    q_graphlet_orbits(SF_DIR).count()
+    queries["graphlet_orbits"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    from ccl_ray.pipelines.queries import q_ppr_sweep
+
+    q_ppr_sweep(SF_DIR).num_rows
+    queries["ppr_sweep"] = time.perf_counter() - t0
+
     total = time.perf_counter() - t_total
     ray.shutdown()
     return {
