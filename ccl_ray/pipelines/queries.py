@@ -3123,6 +3123,53 @@ def q_token_count(sf_dir: str):
     return token_count(_docs(sf_dir))
 
 
+def q_curate(sf_dir: str):
+    """END-TO-END corpus curation — the composed pipeline a training-data
+    user actually runs: keep a document iff it (1) passes the quality bar
+    (>= 30 tokens), (2) is the CANONICAL copy of its exact-duplicate group
+    (min doc_id per identical text), (3) is not in the benchmark split
+    (doc_id % 101 == 0) and shares FEWER THAN 50 distinct 8-char shingles
+    with it (threshold decontamination — every synthetic doc shares a few
+    common substrings with the split, median 74, so the zero-tolerance
+    rule would empty the corpus). Composes three independently-green engines
+    (text.token_count, dedup.exact_dedup, dedup.benchmark_contamination)
+    with two hash semi-joins; returns surviving doc ids. Every stage
+    streams — the only exchanges are the component ops' own."""
+    from ccl_ray.stages.dedup import benchmark_contamination, exact_dedup
+    from ccl_ray.stages.exchange import hash_join
+    from ccl_ray.stages.text import token_count
+
+    docs = _docs(sf_dir)
+
+    def quality_base(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (n >= 30) & (ids % 101 != 0)
+        return pa.table({"doc_id": pa.array(ids[keep])})
+
+    base = token_count(docs).map_batches(quality_base, batch_format="pyarrow")
+
+    canon = exact_dedup(docs).select_columns(["doc_id"]).rename_columns(
+        {"doc_id": "c_id"}
+    )
+
+    def clean_only(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = t.column("n_shared").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"k_id": pa.array(ids[ns < 50])})
+
+    clean = benchmark_contamination(docs).map_batches(
+        clean_only, batch_format="pyarrow"
+    )
+
+    j1 = hash_join(base, canon, left_on="doc_id", right_on="c_id", num_partitions=8)
+    j2 = hash_join(
+        j1.select_columns(["doc_id"]), clean,
+        left_on="doc_id", right_on="k_id", num_partitions=8,
+    )
+    return j2.select_columns(["doc_id"])
+
+
 def q_split_assign(sf_dir: str):
     """Deterministic train/val/test split assignment — the standard
     hash-bucket split every training pipeline needs: md5(doc_id) % 100 →
@@ -4810,6 +4857,7 @@ QUERIES = {
     "repetition": q_repetition,
     "contamination": q_contamination,
     "dup_spans": q_dup_spans,
+    "curate": q_curate,
     "source_stats": q_source_stats,
     "doclen_quantiles": q_doclen_quantiles,
     "stratified_sample": q_stratified_sample,
@@ -4899,7 +4947,7 @@ _DRIVER_FIRST = [
     "cms_heavy_hitters", "weighted_sample", "bloom_semijoin", "tdigest_value",
     "tdigest_group", "bottomk_sample", "scc", "scc_condensation",
     "condensation_levels", "directed_triangles", "ppr_sweep",
-    "graphlet_orbits", "walk_corpus", "label_centroid",
+    "graphlet_orbits", "curate", "walk_corpus",
     "bpe_close", "chunk_pack", "kmeans_close", "semdedup_close", "msf_close",
     "hyperball_close", "harmonic_close", "pagerank_incremental", "funnel",
     # round-5 additions, first driver row (27)
@@ -6106,6 +6154,25 @@ ORACLE_SQL = {
         SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared
         FROM documents d LEFT JOIN hits h USING (doc_id)
         WHERE d.doc_id % 101 <> 0""",
+    # composed curation pipeline: quality >= 30 tokens, exact-dup canonical
+    # (min doc_id per identical text), benchmark split excluded + no shared
+    # 8-char shingle with it — each clause mirrors its component op's twin
+    "curate": """
+        WITH tok AS (
+          SELECT doc_id FROM documents
+          WHERE len(regexp_extract_all(text, '[A-Za-z0-9]+')) >= 30
+            AND doc_id % 101 <> 0),
+        canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        sh AS (
+          SELECT DISTINCT doc_id, substr(text, i, 8) AS g
+          FROM documents, unnest(range(1, greatest(length(text) - 6, 2))) AS u(i)
+          WHERE length(text) > 0),
+        bs AS (SELECT DISTINCT g FROM sh WHERE doc_id % 101 = 0),
+        dirty AS (SELECT s.doc_id FROM sh s JOIN bs USING (g)
+                  WHERE s.doc_id % 101 <> 0
+                  GROUP BY 1 HAVING count(*) >= 50)
+        SELECT t.doc_id FROM tok t JOIN canon c USING (doc_id)
+        WHERE t.doc_id NOT IN (SELECT doc_id FROM dirty)""",
     # engine groups on the 64-bit SipHash of the joined token string; SQL
     # string equality matches under the documented no-collision assumption
     "dup_spans": """
