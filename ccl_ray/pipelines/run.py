@@ -29,7 +29,8 @@ def main(argv=None) -> int:
         choices=["flagship", "cc", "pagerank", "labelprop", "triangles",
                  "hits", "communities", "ktruss", "modularity",
                  "betweenness", "eigenvector", "scc", "walks",
-                 "coreness", "matching", "coloring", "katz", "temporal"],
+                 "coreness", "matching", "coloring", "katz", "temporal",
+                 "curate", "bpe"],
     )
     ap.add_argument("--seed-type", default="signup",
                     help="labelprop: events of this event_type seed their own id")
@@ -80,6 +81,47 @@ def main(argv=None) -> int:
     )
 
     t0 = time.perf_counter()
+    if args.pipeline in ("curate", "bpe"):
+        # document pipelines: no graph build (a 100 TB curation run must
+        # not pay for an edge table it never reads)
+        os.makedirs(args.out, exist_ok=True)
+        manifest = {"pipeline": args.pipeline, "partitions": args.partitions,
+                    "tables": {}}
+        if args.pipeline == "curate":
+            from ccl_ray.pipelines.queries import q_curate
+
+            kept = q_curate(args.input)
+            path = os.path.join(args.out, "curated_doc_ids")
+            kept.write_parquet(path)
+            manifest["tables"]["curated_doc_ids"] = {
+                "path": path, "rows": kept.count(),
+            }
+        else:
+            import pyarrow.parquet as pq
+
+            import ray.data as rd
+
+            from ccl_ray.stages.bpe import bpe_merges
+
+            docs = rd.read_parquet(
+                f"{args.input}/documents.parquet", columns=["text"]
+            )
+            merges = bpe_merges(docs, n_merges=32)
+            path = os.path.join(args.out, "bpe_merges")
+            os.makedirs(path, exist_ok=True)
+            pq.write_table(merges, os.path.join(path, "merges.parquet"))
+            manifest["tables"]["bpe_merges"] = {
+                "path": path, "rows": merges.num_rows,
+            }
+        manifest["wall_s"] = round(time.perf_counter() - t0, 3)
+        tmp = os.path.join(args.out, ".manifest.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, os.path.join(args.out, "run_manifest.json"))
+        print(json.dumps(manifest))
+        ray.shutdown()
+        return 0
+
     if args.transcripts:
         from ccl_ray.sources.transcripts import (
             build_transcript_edges,
