@@ -473,8 +473,11 @@ def _lpa_parts(k: int = 5) -> list[str]:
     oracle, which scores the same l{k} partition)."""
     parts = [
         "evm AS MATERIALIZED (SELECT event_id FROM events)",
+        # src <> dst matches the engine's drop_self=True; currently redundant
+        # (every edgu family is built with src < dst) but keeps the twin
+        # robust against future edge-family additions
         "undm AS MATERIALIZED (SELECT src AS u, dst AS v FROM edgu"
-        " UNION SELECT dst, src FROM edgu)",
+        " WHERE src <> dst UNION SELECT dst, src FROM edgu WHERE src <> dst)",
         "l0 AS MATERIALIZED (SELECT event_id AS v, event_id AS lab FROM evm)",
     ]
     for i in range(1, k + 1):
@@ -1081,8 +1084,9 @@ def _mis_oracle_sql(k: int = 8) -> str:
         "evp AS MATERIALIZED (SELECT event_id AS v,"
         " (event_id::HUGEINT * 11400714819323198485) % 18446744073709551616"
         " AS p FROM events)",
+        # src <> dst: same robustness rationale as the LPA/coreness twins
         "undm AS MATERIALIZED (SELECT src AS u, dst AS v FROM edgu"
-        " UNION SELECT dst, src FROM edgu)",
+        " WHERE src <> dst UNION SELECT dst, src FROM edgu WHERE src <> dst)",
         "u0 AS MATERIALIZED (SELECT v, p FROM evp)",
         "s0 AS MATERIALIZED (SELECT v FROM evp WHERE false)",
     ]
