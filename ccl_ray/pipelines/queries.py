@@ -2346,6 +2346,26 @@ def q_directed_reach(sf_dir: str):
     )
 
 
+def q_bowtie(sf_dir: str):
+    """Broder bow-tie decomposition of the directed event-graph slice
+    (same orientation contract as q_scc): per-vertex region in
+    {core, in, out, tube, tendril_in, tendril_out, disc}, where core is
+    the largest SCC (min-label ties). stages/dag.bowtie_regions — one
+    size aggregate + four sparse-frontier reachability closures (forward/
+    backward from core, forward from IN, backward from OUT) + |V|-sized
+    hash-join assembly; exact recursive-closure SQL twin."""
+    from ccl_ray.stages.dag import bowtie_regions
+
+    directed, labels = _scc_memo(sf_dir)
+    verts = _verts_memo(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("vid"), 1), 0)),
+        batch_format="pyarrow",
+    )
+    return bowtie_regions(
+        directed, labels, vertices=verts, cfg=_cfg(), num_partitions=8
+    )
+
+
 def q_reciprocity(sf_dir: str):
     """Dyad census / reciprocity of the directed event graph (the _scc_memo
     orientation): mutual vs asymmetric dyads and Garlaschelli-style
@@ -4820,6 +4840,7 @@ QUERIES = {
     "tdigest_group": q_tdigest_group,
     "bottomk_sample": q_bottomk_sample,
     "scc": q_scc,
+    "bowtie": q_bowtie,
     "scc_condensation": q_scc_condensation,
     "condensation_levels": q_condensation_levels,
     "reciprocity": q_reciprocity,
@@ -5721,6 +5742,52 @@ ORACLE_SQL = {
           UNION
           SELECT c.d, p.d + 1 FROM paths p JOIN cond c ON c.s = p.v)
         SELECT v AS scc, max(d)::BIGINT AS level FROM paths GROUP BY 1""",
+    "bowtie": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        oriented AS (
+          SELECT src, dst,
+                 md5_number_lower(CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)) % 3 AS h
+          FROM edgu WHERE src % 2 = 0 AND dst % 2 = 0),
+        dedges AS (
+          SELECT CASE WHEN h = 1 THEN dst ELSE src END AS s,
+                 CASE WHEN h = 1 THEN src ELSE dst END AS d FROM oriented
+          UNION ALL
+          SELECT dst, src FROM oriented WHERE h = 2),
+        sverts AS (SELECT event_id AS v FROM events WHERE event_id % 2 = 0),
+        reach(s, d) AS (
+          SELECT v, v FROM sverts
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN dedges e ON e.s = r.d),
+        sccl AS MATERIALIZED (SELECT r1.s AS vid, min(r1.d) AS label
+                 FROM reach r1 JOIN reach r2 ON r2.s = r1.d AND r2.d = r1.s
+                 GROUP BY 1),
+        core AS (SELECT label FROM (
+                   SELECT label, count(*) AS c FROM sccl GROUP BY 1)
+                 ORDER BY c DESC, label LIMIT 1),
+        corev AS MATERIALIZED (
+          SELECT vid AS v FROM sccl WHERE label = (SELECT label FROM core)),
+        fwd AS MATERIALIZED (SELECT DISTINCT r.d AS v FROM reach r
+               WHERE r.s IN (SELECT v FROM corev)),
+        bwd AS MATERIALIZED (SELECT DISTINCT r.s AS v FROM reach r
+               WHERE r.d IN (SELECT v FROM corev)),
+        inv AS MATERIALIZED (
+          SELECT v FROM bwd WHERE v NOT IN (SELECT v FROM corev)),
+        outv AS MATERIALIZED (
+          SELECT v FROM fwd WHERE v NOT IN (SELECT v FROM corev)),
+        rin AS MATERIALIZED (SELECT DISTINCT r.d AS v FROM reach r
+               WHERE r.s IN (SELECT v FROM inv)),
+        rout AS MATERIALIZED (SELECT DISTINCT r.s AS v FROM reach r
+               WHERE r.d IN (SELECT v FROM outv))
+        SELECT s.v AS vid,
+               CASE WHEN s.v IN (SELECT v FROM corev) THEN 'core'
+                    WHEN s.v IN (SELECT v FROM inv) THEN 'in'
+                    WHEN s.v IN (SELECT v FROM outv) THEN 'out'
+                    WHEN s.v IN (SELECT v FROM rin)
+                         AND s.v IN (SELECT v FROM rout) THEN 'tube'
+                    WHEN s.v IN (SELECT v FROM rin) THEN 'tendril_in'
+                    WHEN s.v IN (SELECT v FROM rout) THEN 'tendril_out'
+                    ELSE 'disc' END AS region
+        FROM sverts s""",
     "walk_corpus": _WALK_SQL,
     "ego_edges": f"""
         WITH RECURSIVE {_EDGES_CTE},

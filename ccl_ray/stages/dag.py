@@ -205,6 +205,9 @@ def reachable_from(
     seed_parts: list[list[np.ndarray]] = [[] for _ in range(P)]
     for blk in ray.get(seeds.to_arrow_refs()):
         t = as_arrow_block(blk)
+        # zero-row blocks downstream of a join can carry an EMPTY schema
+        if t.num_rows == 0 or "vid" not in t.column_names:
+            continue
         v = np.unique(t.column("vid").to_numpy(zero_copy_only=False).astype(np.int64))
         parts = part_of(v, P)
         for p in range(P):
@@ -252,3 +255,128 @@ def reachable_from(
         int(t.column("level").to_numpy().sum()) for t in tables if t.num_rows
     )
     return labels, n_reached, waves
+
+
+def bowtie_regions(
+    directed,
+    labels,
+    *,
+    vertices,
+    cfg: EngineConfig | None = None,
+    num_partitions: int | None = None,
+):
+    """Broder bow-tie decomposition of a directed graph (Broder et al. 2000,
+    "Graph structure in the Web"): Dataset ``(vid, region)`` with region in
+    {core, in, out, tube, tendril_in, tendril_out, disc}.
+
+    - core: the largest SCC (ties broken by min canonical label);
+    - in:   reaches core (not core);   out: reached from core (not core);
+    - tube: reachable from IN and reaches OUT without touching core (any
+      core-passing path would put the vertex in OUT, so the exclusion is
+      implied — no path filtering needed);
+    - tendril_in / tendril_out: exactly one of the two; disc: neither.
+
+    ``labels`` is an SCC labeling Dataset ``(vid, label)`` covering every
+    vertex in ``vertices`` (stages/scc output). Distributed shape: one
+    |SCC|-bounded size aggregate picks core, then FOUR reachability
+    closures (reachable_from — sparse-frontier indicator-OR, each wave
+    O(frontier edges); the two backward ones just swap src/dst column
+    names) and a chain of |V|-sized hash-partitioned joins assemble the
+    per-vertex indicators; classification is one vectorized numpy
+    where-chain per batch. Nothing driver-side exceeds one row.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd  # noqa: F401
+
+    from ccl_ray.stages.aggregates import partial_sum_agg
+    from ccl_ray.stages.exchange import hash_join
+
+    cfg = cfg or EngineConfig()
+
+    sizes = partial_sum_agg(labels, ["label"], {}, count_as="n")
+    top = sizes.sort(["n", "label"], descending=[True, False]).limit(1).take_all()
+    core_label = int(top[0]["label"])
+
+    def _core_vids(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(t.column("label"), core_label))
+        return pa.table({"vid": keep.column("vid").cast(pa.int64())})
+
+    core = labels.map_batches(_core_vids, batch_format="pyarrow").materialize()
+
+    fwd, _, _ = reachable_from(directed, core, vertices=vertices, cfg=cfg)
+    bwd, _, _ = reachable_from(
+        directed, core, vertices=vertices, cfg=cfg, src_col="dst", dst_col="src"
+    )
+    fwd = fwd.materialize()
+    bwd = bwd.materialize()
+
+    def _seed_set(reach_ds):
+        # reached==1 minus core — the |V|-sized sides co-partition on vid
+        lab_j = labels.map_batches(
+            lambda t: pa.table(
+                {"jv": t.column("vid").cast(pa.int64()), "label": t.column("label")}
+            ),
+            batch_format="pyarrow",
+        )
+        j = hash_join(
+            reach_ds, lab_j, left_on="vid", right_on="jv",
+            num_partitions=num_partitions,
+        )
+
+        def pick(t: pa.Table) -> pa.Table:
+            r = t.column("reached").to_numpy(zero_copy_only=False).astype(np.int64)
+            lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"vid": pa.array(v[(r == 1) & (lab != core_label)])})
+
+        return j.map_batches(pick, batch_format="pyarrow").materialize()
+
+    in_seeds = _seed_set(bwd)
+    out_seeds = _seed_set(fwd)
+
+    rin, _, _ = reachable_from(directed, in_seeds, vertices=vertices, cfg=cfg)
+    rout, _, _ = reachable_from(
+        directed, out_seeds, vertices=vertices, cfg=cfg,
+        src_col="dst", dst_col="src",
+    )
+
+    cur = labels
+    for name, ds in (("f", fwd), ("b", bwd), ("ri", rin), ("ro", rout)):
+        ind = ds.map_batches(
+            lambda t, n=name: pa.table(
+                {f"j{n}": t.column("vid").cast(pa.int64()), n: t.column("reached")}
+            ),
+            batch_format="pyarrow",
+        )
+        cur = hash_join(
+            cur, ind, left_on="vid", right_on=f"j{name}",
+            num_partitions=num_partitions,
+        )
+
+    def classify(t: pa.Table) -> pa.Table:
+        def col(n):
+            return t.column(n).to_numpy(zero_copy_only=False).astype(np.int64)
+
+        lab, f, b, ri, ro = col("label"), col("f"), col("b"), col("ri"), col("ro")
+        region = np.where(
+            lab == core_label, "core",
+            np.where(
+                b == 1, "in",
+                np.where(
+                    f == 1, "out",
+                    np.where(
+                        (ri == 1) & (ro == 1), "tube",
+                        np.where(
+                            ri == 1, "tendril_in",
+                            np.where(ro == 1, "tendril_out", "disc"),
+                        ),
+                    ),
+                ),
+            ),
+        )
+        return pa.table(
+            {"vid": pa.array(col("vid")), "region": pa.array(region, pa.string())}
+        )
+
+    return cur.map_batches(classify, batch_format="pyarrow")
