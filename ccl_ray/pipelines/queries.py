@@ -4776,6 +4776,126 @@ def q_local_bridges(sf_dir: str):
     )
 
 
+def q_group_sample(sf_dir: str):
+    """Per-language EXACT-10 deterministic document sample
+    (stages/sample.group_bottomk): within each lang, the 10 docs with the
+    smallest md5_low64(doc_id) — the stratified counterpart of
+    bottomk_sample (per-block ≤k-per-group partials, then one tiny
+    group-key shuffle of ≤ P·k·G survivors; the corpus never shuffles)."""
+    from ccl_ray.stages.sample import group_bottomk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return group_bottomk(docs, 10, id_col="doc_id", group_col="lang")
+
+
+def q_basket_triples(sf_dir: str):
+    """Frequent 3-itemsets over user baskets: for each ordered-by-name
+    event-type triple, support = distinct users with all three. The
+    basket_pairs composition extended one join: distinct (user, type) via
+    the partial-agg combiner → two user-key hash joins with a < b < c
+    filters (≤ C(B,3) rows per user; basket width B is bounded by the
+    event-type domain, so the blow-up is a constant, not a scale risk) →
+    one partial-agg count."""
+    from ccl_ray.stages.exchange import hash_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    ut = partial_sum_agg(ev, ["user_id", "event_type"], {}, count_as="_n")
+    ut = ut.select_columns(["user_id", "event_type"]).materialize()
+
+    j = hash_join(
+        ut, ut.rename_columns({"user_id": "u2", "event_type": "type_b"}),
+        left_on="user_id", right_on="u2", num_partitions=8,
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("event_type"), t.column("type_b")))
+        return pa.table(
+            {"user_id": t.column("user_id"),
+             "type_a": t.column("event_type"), "type_b": t.column("type_b")}
+        )
+
+    p = j.map_batches(pairs, batch_format="pyarrow")
+    j2 = hash_join(
+        p, ut.rename_columns({"user_id": "u3", "event_type": "type_c"}),
+        left_on="user_id", right_on="u3", num_partitions=8,
+    )
+
+    def triples(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("type_b"), t.column("type_c")))
+        return pa.table(
+            {"type_a": t.column("type_a"), "type_b": t.column("type_b"),
+             "type_c": t.column("type_c")}
+        )
+
+    return partial_sum_agg(
+        j2.map_batches(triples, batch_format="pyarrow"),
+        ["type_a", "type_b", "type_c"], {}, count_as="support",
+    )
+
+
+def q_chi2_cells(sf_dir: str):
+    """Pearson χ² contribution per (event_type, hour-of-day) contingency
+    cell — the categorical-drift / independence diagnostic a data-QA
+    pipeline runs between an attribute and time. Observed counts come from
+    one partial-agg groupby; the G·24 cell table is tiny, so expected
+    counts and contributions are computed driver-side with the SQL twin's
+    exact float evaluation order ((nt·nh) exact int → ::DOUBLE / nn, then
+    (n−e)·(n−e)/e — no reassociation)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def with_hour(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": t.column("event_type"),
+             "hr": pc.hour(t.column("ts")).cast(pa.int64())}
+        )
+
+    cells = partial_sum_agg(
+        ev.map_batches(with_hour, batch_format="pyarrow"),
+        ["event_type", "hr"], {}, count_as="n",
+    ).to_pandas()
+    nt = cells.groupby("event_type")["n"].sum()
+    nh = cells.groupby("hr")["n"].sum()
+    nn = int(cells["n"].sum())
+    chi2 = []
+    for ty, hr, n in zip(cells["event_type"], cells["hr"], cells["n"]):
+        e = float(int(nt[ty]) * int(nh[hr])) / float(nn)
+        d = float(n) - e
+        chi2.append(round(d * d / e, 6))
+    return pd.DataFrame(
+        {"event_type": cells["event_type"], "hr": cells["hr"].astype(np.int64),
+         "n": cells["n"].astype(np.int64), "chi2": chi2}
+    )
+
+
+def q_cusum_drift(sf_dir: str):
+    """Per-user CUSUM drift (stages/window.cusum_drift): max absolute
+    integer prefix deviation N·vi − S in (ts, event_id) order, vi =
+    floor(value·1e6). Change/skew detection over the event stream; the
+    global totals are two exact ints from one scalar aggregate."""
+    from ccl_ray.stages.window import cusum_drift
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def vi(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("value").to_numpy(zero_copy_only=False) * 1e6)
+        return pa.table({"vi": pa.array(v.astype(np.int64))})
+
+    totals = partial_sum_agg(
+        ev.map_batches(vi, batch_format="pyarrow").map_batches(
+            lambda t: pa.table(
+                {"_k": pa.array(np.zeros(t.num_rows, np.int64)),
+                 "vi": t.column("vi")}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["_k"], {"vi": "s"}, count_as="n",
+    ).to_pandas()
+    S, N = int(totals["s"][0]), int(totals["n"][0])
+    return cusum_drift(ev, total_sum=S, total_n=N)
+
+
 QUERIES = {
     "edges_build": q_edges_build,
     "degree": q_degree,
@@ -4952,6 +5072,10 @@ QUERIES = {
     "bridges_close": q_bridges_close,
     "ann_ivf": q_ann_ivf,
     "local_bridges": q_local_bridges,
+    "group_sample": q_group_sample,
+    "basket_triples": q_basket_triples,
+    "chi2_cells": q_chi2_cells,
+    "cusum_drift": q_cusum_drift,
 }
 
 # ---- driver-sample rotation (round 5) ------------------------------------
@@ -6866,6 +6990,45 @@ ORACLE_SQL = {
          AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
          AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000
         GROUP BY 1, 2""",
+    "group_sample": """
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rn
+            FROM documents) t
+        WHERE rn <= 10""",
+    "basket_triples": """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               c.event_type AS type_c, count(*)::BIGINT AS support
+        FROM ut a
+        JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        JOIN ut c ON a.user_id = c.user_id AND b.event_type < c.event_type
+        GROUP BY 1, 2, 3""",
+    "chi2_cells": """
+        WITH c AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+                          count(*)::BIGINT AS n
+                   FROM events GROUP BY 1, 2),
+        tt AS (SELECT event_type, sum(n)::BIGINT AS nt FROM c GROUP BY 1),
+        hh AS (SELECT hr, sum(n)::BIGINT AS nh FROM c GROUP BY 1),
+        g AS (SELECT sum(n)::BIGINT AS nn FROM c)
+        SELECT event_type, hr, n, round((n - e) * (n - e) / e, 6) AS chi2
+        FROM (SELECT c.event_type, c.hr, c.n,
+                     (tt.nt * hh.nh)::DOUBLE / g.nn AS e
+              FROM c JOIN tt USING (event_type) JOIN hh USING (hr)
+              CROSS JOIN g) x""",
+    "cusum_drift": """
+        WITH v AS (SELECT user_id, ts, event_id,
+                          CAST(floor(value * 1000000) AS BIGINT) AS vi
+                   FROM events),
+        t AS (SELECT sum(vi)::BIGINT AS s, count(*)::BIGINT AS n FROM v),
+        s AS (SELECT user_id,
+                     sum(t.n * vi - t.s) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS cs
+              FROM v CROSS JOIN t)
+        SELECT user_id, CAST(max(abs(cs)) AS BIGINT) AS drift
+        FROM s GROUP BY 1""",
     # pagerank / media_meta: iterative or model-style ops — no SQL oracle;
     # the driver records rows-only checks and pytest carries the strict
     # checks (numpy power-iteration allclose, fake-codec metadata shape).

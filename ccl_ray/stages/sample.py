@@ -222,3 +222,45 @@ def bottomk_sample(
         .repartition(1)
         .map_batches(block_bottom, batch_format="pandas")
     )
+
+
+def group_bottomk(
+    ds: "object",
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    columns: list | None = None,
+) -> "object":
+    """EXACT-size-k-per-group deterministic sample: within each value of
+    ``group_col`` keep the k rows with the smallest md5_low64(id), id
+    tie-break — the stratified counterpart of :func:`bottomk_sample`
+    (same reproducibility argument: a pure function of the id set per
+    stratum, identical on any partitioning or cluster size).
+
+    Scale shape: per-block partial selection first (each block emits ≤ k
+    rows PER GROUP PRESENT — the only rows that can survive the global
+    cut), then ONE hash shuffle of those ≤ P·k·G survivors on the group
+    key and a per-partition final selection (the top_n_per_group route +
+    rank shape). Neither step materializes the input; the big table never
+    shuffles. SQL twin: row_number() OVER (PARTITION BY group ORDER BY
+    md5_number_lower(CAST(id AS VARCHAR)), id) <= k.
+    """
+    assert k > 0
+
+    def block_bottom(df: pd.DataFrame) -> pd.DataFrame:
+        if columns is not None:
+            df = df[columns]
+        if not len(df):
+            return df
+        h = _md5_low64(df[id_col].values)
+        gcodes, _ = pd.factorize(df[group_col].values, sort=True)
+        order = np.lexsort((df[id_col].to_numpy(), h, gcodes))
+        return df.iloc[order].groupby(group_col, sort=False).head(k)
+
+    partial = ds.map_batches(block_bottom, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return block_bottom(df)
+
+    return partial.groupby(group_col).map_groups(final, batch_format="pandas")

@@ -276,6 +276,100 @@ def ema_scan(
     )
 
 
+def cusum_drift(
+    events: "rd.Dataset",
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    total_sum: int = 0,
+    total_n: int = 1,
+    scale: int = 1_000_000,
+    num_partitions: int | None = None,
+) -> "rd.Dataset":
+    """Per-key CUSUM drift statistic, integer-exact: with vi =
+    floor(value·scale) and global totals S = Σ vi, N = count(*), the drift
+    of a key is max_k |Σ_{i≤k} (N·vi − S)| over its prefix in (ts, id)
+    order — the classic change-detection scan (a key whose values sit
+    above/below the corpus mean accumulates deviation linearly; N·vi − S
+    avoids the mean division so BOTH sides stay exact integers and the
+    value-hash cannot drift by an ulp).
+
+    ``total_sum`` / ``total_n`` are the exact global integers (computed by
+    the caller with one scalar aggregate — two ints cross the driver, never
+    rows). Shape: rows route by hash(key) % P, one lexsort per partition,
+    segmented cumsum + maximum.reduceat — O(rows/P) vector work, one
+    shuffle. Overflow guard: asserts |cumsum| < 2^62 (at vi ≤ 5.6e8 and
+    N = 1e5 that allows ~8000 rows/key; rows/key shrinks as N grows since
+    N multiplies the bound linearly but rows/key grows sublinearly in sf).
+    """
+    from ccl_ray.config import resolve_partitions
+    from ccl_ray.functions.hashing import hash_part_np
+
+    P = resolve_partitions(num_partitions)
+    in_schema = events.schema()
+    key_type = dict(zip(in_schema.names, in_schema.types))[key]
+    out_schema = pa.schema([(key, key_type), ("drift", pa.int64())])
+    S, N = int(total_sum), int(total_n)
+
+    def route(batch: pa.Table) -> pa.Table:
+        kcol = batch.column(key)
+        return pa.table(
+            {
+                key: kcol,
+                ts_col: batch.column(ts_col),
+                id_col: batch.column(id_col),
+                val_col: batch.column(val_col),
+                "part": pa.array(hash_part_np(kcol, key_type, P)),
+            }
+        )
+
+    def run_part(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return out_schema.empty_table()
+        ts = df[ts_col].values.astype("datetime64[us]").astype(np.int64)
+        ids = df[id_col].values
+        kvals = df[key].values
+        kcodes, kuniq = pd.factorize(kvals, sort=True)
+        order = np.lexsort((ids, ts, kcodes))
+        kcodes = kcodes[order]
+        vi = np.floor(np.asarray(df[val_col].values[order], np.float64) * scale)
+        d = N * vi.astype(np.int64) - S
+        n = len(d)
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = kcodes[1:] != kcodes[:-1]
+        starts = np.flatnonzero(new_key)
+        # a-priori overflow guard (checked BEFORE the cumsum can wrap): the
+        # segmented trick runs ONE GLOBAL cumsum, so bound |Σd| over the
+        # whole partition, not just the longest key run
+        assert int(np.abs(d).max(initial=0)) * n < (1 << 62), (
+            "cusum_drift: int64 headroom (shrink the partition or scale)"
+        )
+        cs = np.cumsum(d)
+        # per-key cumsum: subtract the global running total just before
+        # each key's first row (0 for the first key)
+        base = np.zeros(n, np.int64)
+        base[starts[1:]] = cs[starts[1:] - 1]
+        key_start = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+        cs = cs - base[key_start]
+        acs = np.abs(cs)
+        drift = np.maximum.reduceat(acs, starts)
+        return pa.table(
+            {
+                key: pa.array(kuniq[kcodes[starts]], key_type),
+                "drift": pa.array(drift.astype(np.int64)),
+            }
+        )
+
+    return (
+        events.map_batches(route, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(run_part, batch_format="pandas")
+    )
+
+
 def collect_seq(
     events: "rd.Dataset",
     *,
