@@ -4776,6 +4776,31 @@ def q_local_bridges(sf_dir: str):
     )
 
 
+def q_embedding_clusters(sf_dir: str):
+    """Semantic clusters over the embedding table: cosine-threshold near-dup
+    pairs (similarity.embedding_dedup_pairs — IVF-bucketed with
+    verified-total recall at these knobs) feed the engine's own BSP CC, so
+    cluster = min vec_id reachable through the ≥0.45 similarity graph —
+    the embedding-space analogue of dup_clusters (LSH→CC on text). The
+    semantic-dedup composition a training-data pipeline runs: cluster,
+    then keep one representative per cluster."""
+    from ccl_ray.stages.cc_bsp import connected_components_bsp
+    from ccl_ray.stages.similarity import embedding_dedup_pairs
+
+    pairs = embedding_dedup_pairs(
+        _emb(sf_dir), threshold=0.45, n_clusters=16, assign_top=4
+    )
+    edges = pairs.map_batches(
+        lambda t: pa.table({"src": t.column("a"), "dst": t.column("b")}),
+        batch_format="pyarrow",
+    )
+    verts = _emb(sf_dir).map_batches(
+        lambda t: pa.table({"vid": t.column("vec_id")}), batch_format="pyarrow"
+    )
+    res = connected_components_bsp(edges, vertices=verts, cfg=_cfg())
+    return res.labels.rename_columns({"vid": "vec_id", "label": "cluster"})
+
+
 def q_group_sample(sf_dir: str):
     """Per-language EXACT-10 deterministic document sample
     (stages/sample.group_bottomk): within each lang, the 10 docs with the
@@ -5072,6 +5097,7 @@ QUERIES = {
     "bridges_close": q_bridges_close,
     "ann_ivf": q_ann_ivf,
     "local_bridges": q_local_bridges,
+    "embedding_clusters": q_embedding_clusters,
     "group_sample": q_group_sample,
     "basket_triples": q_basket_triples,
     "chi2_cells": q_chi2_cells,
@@ -6990,6 +7016,18 @@ ORACLE_SQL = {
          AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
          AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000
         GROUP BY 1, 2""",
+    "embedding_clusters": """
+        WITH RECURSIVE ep AS (
+          SELECT a.vec_id AS a, b.vec_id AS b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]) >= 0.45),
+        und AS (SELECT a AS u, b AS v FROM ep UNION SELECT b, a FROM ep),
+        dreach(u, l) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT p.v, r.l FROM dreach r JOIN und p ON p.u = r.u)
+        SELECT u AS vec_id, min(l) AS cluster FROM dreach GROUP BY u""",
     "group_sample": """
         SELECT doc_id, lang FROM (
             SELECT doc_id, lang,
