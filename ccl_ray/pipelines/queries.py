@@ -7075,3 +7075,157 @@ ORACLE_SQL = {
 # ann_ivf runs exhaustive probing at the gate (nprobe = n_clusters), under
 # which IVF equals brute force exactly — same twin as ann_topk.
 ORACLE_SQL["ann_ivf"] = ORACLE_SQL["ann_topk"]
+
+
+# ---- round-5 session-3 additions ------------------------------------------
+
+
+def q_max_concurrency(sf_dir: str):
+    """Per-type maximum interval concurrency (stages/window.max_concurrency):
+    each event spans [ts, ts + (1 + floor(value)) s) and the +1/−1 sweep is
+    decomposed by fixed hour buckets — endpoints route by hash((type,
+    bucket)), per-bucket (net, localmax) summaries stitch with an exclusive
+    prefix, and only the keys × occupied-hours summary table (bounded by
+    calendar span, not data volume) reaches the driver. Exact integers."""
+    from ccl_ray.stages.window import max_concurrency
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    return max_concurrency(ev, key="event_type", num_partitions=8)
+
+
+def q_template_prefixes(sf_dir: str):
+    """Template/boilerplate detection at document-prefix granularity: the
+    8-token prefix shared by ≥2 documents, with the min doc_id as the
+    canonical exemplar — the header-dedup signal corpus curation applies
+    before near-dup (complements dup_spans' window granularity). One
+    all-Rust polars prefix pass (text never shuffles; ~40 bytes/doc move)
+    + one partial-agg groupby."""
+    import polars as pl
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def prefixes(df: pd.DataFrame) -> pa.Table:
+        out = (
+            pl.from_pandas(df)
+            .with_columns(
+                pl.col("text").str.split(" ").list.slice(0, 8).list.join(" ")
+                .alias("prefix")
+            )
+            .select(["prefix", "doc_id"])
+        )
+        return out.to_arrow()
+
+    from ccl_ray.stages.aggregates import partitioned_groupby_agg
+
+    agg = partitioned_groupby_agg(
+        docs.map_batches(prefixes, batch_format="pandas"),
+        ["prefix"],
+        {"n_docs": ("doc_id", "count"), "min_doc": ("doc_id", "min")},
+    )
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n_docs"), 2)).select(
+            ["prefix", "n_docs", "min_doc"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_pca_close(sf_dir: str):
+    """Top principal component of the embedding table via distributed
+    covariance partials: each batch emits its exact (i, j, Σ xᵢxⱼ) float64
+    triplets plus first-moment sums (d² + d rows per batch — the classic
+    one-pass covariance sketch; the vectors themselves never move), a
+    partial-agg groupby merges them, and the driver eigensolves the d×d
+    matrix (d = 64: a fixed-size pull independent of n, the same bounded
+    contract as kmeans_close). The twin is the in-process numpy eigh on the
+    full table — booleans certify |cos(angle)| ≥ 1 − 1e-9 and eigenvalue
+    agreement ≤ 1e-9 relative. Both sides eigensolve (a dense d×d op — the
+    DISTRIBUTED work is the moment merge); partition summation order shifts
+    covariance entries by ~1e-16 absolute and the eigenvector by
+    ~‖ΔC‖/eigengap ≈ 1e-13, far inside the gate even on this
+    near-isotropic table (top eigengap ratio 0.987 at sf0.01 — a power
+    iteration would need data-dependent thousands of rounds here)."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    d = 64
+
+    def partials(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        X = np.asarray(col.combine_chunks().flatten(), np.float64).reshape(-1, d)
+        C = X.T @ X  # d×d second moments
+        s = X.sum(axis=0)  # d first moments
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        i = np.concatenate([ii.ravel(), np.arange(d), np.full(1, -1)])
+        j = np.concatenate([jj.ravel(), np.full(d, -1), np.full(1, -1)])
+        v = np.concatenate([C.ravel(), s, np.array([float(len(X))])])
+        return pa.table(
+            {"i": pa.array(i.astype(np.int64)), "j": pa.array(j.astype(np.int64)),
+             "v": pa.array(v)}
+        )
+
+    merged = partial_sum_agg(
+        emb.map_batches(partials, batch_format="pyarrow"), ["i", "j"], {"v": "v"}
+    ).to_pandas()  # exactly d*d + d + 1 = 4161 rows, independent of n
+    lut = {(int(r.i), int(r.j)): float(r.v) for r in merged.itertuples()}
+    n = lut[(-1, -1)]
+    mu = np.array([lut[(i, -1)] for i in range(d)]) / n
+    C = np.array([[lut[(i, j)] for j in range(d)] for i in range(d)]) / n
+    cov = C - np.outer(mu, mu)
+    # engine-side extraction from the DISTRIBUTED moments (deterministic
+    # d×d eigensolve; sign canonicalized by the comparison's abs)
+    ew_e, ev_e = np.linalg.eigh(cov)
+    vvec = ev_e[:, -1]
+    eig_engine = float(ew_e[-1])
+
+    # in-process numpy oracle over the full table, single summation order
+    # (gate-scale pull; the distributed answer above never needed it)
+    X = np.asarray(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .to_pandas()["embedding"].tolist(),
+        np.float64,
+    )
+    cov_o = np.cov(X, rowvar=False, bias=True)
+    ew, evec = np.linalg.eigh(cov_o)
+    top = evec[:, -1]
+    cos = abs(float(top @ vvec))
+    rel = abs(eig_engine - float(ew[-1])) / max(abs(float(ew[-1])), 1e-30)
+    return pa.table(
+        {
+            "n_vectors": pa.array([int(n)], pa.int64()),
+            "dim": pa.array([d], pa.int64()),
+            "top_component_matches": pa.array([cos >= 1 - 1e-9], pa.bool_()),
+            "eigval_matches": pa.array([rel <= 1e-9], pa.bool_()),
+        }
+    )
+
+
+QUERIES["max_concurrency"] = q_max_concurrency
+QUERIES["template_prefixes"] = q_template_prefixes
+QUERIES["pca_close"] = q_pca_close
+
+ORACLE_SQL["max_concurrency"] = """
+    WITH iv AS (SELECT event_type, epoch_us(ts) AS s,
+                       epoch_us(ts) + ((1 + floor(value))::BIGINT * 1000000) AS e
+                FROM events),
+    pts AS (SELECT event_type, s AS t, 1 AS d FROM iv
+            UNION ALL SELECT event_type, e, -1 FROM iv),
+    c AS (SELECT event_type,
+                 sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                              ROWS UNBOUNDED PRECEDING) AS cur
+          FROM pts)
+    SELECT event_type, max(cur)::BIGINT AS max_conc FROM c GROUP BY 1"""
+
+ORACLE_SQL["template_prefixes"] = """
+    WITH p AS (SELECT doc_id,
+                      array_to_string(list_slice(string_split(text, ' '), 1, 8),
+                                      ' ') AS prefix
+               FROM documents)
+    SELECT prefix, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS min_doc
+    FROM p GROUP BY 1 HAVING count(*) >= 2"""
+
+ORACLE_SQL["pca_close"] = """
+    SELECT count(*)::BIGINT AS n_vectors, 64::BIGINT AS dim,
+           true AS top_component_matches, true AS eigval_matches
+    FROM embeddings"""

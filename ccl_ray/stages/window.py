@@ -950,3 +950,136 @@ def funnel_counts(
         .map_groups(funnel_part, batch_format="pandas")
     )
     return partial_sum_agg(parts, ["stage", "step"], {"n_users": "n_users"})
+
+
+def max_concurrency(
+    events: "rd.Dataset",
+    *,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    bucket_us: int = 3_600_000_000,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Per-key maximum interval concurrency (the classic +1/−1 sweep,
+    distributed by time bucket). Each event spans the half-open interval
+    [t, t + (1 + floor(value)) seconds) — an end at instant t never
+    overlaps a start at t, so ends order before starts on ties (the SQL
+    twin's ORDER BY t, d with d ∈ {−1, +1} sorts identically).
+
+    Scale shape: the global time-ordered scan a single-node sweep needs is
+    decomposed by FIXED time buckets (default 1 h) — every interval
+    endpoint routes by hash((key, bucket)) % P, each partition lexsorts its
+    own (key, bucket) segments once and emits per-bucket (net, localmax)
+    pairs, and the cross-bucket stitch is an exclusive prefix sum over the
+    per-(key, bucket) summary table: max_conc(key) = max_b(offset_b +
+    max(0, localmax_b)) where offset_b = Σ net over earlier buckets.
+    Concurrency between buckets equals some offset_b and is covered by the
+    max(0, ·) term. The summary table is keys × occupied-buckets rows
+    (time-span / bucket_us — bounded by calendar time, not data volume;
+    ~720 rows/key per month of data), the documented driver pull; the
+    event endpoints themselves never leave their partitions.
+
+    Returns an in-memory pa.Table (key, max_conc int64) — key-cardinality
+    sized. Exact integers end to end.
+    """
+    from ccl_ray.config import resolve_partitions
+
+    P = resolve_partitions(num_partitions)
+    in_schema = events.schema()
+    key_type = dict(zip(in_schema.names, in_schema.types))[key]
+    if not isinstance(key_type, pa.DataType):  # pandas-backed input blocks
+        try:
+            key_type = pa.from_numpy_dtype(np.dtype(key_type))
+        except (TypeError, pa.ArrowNotImplementedError):
+            key_type = pa.string()
+    out_schema = pa.schema(
+        [(key, key_type), ("bucket", pa.int64()),
+         ("net", pa.int64()), ("localmax", pa.int64())]
+    )
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        # normalize to µs BEFORE the int cast: pandas-backed blocks carry
+        # timestamp[ns] and a bare int64 cast would mix ns with µs durations
+        s = (
+            t.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        dur = (
+            1 + np.floor(t.column(val_col).to_numpy(zero_copy_only=False))
+        ).astype(np.int64) * 1_000_000
+        e = s + dur
+        kcol = t.column(key)
+        return pa.table(
+            {
+                key: pa.concat_arrays([kcol.combine_chunks(), kcol.combine_chunks()]),
+                "t": pa.array(np.concatenate([s, e])),
+                "d": pa.array(
+                    np.concatenate(
+                        [np.ones(len(s), np.int64), -np.ones(len(e), np.int64)]
+                    )
+                ),
+            }
+        )
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["bucket"] = df["t"].to_numpy(np.int64) // bucket_us
+        h = pd.util.hash_pandas_object(df[[key, "bucket"]], index=False).to_numpy()
+        df["part"] = (h % np.uint64(P)).astype(np.int32)
+        return df
+
+    def sweep_part(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return out_schema.empty_table()
+        kcodes, kuniq = pd.factorize(df[key].values, sort=True)
+        b = df["bucket"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        d = df["d"].to_numpy(np.int64)
+        order = np.lexsort((d, t, b, kcodes))  # ends before starts on tied t
+        kcodes, b, d = kcodes[order], b[order], d[order]
+        n = len(d)
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = (kcodes[1:] != kcodes[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(new)
+        cs = np.cumsum(d)
+        base = np.zeros(n, np.int64)
+        base[starts[1:]] = cs[starts[1:] - 1]
+        seg_start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+        cs = cs - base[seg_start]  # per-(key,bucket) local prefix sums
+        nets = np.add.reduceat(d, starts)
+        localmax = np.maximum.reduceat(cs, starts)
+        return pa.table(
+            {
+                key: pa.array(kuniq[kcodes[starts]], key_type),
+                "bucket": pa.array(b[starts]),
+                "net": pa.array(nets.astype(np.int64)),
+                "localmax": pa.array(localmax.astype(np.int64)),
+            }
+        )
+
+    summary = (
+        events.select_columns([key, ts_col, val_col])
+        .map_batches(endpoints, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(sweep_part, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(summary):  # all-empty Datasets lose their columns in to_pandas
+        return out_schema.empty_table().select([key]).append_column(
+            "max_conc", pa.array([], pa.int64())
+        )
+    # cross-bucket stitch: exclusive prefix of net per key in bucket order
+    summary = summary.sort_values([key, "bucket"], kind="stable")
+    g = summary.groupby(key, sort=True)
+    offset = g["net"].cumsum() - summary["net"]
+    cand = offset + np.maximum(summary["localmax"].to_numpy(np.int64), 0)
+    best = cand.groupby(summary[key]).max()
+    return pa.table(
+        {key: pa.array(best.index.to_numpy(), key_type),
+         "max_conc": pa.array(best.to_numpy(np.int64))}
+    )
