@@ -7229,3 +7229,158 @@ ORACLE_SQL["pca_close"] = """
     SELECT count(*)::BIGINT AS n_vectors, 64::BIGINT AS dim,
            true AS top_component_matches, true AS eigval_matches
     FROM embeddings"""
+
+
+def q_benford_digits(sf_dir: str):
+    """First-significant-digit census of lineitem extended prices against
+    the Benford expectation log10(1 + 1/d) — the classic synthetic-data /
+    fraud QA diagnostic a corpus-audit pipeline runs on numeric columns.
+    Distributed shape: each batch converts prices to exact integer cents
+    with the SQL twin's identical float op (floor(x·100 + 0.5)), extracts
+    the leading digit by pure integer divisions (≤19 vectorized //10
+    passes; no float log10 hazard at decade boundaries), and a 9-row
+    partial-agg count merges. Shares are finalized driver-side on exact
+    int totals with one n::DOUBLE / tot::DOUBLE division each, matching
+    the twin's cast order."""
+    import math
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+
+    def digit(t: pa.Table) -> pa.Table:
+        x = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = np.abs(np.floor(x * 100.0 + 0.5).astype(np.int64))
+        big = d >= 10
+        while big.any():
+            d[big] //= 10
+            big = d >= 10
+        return pa.table({"digit": pa.array(d)})
+
+    counts = (
+        partial_sum_agg(
+            li.map_batches(digit, batch_format="pyarrow"), ["digit"], {},
+            count_as="n",
+        )
+        .to_pandas()
+        .sort_values("digit")
+        .reset_index(drop=True)
+    )
+    tot = int(counts["n"].sum())
+    dg = counts["digit"].astype(np.int64).to_numpy()
+    n = counts["n"].astype(np.int64).to_numpy()
+    return pa.table(
+        {
+            "digit": pa.array(dg),
+            "n": pa.array(n),
+            "share": pa.array(
+                [round(float(int(v)) / float(tot), 6) for v in n], pa.float64()
+            ),
+            "benford": pa.array(
+                [round(math.log10(1.0 + 1.0 / float(int(x))), 6) for x in dg],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def q_hourly_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of the per-type hourly volume series — the
+    seasonality / drift diagnostic a monitoring pipeline runs on event
+    streams (a strong hour-over-hour correlation means volume is
+    predictable; a collapse flags regime change). Counts come from one
+    partial-agg groupby over (event_type, epoch-hour); the series is
+    zero-filled over the GLOBAL [min, max] hour span (bounded driver
+    state: hours grow with wall-clock time, not data volume — a decade of
+    logs is ~9·10⁴ hours × G types), and Pearson over the H−1 consecutive
+    (cₕ, cₕ₊₁) pairs is finalized on exact integer moments with the
+    twin's float shape (each variance cast to DOUBLE, multiplied, one
+    sqrt, one division). Hour key is exact int: epoch_us // 3.6e9 on both
+    sides. Types with a degenerate (zero-variance) series are excluded on
+    both sides."""
+    import math
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def key(t: pa.Table) -> pa.Table:
+        # unit-normalize before the int cast: a ns-unit source would
+        # otherwise silently land in the wrong (1000× finer) hour key
+        us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {"event_type": t.column("event_type"),
+             "h": pc.divide(us, 3_600_000_000)}
+        )
+
+    cells = (
+        partial_sum_agg(
+            ev.map_batches(key, batch_format="pyarrow"),
+            ["event_type", "h"], {}, count_as="c",
+        )
+        .to_pandas()
+        .sort_values(["event_type", "h"])
+    )
+    mn, mx = int(cells["h"].min()), int(cells["h"].max())
+    H = mx - mn + 1
+    types, ns, ac = [], [], []
+    for ty, g in cells.groupby("event_type", sort=True):
+        series = np.zeros(H, np.int64)
+        series[g["h"].to_numpy(np.int64) - mn] = g["c"].to_numpy(np.int64)
+        x, y = series[:-1], series[1:]
+        npairs = H - 1
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int(np.dot(x, y))
+        sxx, syy = int(np.dot(x, x)), int(np.dot(y, y))
+        num = npairs * sxy - sx * sy
+        varx = npairs * sxx - sx * sx
+        vary = npairs * syy - sy * sy
+        if varx <= 0 or vary <= 0:
+            continue
+        types.append(ty)
+        ns.append(npairs)
+        ac.append(round(float(num) / math.sqrt(float(varx) * float(vary)), 6))
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "autocorr_lag1": pa.array(ac, pa.float64()),
+        }
+    )
+
+
+QUERIES["benford_digits"] = q_benford_digits
+QUERIES["hourly_autocorr"] = q_hourly_autocorr
+
+ORACLE_SQL["benford_digits"] = """
+    WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      AS cents FROM lineitem),
+    d AS (SELECT CAST(substr(CAST(abs(cents) AS VARCHAR), 1, 1) AS BIGINT)
+                 AS digit FROM c),
+    m AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1),
+    t AS (SELECT sum(n)::BIGINT AS tot FROM m)
+    SELECT digit, n, round(n::DOUBLE / (SELECT tot FROM t)::DOUBLE, 6) AS share,
+           round(log10(1 + 1.0 / digit), 6) AS benford
+    FROM m"""
+
+ORACLE_SQL["hourly_autocorr"] = """
+    WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+                      count(*)::BIGINT AS c
+               FROM events GROUP BY 1, 2),
+    b AS (SELECT min(h) AS mn, max(h) AS mx FROM c),
+    hrs AS (SELECT (SELECT mn FROM b) + r AS h
+            FROM range(0, 1000000) t(r)
+            WHERE r <= (SELECT mx - mn FROM b)),
+    ty AS (SELECT DISTINCT event_type FROM c),
+    grid AS (SELECT ty.event_type, hrs.h, COALESCE(c.c, 0) AS c
+             FROM ty CROSS JOIN hrs
+             LEFT JOIN c ON c.event_type = ty.event_type AND c.h = hrs.h),
+    p AS (SELECT g1.event_type, g1.c AS x, g2.c AS y
+          FROM grid g1 JOIN grid g2
+            ON g2.event_type = g1.event_type AND g2.h = g1.h + 1),
+    m AS (SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                 sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+                 sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+          FROM p GROUP BY 1)
+    SELECT event_type, n,
+           round((n * sxy - sx * sy)::DOUBLE /
+                 sqrt((n * sxx - sx * sx)::DOUBLE *
+                      (n * syy - sy * sy)::DOUBLE), 6) AS autocorr_lag1
+    FROM m
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"""
