@@ -7345,8 +7345,98 @@ def q_hourly_autocorr(sf_dir: str):
     )
 
 
+def q_hub_attack(sf_dir: str):
+    """Targeted hub-removal robustness (attack tolerance, Albert–Jeong–
+    Barabási): delete the K=100 highest-degree vertices (ties broken by
+    vid asc — the identical ORDER BY on both sides), re-run the engine's
+    own BSP connected components over the surviving subgraph, and report
+    the damage scalars a resilience audit wants — surviving component
+    count, the largest surviving component, and its share of survivors.
+    Distributed shape: the top-K pull is K rows (a global sort-limit over
+    the memoized degree table — bounded by K, not data volume), the
+    removal set rides into the edge/vertex filters as a 100-int closure
+    broadcast, CC is the flagship BSP fixpoint, and the final scalars
+    come from aggregates over the per-label size table (never pulled)."""
+    import ray.data.aggregate as A
+
+    from ccl_ray.stages.cc_bsp import connected_components_bsp
+
+    K = 100
+    top = (
+        _deg_memo(sf_dir)
+        .sort(key=["degree", "vid"], descending=[True, False])
+        .limit(K)
+        .to_pandas()
+    )
+    removed = pa.array(top["vid"].to_numpy(np.int64))
+
+    def keep_edges(t: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.invert(pc.is_in(t.column("src"), value_set=removed)),
+            pc.invert(pc.is_in(t.column("dst"), value_set=removed)),
+        )
+        return t.filter(ok).select(["src", "dst"])
+
+    def keep_verts(t: pa.Table) -> pa.Table:
+        v = t.column("event_id")
+        return pa.table(
+            {"vid": v.filter(pc.invert(pc.is_in(v, value_set=removed)))}
+        )
+
+    edges = _edges_memo(sf_dir).map_batches(keep_edges, batch_format="pyarrow")
+    verts = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id"]
+    ).map_batches(keep_verts, batch_format="pyarrow")
+    labels = connected_components_bsp(edges, vertices=verts, cfg=_cfg()).labels
+    sizes = partial_sum_agg(labels, ["label"], {}, count_as="sz")
+    agg = sizes.aggregate(A.Count(), A.Sum("sz"), A.Max("sz"))
+    n_comp = int(agg["count()"])
+    surv = int(agg["sum(sz)"] or 0)
+    largest = int(agg["max(sz)"] or 0)
+    return pa.table(
+        {
+            "n_removed": pa.array([K], pa.int64()),
+            "n_survivors": pa.array([surv], pa.int64()),
+            "n_components": pa.array([n_comp], pa.int64()),
+            "largest_size": pa.array([largest], pa.int64()),
+            "largest_share": pa.array(
+                [round(float(largest) / float(surv), 6)], pa.float64()
+            ),
+        }
+    )
+
+
 QUERIES["benford_digits"] = q_benford_digits
 QUERIES["hourly_autocorr"] = q_hourly_autocorr
+QUERIES["hub_attack"] = q_hub_attack
+
+ORACLE_SQL["hub_attack"] = f"""
+    WITH RECURSIVE {_EDGES_CTE},
+    degq AS (SELECT e.event_id AS vid, coalesce(d.degree, 0) AS degree
+             FROM events e LEFT JOIN (
+               SELECT v AS vid, count(*) AS degree
+               FROM (SELECT src AS v FROM edgu UNION ALL SELECT dst FROM edgu)
+               GROUP BY v) d ON d.vid = e.event_id),
+    top AS (SELECT vid FROM degq ORDER BY degree DESC, vid LIMIT 100),
+    se AS (SELECT src, dst FROM edgu
+           WHERE src NOT IN (SELECT vid FROM top)
+             AND dst NOT IN (SELECT vid FROM top)),
+    sv AS (SELECT event_id AS vid FROM events
+           WHERE event_id NOT IN (SELECT vid FROM top)),
+    und AS (SELECT src AS u, dst AS v FROM se UNION SELECT dst, src FROM se),
+    reach(u, l) AS (
+      SELECT vid, vid FROM sv
+      UNION
+      SELECT p.v, r.l FROM reach r JOIN und p ON p.u = r.u),
+    comp AS (SELECT u, min(l) AS lbl FROM reach GROUP BY u),
+    sizes AS (SELECT lbl, count(*)::BIGINT AS sz FROM comp GROUP BY 1)
+    SELECT 100::BIGINT AS n_removed,
+           (SELECT count(*) FROM comp)::BIGINT AS n_survivors,
+           count(*)::BIGINT AS n_components,
+           max(sz)::BIGINT AS largest_size,
+           round(max(sz)::DOUBLE /
+                 (SELECT count(*) FROM comp)::DOUBLE, 6) AS largest_share
+    FROM sizes"""
 
 ORACLE_SQL["benford_digits"] = """
     WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)

@@ -112,3 +112,35 @@ def test_hourly_autocorr_degenerate_series_excluded(tmp_path):
 
     o = _oracle(sf, ORACLE_SQL["hourly_autocorr"], ["events"])
     assert len(o) == 0
+
+
+def test_hub_attack_vs_oracle(tmp_path):
+    # tiny random events table driven through the full composition
+    # (degree top-K → filtered edge family → BSP CC → damage scalars)
+    # and cross-checked against the recursive-closure SQL twin
+    rng = np.random.RandomState(3)
+    n = 300
+    ts = pd.to_datetime(
+        rng.randint(0, 48, n) * 3_600_000_000 + rng.randint(0, 3_600_000_000, n),
+        unit="us",
+    ).astype("datetime64[us]")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 20, n).astype(np.int64),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "ts": ts,
+        }
+    ).sort_values("ts").reset_index(drop=True)
+    sf = _write(tmp_path, "events", df)
+
+    from ccl_ray.pipelines.queries import ORACLE_SQL, q_hub_attack
+
+    out = q_hub_attack(sf).to_pandas()
+    o = _oracle(sf, ORACLE_SQL["hub_attack"], ["events"])
+    assert out["n_survivors"][0] == n - 100
+    for c in out.columns:
+        if out[c].dtype.kind == "f":
+            assert abs(out[c][0] - o[c][0]) < 1e-9
+        else:
+            assert int(out[c][0]) == int(o[c][0])
