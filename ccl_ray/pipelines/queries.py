@@ -7406,9 +7406,93 @@ def q_hub_attack(sf_dir: str):
     )
 
 
+def q_hapax_rate(sf_dir: str):
+    """Per-language hapax-legomena rate — the fraction of the vocabulary
+    occurring exactly once, plus vocab and token totals. The classic
+    corpus-health scalar (natural text runs ~0.4–0.6; templated or
+    deduplicate-worthy corpora collapse toward 0). Distributed shape:
+    per-batch all-Rust polars tokenize (lower → [a-z0-9]+ extract, the
+    vocab_top_terms rule) collapses to (lang, term, n) partials inside the
+    task — the raw token stream never leaves it — one partial-agg groupby
+    merges the per-language vocab, and a second partial-agg over 0/1
+    hapax indicators reduces it to one row per language (the vocab table
+    itself is never pulled)."""
+    import polars as pl
+
+    from ccl_ray.stages.aggregates import partitioned_groupby_agg
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def term_partials(df: pd.DataFrame) -> pa.Table:
+        out = (
+            pl.from_pandas(df)
+            .with_columns(
+                pl.col("text").str.to_lowercase().str.extract_all(r"[a-z0-9]+")
+                .alias("term")
+            )
+            .explode("term")
+            .drop_nulls("term")
+            .group_by(["lang", "term"])
+            .len()
+            .rename({"len": "n"})
+            .with_columns(pl.col("n").cast(pl.Int64))
+        )
+        return out.to_arrow()
+
+    counts = partitioned_groupby_agg(
+        docs.map_batches(term_partials, batch_format="pandas"),
+        ["lang", "term"], {"n": ("n", "sum")},
+    )
+
+    def ind(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"lang": t.column("lang"),
+             "one": pa.array((n == 1).astype(np.int64)), "tok": pa.array(n)}
+        )
+
+    stats = (
+        partial_sum_agg(
+            counts.map_batches(ind, batch_format="pyarrow"),
+            ["lang"], {"one": "hapax", "tok": "n_tokens"}, count_as="vocab",
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "lang": pa.array(stats["lang"], pa.string()),
+            "vocab": pa.array(stats["vocab"].astype(np.int64)),
+            "hapax": pa.array(stats["hapax"].astype(np.int64)),
+            "n_tokens": pa.array(stats["n_tokens"].astype(np.int64)),
+            "hapax_rate": pa.array(
+                [
+                    round(float(int(h)) / float(int(v)), 6)
+                    for h, v in zip(stats["hapax"], stats["vocab"])
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 QUERIES["benford_digits"] = q_benford_digits
 QUERIES["hourly_autocorr"] = q_hourly_autocorr
 QUERIES["hub_attack"] = q_hub_attack
+QUERIES["hapax_rate"] = q_hapax_rate
+
+ORACLE_SQL["hapax_rate"] = """
+    WITH tok AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    c AS (SELECT lang, term, count(*) AS n FROM tok GROUP BY 1, 2)
+    SELECT lang, count(*)::BIGINT AS vocab,
+           sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax,
+           sum(n)::BIGINT AS n_tokens,
+           round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE /
+                 count(*)::DOUBLE, 6) AS hapax_rate
+    FROM c GROUP BY 1"""
 
 ORACLE_SQL["hub_attack"] = f"""
     WITH RECURSIVE {_EDGES_CTE},

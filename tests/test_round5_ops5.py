@@ -144,3 +144,38 @@ def test_hub_attack_vs_oracle(tmp_path):
             assert abs(out[c][0] - o[c][0]) < 1e-9
         else:
             assert int(out[c][0]) == int(o[c][0])
+
+
+def test_hapax_rate_vs_bruteforce(tmp_path):
+    import re
+
+    rng = np.random.RandomState(5)
+    words = ["alpha", "beta", "gamma", "Delta5", "x1"]
+    texts = [
+        " ".join(rng.choice(words, rng.randint(1, 8)).tolist())
+        + (" unique%d" % i if i % 3 == 0 else "")
+        for i in range(60)
+    ] + [""]  # empty doc: tokenizer must drop it, not emit a null term
+    langs = rng.choice(["en", "fr"], 61)
+    sf = _write(tmp_path, "documents",
+                pd.DataFrame({"lang": langs, "text": texts}))
+
+    from ccl_ray.pipelines.queries import ORACLE_SQL, q_hapax_rate
+
+    out = q_hapax_rate(sf).to_pandas().set_index("lang")
+    tok = re.compile(r"[a-z0-9]+")
+    for lg in ("en", "fr"):
+        cnt = {}
+        for t in np.array(texts)[langs == lg]:
+            for w in tok.findall(t.lower()):
+                cnt[w] = cnt.get(w, 0) + 1
+        vocab = len(cnt)
+        hapax = sum(1 for v in cnt.values() if v == 1)
+        assert out.loc[lg, "vocab"] == vocab
+        assert out.loc[lg, "hapax"] == hapax
+        assert out.loc[lg, "n_tokens"] == sum(cnt.values())
+        assert out.loc[lg, "hapax_rate"] == round(hapax / vocab, 6)
+
+    o = _oracle(sf, ORACLE_SQL["hapax_rate"], ["documents"]).set_index("lang")
+    assert (o["vocab"] == out.loc[o.index, "vocab"]).all()
+    assert np.allclose(o["hapax_rate"], out.loc[o.index, "hapax_rate"])
